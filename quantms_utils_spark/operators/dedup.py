@@ -1,0 +1,168 @@
+"""Deduplication operators: shingling, MinHash, LSH banding, n-gram Jaccard,
+SimHash.
+
+All shingling/minhash/jaccard stages are pure Catalyst expressions (split /
+transform / slice / md5 / groupBy-min) — they run inside whole-stage codegen
+and combine map-side. SimHash needs per-token 64-bit bit-twiddling, which is
+the one genuinely non-relational kernel here, so it is an Arrow-batched
+Pandas UDF.
+
+Scale notes: the shingle→signature aggregation is a single shuffle on the
+document id; LSH banding replaces the O(n²) pair space with per-bucket
+pairing, and the residual exact-Jaccard verify only runs on candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Documents with fewer than ``n`` words produce no rows (consistent with the
+    DuckDB oracle formulation).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k MinHash signature columns ``sig_0..sig_{k-1}`` per document.
+
+    Hash family: ``md5(seed || '|' || shingle)`` — deterministic, seedable,
+    and reproducible in any engine with md5 (which is what lets the DuckDB
+    oracle verify the full pipeline rather than a mock).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash signatures."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    left = all_bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = all_bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs above threshold.
+
+    Quadratic in per-shingle document frequency — at scale, feed it LSH
+    candidates (``lsh_candidate_pairs``) instead of a whole corpus.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over lowercase whitespace tokens (md5-derived token
+    hashes), returned as a signed long. Arrow-batched; numpy bit-count inner
+    loop per batch."""
+    import numpy as np
+
+    def one(text: str | None):
+        if text is None:
+            return None
+        tokens = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        if not tokens:
+            return 0
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in tokens
+            ),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        acc = (2 * bits - 1).sum(axis=0)
+        v = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                v |= np.uint64(1) << np.uint64(b)
+        return int(v.astype(np.int64))
+
+    return texts.map(one)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the minimum-id row per exact content fingerprint."""
+    fp = F.md5(F.col(text_col))
+    keepers = (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, id_col, "left_semi")

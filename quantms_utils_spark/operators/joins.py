@@ -1,0 +1,117 @@
+"""Join operators: validated many-to-one broadcast joins, anti-join
+diagnostics, and a binned range join.
+
+Reference behaviors re-expressed (citations into /root/reference):
+
+- ``join_many_to_one`` — pandas ``merge(..., validate="many_to_one")``
+  (quantmsutils/diann/diann2msstats.py:117) plus the manual uniqueness check
+  (:205-213). The dimension side is broadcast — in this domain it is always a
+  design/config table of at most thousands of rows, so the fact side never
+  shuffles.
+- ``unmatched_keys`` — the warn-then-drop diagnostic for report runs missing
+  from the design (diann2msstats.py:119-127), expressed as a left-anti join.
+- ``range_join_binned`` — the feature↔scan interval containment join
+  (quantmsutils/mzml/ms1_feature_finder.py:186-187,307-322 is an
+  O(features×scans) python loop). OSS Spark has no range-join optimization, so
+  a naive theta join becomes BroadcastNestedLoop. We bin the range dimension:
+  intervals explode over the bins they cover, points map to exactly one bin,
+  and the join becomes an equi-join on (equi_keys..., bin) with a residual
+  predicate. Each (interval, point) pair meets in exactly one bin — the
+  point's — so no dedup pass is needed. Cost is O(intervals × interval_width /
+  bin_width + points), a sort-merge/hash join that scales to 100 TB instead of
+  a nested loop that does not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+class JoinValidationError(ValueError):
+    """A join-side cardinality contract was violated."""
+
+
+def join_many_to_one(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    *,
+    validate: bool = True,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """``fact ⋈ dim`` where ``dim`` must be unique on the join keys.
+
+    Raises :class:`JoinValidationError` listing offending keys, mirroring
+    pandas' ``validate="many_to_one"`` failure and the reference's explicit
+    sample-uniqueness ValueError (diann2msstats.py:205-213).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if validate:
+        dups = (
+            dim.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(20)
+            .collect()
+        )
+        if dups:
+            bad = [tuple(r[k] for k in keys) for r in dups]
+            raise JoinValidationError(
+                f"many-to-one join violated: dimension side has duplicate keys {bad}"
+            )
+    dim_side = broadcast(dim) if broadcast_dim else dim
+    return fact.join(dim_side, keys, how)
+
+
+def unmatched_keys(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | str
+) -> DataFrame:
+    """Distinct fact keys with no dimension match (left-anti), for the
+    warn-and-drop diagnostic of diann2msstats.py:119-127."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return fact.select(*keys).distinct().join(dim.select(*keys).distinct(), keys, "left_anti")
+
+
+def range_join_binned(
+    intervals: DataFrame,
+    points: DataFrame,
+    *,
+    lo_col: str,
+    hi_col: str,
+    point_col: str,
+    bin_width: float,
+    equi_keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows of ``points`` into rows of ``intervals`` where
+    ``lo <= point <= hi`` (optionally also matching on ``equi_keys``).
+
+    Both inputs may carry arbitrary extra columns; all survive. ``bin_width``
+    should be on the order of the median interval width: too small explodes
+    the interval side, too large degrades to a near-cross join within a bin.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = list(equi_keys)
+    binned_intervals = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    binned_points = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    residual = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    return (
+        binned_intervals.join(binned_points, keys + ["__bin"], how)
+        .where(residual)
+        .drop("__bin")
+    )

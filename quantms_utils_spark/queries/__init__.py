@@ -1,0 +1,31 @@
+"""Query registry: every implemented operator from SURVEY.md §2 exposed as a
+(spark_callable, duckdb_oracle_sql) pair over the synthetic test tables.
+
+``REGISTRY[name] = (fn, sql_or_None)`` where ``fn(spark, sf_dir) -> DataFrame``
+and ``sql`` is the ANSI-SQL equivalent DuckDB runs on the same parquet files.
+``sql is None`` marks genuinely non-SQL-expressible ops (driver records a
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quantms_utils_spark.queries import core, dedup, similarity, textops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+for _mod in (core, dedup, similarity, textops):
+    for _name, _pair in _mod.QUERIES.items():
+        if _name in REGISTRY:
+            raise ValueError(f"duplicate query name {_name!r}")
+        REGISTRY[_name] = _pair
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

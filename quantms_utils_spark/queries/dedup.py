@@ -1,0 +1,183 @@
+"""Deduplication queries over the `documents` table: exact, n-gram Jaccard,
+MinHash signatures + LSH banding, and SimHash.
+
+Scale design (100 TB story):
+- exact dedup is a single hash-aggregate on a fingerprint — fingerprint first
+  (md5 of normalized text, 32 bytes) so the shuffle carries hashes, not bodies.
+- MinHash/LSH: shingle → k minhashes → band buckets → equi-join on
+  (band, band_hash). The only pairwise work happens within a bucket, so cost
+  is driven by bucket skew, not corpus size. Hash family is md5-based and
+  therefore reproducible in DuckDB — the oracle checks the *whole* pipeline,
+  not a Python reimplementation.
+- exact n-gram Jaccard is quadratic per shared shingle; it is the verify step
+  applied to LSH candidates at scale. The standalone oracle query bounds the
+  corpus (doc_id < 200) to keep the demonstration exact.
+- SimHash is a Pandas-UDF (Arrow-batched) bit-manipulation kernel — not
+  SQL-expressible in DuckDB, so it registers without an oracle (rows-only
+  check) and its correctness is property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from quantms_utils_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from quantms_utils_spark.tables import load
+
+N_HASHES = 8
+BAND_SIZE = 2
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-aggregate, keeper = min
+    doc_id per group (deterministic survivor policy)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity pairs (threshold 0.2) on a bounded
+    slice — the verification kernel for LSH candidates."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5 hash family) per document."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3)
+
+
+def _minhash_sig_sql_columns() -> str:
+    return ",\n  ".join(
+        f"min(md5('{j}|' || shingle)) AS sig_{j}" for j in range(N_HASHES)
+    )
+
+
+MINHASH_SIGS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+)
+SELECT doc_id,
+  {_minhash_sig_sql_columns()}
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands × 2 rows; docs sharing any band bucket."""
+    sigs = minhash_sigs(spark, sf_dir)
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"sig_{b * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*[F.col(c) for c in cols])).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    left = all_bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    right = all_bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_BAND_CASE = " ".join(
+    f"WHEN {b} THEN md5(sig_{b * BAND_SIZE} || sig_{b * BAND_SIZE + 1})"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_sql_columns()}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, CASE b {_BAND_CASE} END AS bucket
+  FROM sig, UNNEST([{", ".join(str(b) for b in range(N_HASHES // BAND_SIZE))}]) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched Pandas UDF kernel).
+
+    Not SQL-expressible in the oracle dialect → rows-only check; bit-level
+    properties are asserted in tests/test_dedup.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_minhash_signatures": (minhash_sigs, MINHASH_SIGS_SQL),
+    "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "dedup_simhash": (simhash_fingerprints, None),
+}

@@ -1,0 +1,165 @@
+"""Text-analysis + multimodal-metadata queries over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from quantms_utils_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    content_fingerprint,
+    lang_id,
+    marker_score,
+    quality_metrics,
+    ws_token_count,
+)
+from quantms_utils_spark.tables import load
+
+
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID per document + per-language marker scores."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    cols = [F.col("doc_id"), lang_id(text).alias("predicted_lang")]
+    for lang, pat in LANG_MARKERS.items():
+        cols.append(marker_score(text, pat).alias(f"s_{lang}"))
+    return d.select(*cols)
+
+
+def _score_sql(lang: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(lower(text), '{LANG_MARKERS[lang]}')) AS BIGINT)"
+    )
+
+
+_LANGS = list(LANG_MARKERS)
+
+
+def _winner_cond(lang: str) -> str:
+    i = _LANGS.index(lang)
+    conds = [f"s_{lang} > 0"]
+    for other in _LANGS:
+        if other == lang:
+            continue
+        op = ">" if _LANGS.index(other) < i else ">="
+        conds.append(f"s_{lang} {op} s_{other}")
+    return " AND ".join(conds)
+
+
+LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+  FROM documents
+)
+SELECT doc_id,
+  CASE {" ".join(f"WHEN {_winner_cond(lang)} THEN '{lang}'" for lang in _LANGS)}
+       ELSE 'und' END AS predicted_lang,
+  {", ".join(f"s_{lang}" for lang in _LANGS)}
+FROM s
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining quality heuristics per document."""
+    d = load(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars_m"),
+        m["n_tokens"].alias("n_tokens"),
+        m["mean_token_len"].alias("mean_token_len"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["keep"].alias("keep"),
+    )
+
+
+QUALITY_SCORES_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_m,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to|in)\b')) AS BIGINT) AS stop_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+  round(CAST(alpha_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_token_len,
+  round(CAST(stop_tokens AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+  round(CAST(punct_chars AS DOUBLE) / greatest(n_chars_m, 1), 4) AS punct_ratio,
+  (n_tokens >= 5
+   AND round(CAST(alpha_chars AS DOUBLE) / greatest(n_tokens, 1), 4) >= 2
+   AND round(CAST(alpha_chars AS DOUBLE) / greatest(n_tokens, 1), 4) <= 12
+   AND round(CAST(punct_chars AS DOUBLE) / greatest(n_chars_m, 1), 4) <= 0.2) AS keep
+FROM m
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        ws_token_count(text).alias("ws_tokens"),
+        bpe_ish_token_count(text).alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINTS_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload bytes + typed metadata.
+
+    Here the document text stands in for an image/audio payload: the engine
+    treats it as bytes (encode → binary), records size + content digest, and
+    carries typed metadata alongside — the schema shape used for real
+    multimodal columns (decode kernels live in
+    quantms_utils_spark.operators.multimodal and are stubbed per environment).
+    """
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.col("source").alias("media_source"),
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS digest,
+       source AS media_source
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_lang_id": (lang_id_predict, LANG_ID_SQL),
+    "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
+    "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
+}
