@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-style action (write-free,
+so the number is plan execution, not sink I/O).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family, weighted toward shuffle/join/window
+# heavy plans. Keys are short stable names the driver tracks across rounds.
+HEADLINE = [
+    ("q_pricing", "pricing_summary"),
+    ("q_star_join", "star_join_revenue"),
+    ("q_topk", "topk_orders"),
+    ("q_prefix_sum", "prefix_sum_exclusive"),
+    ("q_asof", "asof_precursor"),
+    ("q_range_join", "range_join_features"),
+    ("q_interp", "interpolate_ptic"),
+    ("q_sessionize", "sessionize"),
+    ("q_dedup_exact", "dedup_exact"),
+    ("q_minhash_lsh", "dedup_minhash_lsh_pairs"),
+    ("q_ngram_jaccard", "dedup_ngram_jaccard"),
+    ("q_ann", "ann_bruteforce_topk"),
+    ("q_text_quality", "text_quality_scores"),
+    ("q_token_counts", "text_token_counts"),
+]
+
+
+def main() -> None:
+    from quantms_utils_spark.session import get_spark
+    from quantms_utils_spark.queries import REGISTRY
+
+    spark = get_spark(
+        app_name="quantms-utils-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Steady-state measurement: one untimed warmup execution per query (JVM
+    # JIT + whole-stage-codegen compilation dominate a cold local run and are
+    # fixed overhead, not data-dependent cost), then one timed execution.
+    # Cached intermediates are NOT shared between queries; each timed run
+    # executes its full plan.
+    timings: dict[str, float] = {}
+    for key, name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        fn(spark, SF_DIR).count()
+        # Drop any persist() the warmup materialized (CacheManager matches
+        # canonicalized plans, so the timed run would silently reuse it and
+        # measure only the post-cache stages).
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[key] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

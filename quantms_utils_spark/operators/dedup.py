@@ -30,6 +30,13 @@ def word_shingles(
     Documents with fewer than ``n`` words produce no rows (consistent with the
     DuckDB oracle formulation).
     """
+    # Shingling is CPU-bound; a small-file scan (one parquet row group) gives
+    # one partition and serializes it. Fan out to the session's parallelism —
+    # but never *reduce* an already well-partitioned input (the 100 TB case,
+    # where the scan arrives with far more partitions than cores).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
@@ -63,23 +70,31 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
 ) -> DataFrame:
-    """Candidate near-duplicate pairs from banded MinHash signatures."""
+    """Candidate near-duplicate pairs from banded MinHash signatures.
+
+    Bands are generated in ONE pass with posexplode (an array of band hashes
+    per row) instead of an n_bands-way union — a union would re-evaluate the
+    whole upstream shingle→signature pipeline once per band. The banded frame
+    is persisted before the self-join for the same reason: both join sides
+    reference it. At cluster scale this persist is the signature checkpoint
+    every LSH dedup pipeline materializes anyway.
+    """
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("bucket"),
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                )
             )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
-    left = all_bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    right = all_bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    ).persist()
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))

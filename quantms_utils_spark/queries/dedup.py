@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from quantms_utils_spark.operators.dedup import (
+    lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -111,31 +112,7 @@ FROM sh GROUP BY doc_id
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: 4 bands × 2 rows; docs sharing any band bucket."""
     sigs = minhash_sigs(spark, sf_dir)
-    bands = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [f"sig_{b * BAND_SIZE + r}" for r in range(BAND_SIZE)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*[F.col(c) for c in cols])).alias("bucket"),
-            )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
-    left = all_bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
-    )
-    right = all_bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "bucket"
-    )
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=N_HASHES, band_size=BAND_SIZE)
 
 
 _BAND_CASE = " ".join(
