@@ -1,0 +1,221 @@
+"""mzmlstats: spectra DataFrame → ms_info / ms2_info / ms1_features tables.
+
+Spark-first reimplementation of quantmsutils/mzml/mzml_statistics.py and
+ms1_feature_finder.py (traced in SURVEY §3.1). The reference's per-spectrum
+python loop becomes pure DataFrame expressions:
+
+- peak stats (A1-A3) are array expressions — no explode, no UDF;
+- the precursor as-of lookup (J7, reference :253-260 walks back to the
+  nearest preceding MS1) is a window ``last(..., ignorenulls)`` partitioned
+  by run — one shuffle on the run key, which is also the ingest partitioning,
+  so AQE usually elides the exchange;
+- precursor purity (U5, reference :264-268 delegates to C++) is re-expressed
+  relationally: the preceding MS1's peak arrays ride along the same window,
+  and an aggregate-over-zip computes in-isolation-window totals;
+- the pTIC prefix sum (A5/W1), interpolation at feature rts (W2), and the
+  feature↔scan range join (J6) reuse the engine's window/range operators.
+
+Sinks are plain ``df.write.parquet`` — the reference's hand-rolled 10k-row
+Arrow batch writer (K1, :283-337) is exactly what Spark's pipelined execution
+replaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from quantms_utils_spark.operators import exclusive_prefix_sum, interpolate_at
+from quantms_utils_spark.operators.joins import range_join_binned
+
+RUN = "reference_file_name"
+_ORDER = ["spectrum_index"]
+
+
+def _run_window():
+    return Window.partitionBy(RUN).orderBy(*_ORDER)
+
+
+def compute_ms_info(spectra: DataFrame, isolation_window: float = 0.7) -> DataFrame:
+    """Per-spectrum statistics table (reference schema
+    mzml_statistics.py:36-53; see FIXTURES.md §1)."""
+    w_prev = _run_window().rowsBetween(Window.unboundedPreceding, -1)
+    is_ms1 = F.col("ms_level") == 1
+
+    prev_ms1_rt = F.last(F.when(is_ms1, F.col("rt")), ignorenulls=True).over(w_prev)
+    prev_ms1_mz = F.last(F.when(is_ms1, F.col("mz_array")), ignorenulls=True).over(w_prev)
+    prev_ms1_int = F.last(
+        F.when(is_ms1, F.col("intensity_array")), ignorenulls=True
+    ).over(w_prev)
+
+    # In-isolation-window total intensity of the preceding MS1 spectrum — the
+    # relational form of PrecursorPurity (reference :264-268).
+    pmz = F.col("precursor_mz")
+    zipped = F.zip_with(
+        prev_ms1_mz, prev_ms1_int, lambda m, i: F.struct(m.alias("m"), i.alias("i"))
+    )
+    in_window_total = F.aggregate(
+        zipped,
+        F.lit(0.0),
+        lambda acc, p: acc
+        + F.when(
+            (p["m"] >= pmz - isolation_window) & (p["m"] <= pmz + isolation_window),
+            p["i"],
+        ).otherwise(F.lit(0.0)),
+    )
+
+    ms2 = F.col("ms_level") == 2
+    empty = F.size("mz_array") == 0
+    return (
+        spectra.filter(F.col("ms_level").isin(1, 2))
+        .select(
+            RUN,
+            "scan",
+            "ms_level",
+            F.size("mz_array").alias("num_peaks"),
+            F.when(empty, None).otherwise(F.array_max("intensity_array")).alias(
+                "base_peak_intensity"
+            ),
+            F.when(empty, None)
+            .otherwise(
+                F.aggregate("intensity_array", F.lit(0.0), lambda a, x: a + x)
+            )
+            .alias("summed_peak_intensities"),
+            "rt",
+            F.when(ms2, F.col("precursor_charge")).alias("precursor_charge"),
+            F.when(ms2, pmz).alias("precursor_mz"),
+            F.when(ms2, prev_ms1_rt).alias("precursor_rt"),
+            F.when(ms2, F.col("precursor_intensity")).alias("precursor_intensity"),
+            F.when(ms2, in_window_total).alias("precursor_total_intensity"),
+            "acquisition_datetime",
+            "spectrum_index",
+        )
+    )
+
+
+def compute_ms2_info(spectra: DataFrame) -> DataFrame:
+    """MS2 peak-array table (reference schema mzml_statistics.py:56-65)."""
+    return spectra.filter(F.col("ms_level") == 2).select(
+        RUN, "scan", "ms_level", "mz_array", "intensity_array"
+    )
+
+
+def detect_features(
+    spectra: DataFrame,
+    top_n_per_run: int = 20,
+    rt_halfwidth: float = 5.0,
+    mz_halfwidth: float = 0.05,
+    min_mz: float = 1.0,
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """MS1 feature table (FIXTURES.md §4).
+
+    The reference delegates centroiding + feature finding to pyopenms C++
+    (ms1_feature_finder.py:250-282 — an opaque per-run kernel, U5). Feature
+    *seeding* here is a deterministic stand-in (top-N MS1 base peaks per run);
+    everything around it is the real relational pipeline the reference builds
+    in python: corrupt-spectrum min-mz filter (P7), global TIC (A4), exclusive
+    pTIC prefix sum (W1) interpolated at feature rts (W2), feature↔scan range
+    join (J6) collecting feature_scans, intensity-desc ordering (O1).
+    """
+    ms1 = (
+        spectra.filter(F.col("ms_level") == 1)
+        .filter(F.array_min("mz_array") > min_mz)
+        .withColumn(
+            "tic", F.aggregate("intensity_array", F.lit(0.0), lambda a, x: a + x)
+        )
+    )
+    ms1 = exclusive_prefix_sum(ms1, "tic", [RUN], _ORDER, out_col="cum_tic")
+    total = F.sum("tic").over(Window.partitionBy(RUN))
+    ms1 = ms1.withColumn("ptic", F.col("cum_tic") / total)
+
+    base_idx = F.expr(
+        "array_position(intensity_array, array_max(intensity_array))"
+    ).cast("int")
+    seeds = ms1.select(
+        RUN,
+        "scan",
+        "rt",
+        "ptic",
+        F.element_at("mz_array", base_idx).alias("feature_mz"),
+        F.array_max("intensity_array").alias("feature_intensity"),
+    )
+    w_rank = Window.partitionBy(RUN).orderBy(
+        F.col("feature_intensity").desc(), F.col("rt")
+    )
+    features = (
+        seeds.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= top_n_per_run)
+        .select(
+            RUN,
+            F.round("feature_mz", 4).alias("feature_mz"),
+            "feature_intensity",
+            F.round("rt", 4).alias("feature_rt"),
+            F.lit(2).alias("feature_charge"),
+            F.round("ptic", 4).alias("feature_percentile_tic"),
+            F.lit(1.0).alias("feature_quality"),
+            F.row_number()
+            .over(Window.orderBy(RUN, F.col("feature_intensity").desc(), "rt"))
+            .cast("long")
+            .alias("feature_id"),
+            (F.col("rt") - rt_halfwidth).alias("feature_min_rt"),
+            (F.col("rt") + rt_halfwidth).alias("feature_max_rt"),
+            F.round(F.col("feature_mz") - mz_halfwidth, 4).alias("feature_min_mz"),
+            F.round(F.col("feature_mz") + mz_halfwidth, 4).alias("feature_max_mz"),
+        )
+    )
+
+    scans = spectra.filter(F.col("ms_level") == 1).select(
+        F.col(RUN), F.col("scan").alias("__scan"), F.col("rt").alias("__scan_rt")
+    )
+    joined = range_join_binned(
+        features,
+        scans,
+        lo_col="feature_min_rt",
+        hi_col="feature_max_rt",
+        point_col="__scan_rt",
+        bin_width=bin_width,
+        equi_keys=[RUN],
+        how="inner",
+    )
+    grouped = joined.groupBy(
+        *[c for c in features.columns]
+    ).agg(
+        F.sort_array(F.collect_list("__scan")).alias("feature_scans"),
+    )
+    return (
+        grouped.withColumn("feature_num_scans", F.size("feature_scans"))
+        .orderBy(F.col("feature_intensity").desc(), F.col("feature_id"))
+    )
+
+
+def write_tables(
+    spectra: DataFrame,
+    out_dir: str,
+    stem: str,
+    ms2_file: bool = False,
+    feature_detection: bool = False,
+    compression: str = "zstd",
+) -> dict[str, str]:
+    """Sink policy mirroring the reference's derived output naming (K5,
+    mzml_statistics.py:492-494) — parquet via Spark's writer (zstd beats the
+    reference's hardcoded gzip on both ratio and speed)."""
+    outputs: dict[str, str] = {}
+    ms_info = compute_ms_info(spectra)
+    target = f"{out_dir}/{stem}_ms_info.parquet"
+    ms_info.write.mode("overwrite").parquet(target, compression=compression)
+    outputs["ms_info"] = target
+    if ms2_file:
+        target = f"{out_dir}/{stem}_ms2_info.parquet"
+        compute_ms2_info(spectra).write.mode("overwrite").parquet(
+            target, compression=compression
+        )
+        outputs["ms2_info"] = target
+    if feature_detection:
+        target = f"{out_dir}/{stem}_ms1_feature_info.parquet"
+        detect_features(spectra).write.mode("overwrite").parquet(
+            target, compression=compression
+        )
+        outputs["ms1_features"] = target
+    return outputs

@@ -1,0 +1,173 @@
+"""mzmlstats + psmconvert pipeline tests over the synthetic parser backend.
+
+The synthetic backend is deterministic per file stem, so assertions here
+verify real distributed semantics: per-run ordering, as-of precursor lookup,
+peak statistics, range-join feature scans, and the PSM↔spectrum join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.pipelines.mzml_stats import (
+    compute_ms_info,
+    compute_ms2_info,
+    detect_features,
+    write_tables,
+)
+from quantms_utils_spark.pipelines.psm import PSM_COLUMNS, convert_psms
+from quantms_utils_spark.sources.idxml import read_identifications
+from quantms_utils_spark.sources.mzml import read_spectra, resolve_ms_path
+
+RUNS = ["runA.mzML", "runB.mzML"]
+
+
+@pytest.fixture(scope="module")
+def spectra(spark):
+    return read_spectra(spark, RUNS, parser="synthetic").cache()
+
+
+class TestMzmlIngest:
+    def test_schema_and_partitioning(self, spectra):
+        assert spectra.count() == 400
+        assert spectra.select("reference_file_name").distinct().count() == 2
+
+    def test_ms_level_pushdown(self, spark):
+        ms1_only = read_spectra(spark, RUNS, ms_levels=[1], parser="synthetic")
+        levels = [r["ms_level"] for r in ms1_only.select("ms_level").distinct().collect()]
+        assert levels == [1]
+
+    def test_resolve_ms_path_rejects_bad_suffix(self, tmp_path):
+        bad = tmp_path / "x.txt"
+        bad.write_text("")
+        with pytest.raises(ValueError, match="Unsupported file type"):
+            resolve_ms_path(str(bad))
+
+
+class TestMsInfo:
+    def test_peak_stats_match_arrays(self, spectra):
+        info = compute_ms_info(spectra)
+        sample = (
+            spectra.select(
+                "reference_file_name",
+                "scan",
+                F.size("mz_array").alias("exp_peaks"),
+                F.array_max("intensity_array").alias("exp_max"),
+            )
+            .join(info, ["reference_file_name", "scan"])
+            .limit(50)
+            .collect()
+        )
+        for r in sample:
+            assert r["num_peaks"] == r["exp_peaks"]
+            assert r["base_peak_intensity"] == pytest.approx(r["exp_max"])
+
+    def test_asof_precursor_rt(self, spectra):
+        """Each MS2's precursor_rt equals the rt of the nearest preceding MS1
+        in the same run (reference mzml_statistics.py:253-260)."""
+        info = compute_ms_info(spectra).collect()
+        by_run: dict[str, list] = {}
+        for r in sorted(info, key=lambda r: (r["reference_file_name"], r["spectrum_index"])):
+            by_run.setdefault(r["reference_file_name"], []).append(r)
+        checked = 0
+        for rows in by_run.values():
+            last_ms1_rt = None
+            for r in rows:
+                if r["ms_level"] == 1:
+                    last_ms1_rt = r["rt"]
+                else:
+                    assert r["precursor_rt"] == pytest.approx(last_ms1_rt)
+                    checked += 1
+        assert checked > 100
+
+    def test_ms1_rows_null_precursor(self, spectra):
+        info = compute_ms_info(spectra)
+        ms1 = info.filter(F.col("ms_level") == 1)
+        assert ms1.filter(F.col("precursor_mz").isNotNull()).count() == 0
+
+    def test_purity_total_bounds(self, spectra):
+        """In-isolation-window total ≤ full TIC of preceding MS1 and ≥ the
+        precursor's own intensity when the precursor peak came from it."""
+        info = compute_ms_info(spectra)
+        ms2 = info.filter(F.col("ms_level") == 2).filter(
+            F.col("precursor_total_intensity").isNotNull()
+        )
+        bad = ms2.filter(
+            F.col("precursor_total_intensity") < F.col("precursor_intensity") - 1e-6
+        )
+        assert bad.count() == 0
+
+
+class TestMs2InfoAndSinks:
+    def test_ms2_info(self, spectra):
+        ms2 = compute_ms2_info(spectra)
+        assert ms2.count() == spectra.filter(F.col("ms_level") == 2).count()
+        assert set(ms2.columns) == {
+            "reference_file_name", "scan", "ms_level", "mz_array", "intensity_array",
+        }
+
+    def test_write_tables(self, spectra, tmp_path):
+        outputs = write_tables(
+            spectra, str(tmp_path), "combined", ms2_file=True, feature_detection=True
+        )
+        assert set(outputs) == {"ms_info", "ms2_info", "ms1_features"}
+        spark = spectra.sparkSession
+        for path in outputs.values():
+            assert spark.read.parquet(path).count() > 0
+
+
+class TestFeatures:
+    def test_feature_table(self, spectra):
+        feats = detect_features(spectra, top_n_per_run=10)
+        rows = feats.collect()
+        assert len(rows) == 20  # 10 per run
+        for r in rows:
+            assert r["feature_min_rt"] <= r["feature_rt"] <= r["feature_max_rt"]
+            assert r["feature_num_scans"] == len(r["feature_scans"])
+            assert r["feature_num_scans"] >= 1
+            assert 0.0 <= r["feature_percentile_tic"] <= 1.0
+
+    def test_feature_scans_are_range_correct(self, spectra):
+        feats = detect_features(spectra, top_n_per_run=5)
+        ms1 = {
+            (r["reference_file_name"], r["scan"]): r["rt"]
+            for r in spectra.filter(F.col("ms_level") == 1).collect()
+        }
+        for f in feats.collect():
+            run = f["reference_file_name"]
+            expected = sorted(
+                scan
+                for (r, scan), rt in ms1.items()
+                if r == run and f["feature_min_rt"] <= rt <= f["feature_max_rt"]
+            )
+            assert f["feature_scans"] == expected
+
+
+class TestPsmConvert:
+    def test_end_to_end_with_join(self, spark, spectra):
+        ids = read_identifications(spark, ["runA.idXML", "runB.idXML"], parser="synthetic")
+        ms2 = compute_ms2_info(spectra)
+        psms = convert_psms(ids, ms2)
+        assert psms.columns == PSM_COLUMNS
+        rows = psms.collect()
+        assert len(rows) > 50
+        # every PSM scan must have found its spectrum (synthetic ids reference
+        # real synthetic MS2 scans of the same stem)
+        assert all(r["num_peaks"] is not None and r["num_peaks"] > 0 for r in rows)
+        assert all(r["is_decoy"] == 0 for r in rows)
+
+    def test_decoy_export(self, spark, spectra):
+        ids = read_identifications(spark, ["runA.idXML"], parser="synthetic")
+        ms2 = compute_ms2_info(spectra)
+        with_decoys = convert_psms(ids, ms2, export_decoy_psm=True)
+        assert with_decoys.filter(F.col("is_decoy") == 1).count() > 0
+
+    def test_modifications_parsed(self, spark):
+        ids = read_identifications(spark, ["runA.idXML"], parser="synthetic")
+        psms = convert_psms(ids, None)
+        modded = psms.filter(F.col("modifications").isNotNull()).collect()
+        assert len(modded) > 0
+        for r in modded:
+            assert all("-Oxidation" in m for m in r["modifications"])
+            assert "(Oxidation)" in r["peptidoform"]
+            assert "(" not in r["sequence"]

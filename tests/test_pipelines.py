@@ -1,0 +1,214 @@
+"""End-to-end pipeline tests with synthesized fixtures (FIXTURES.md §5-§9)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from quantms_utils_spark.pipelines.check_samplesheet import check_samplesheet
+from quantms_utils_spark.pipelines.diann2msstats import diann_to_msstats
+from quantms_utils_spark.pipelines.dianncfg import (
+    ConfigError,
+    build_diann_config,
+    enzyme_cut,
+)
+from quantms_utils_spark.pipelines.extract_sample import extract_sample
+from quantms_utils_spark.validation import SampleSheetError
+
+LEGACY_DESIGN = textwrap.dedent(
+    """\
+    Fraction_Group\tFraction\tSpectra_Filepath\tLabel\tSample
+    1\t1\ta/run_A.mzML\t1\t1
+    2\t1\ta/run_B.mzML\t1\t2
+
+    Sample\tMSstats_Condition\tMSstats_BioReplicate
+    1\tcontrol\t1
+    2\ttreated\t2
+    """
+)
+
+LEGACY_DESIGN_MIXTURE = textwrap.dedent(
+    """\
+    Fraction_Group\tFraction\tSpectra_Filepath\tLabel\tSample
+    1\t1\ta/run_A.mzML\t1\t1
+    2\t1\ta/run_B.mzML\t1\t2
+
+    Sample\tMSstats_Condition\tMSstats_BioReplicate\tMSstats_Mixture
+    1\tcontrol\t1\tM1
+    2\ttreated\t2\tM2
+    """
+)
+
+UNIFIED_DESIGN = textwrap.dedent(
+    """\
+    Filename\tFraction\tSample\tCondition\tBioReplicate
+    run_A.mzML\t1\t1\tcontrol\t1
+    run_B.mzML\t1\t2\ttreated\t2
+    """
+)
+
+REPORT_TSV = textwrap.dedent(
+    """\
+    Run\tProtein.Names\tModified.Sequence\tPrecursor.Charge\tPrecursor.Quantity\tQ.Value\tDecoy
+    run_A\tP1\tPEPTIDE\t2\t1000.0\t0.001\t0
+    run_A\tP2\tPEP(SILAC)TIDE\t3\t2000.0\t0.005\t0
+    run_A\tP3\tAAAA\t2\t500.0\t0.5\t0
+    run_B\tP4\tCCCC\t2\t0.0\t0.002\t0
+    run_B\tP5\tDDDD\t2\t300.0\t0.003\t1
+    run_B\tP6\tEEEE\t2\t400.0\t0.004\t0
+    run_MISSING\tP7\tFFFF\t2\t700.0\t0.001\t0
+    """
+)
+
+SDRF_VALID = (
+    "Source Name\tAssay Name\tComment[data file]\tComment[label]\t"
+    "Comment[cleavage agent details]\tComment[instrument]\t"
+    "Comment[proteomics data acquisition method]\tTechnology Type\t"
+    "Comment[modification parameters]\n"
+    "s1\ta1\tf1.raw\tlabel free sample\tTrypsin\tQE\tDDA\tproteomics\tCarbamidomethyl\n"
+)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+class TestDiann2MSstats:
+    def test_end_to_end_legacy(self, spark, tmp_path):
+        report = _write(tmp_path, "report.tsv", REPORT_TSV)
+        design = _write(tmp_path, "design.tsv", LEGACY_DESIGN)
+        out = diann_to_msstats(spark, report, design, qvalue_threshold=0.01)
+        rows = {r["ProteinName"]: r for r in out.collect()}
+        # q-value filter drops P3; zero intensity drops P4; decoy drops P5;
+        # unmatched run drops P7
+        assert set(rows) == {"P1", "P2", "P6"}
+        assert rows["P2"]["PeptideSequence"] == "PEPTIDE"  # (SILAC) stripped
+        assert rows["P1"]["Condition"] == "control"
+        assert rows["P6"]["BioReplicate"] == "2"
+        assert rows["P1"]["IsotopeLabelType"] == "L"
+        assert rows["P1"]["FragmentIon"] == "NA"
+
+    def test_end_to_end_unified(self, spark, tmp_path):
+        report = _write(tmp_path, "report.tsv", REPORT_TSV)
+        design = _write(tmp_path, "uni_design.tsv", UNIFIED_DESIGN)
+        out = diann_to_msstats(spark, report, design, qvalue_threshold=0.01)
+        assert out.count() == 3
+        assert {r["Run"] for r in out.collect()} == {"run_A", "run_B"}
+
+    def test_unified_missing_columns(self, spark, tmp_path):
+        design = _write(
+            tmp_path, "bad.tsv", "Filename\tCondition\tBioReplicate\nx\ty\t1\n"
+        )
+        report = _write(tmp_path, "report.tsv", REPORT_TSV)
+        with pytest.raises(SampleSheetError, match="missing required columns.*Fraction"):
+            diann_to_msstats(spark, report, design)
+
+    def test_unified_inconsistent_sample(self, spark, tmp_path):
+        design = _write(
+            tmp_path,
+            "incons.tsv",
+            "Filename\tFraction\tSample\tCondition\tBioReplicate\n"
+            "a.mzML\t1\t1\tc1\t1\n"
+            "b.mzML\t1\t1\tc2\t2\n",
+        )
+        report = _write(tmp_path, "report.tsv", REPORT_TSV)
+        with pytest.raises(SampleSheetError, match="map to multiple"):
+            diann_to_msstats(spark, report, design)
+
+    def test_csv_sink(self, spark, tmp_path):
+        report = _write(tmp_path, "report.tsv", REPORT_TSV)
+        design = _write(tmp_path, "design.tsv", LEGACY_DESIGN)
+        diann_to_msstats(spark, report, design, out_dir=str(tmp_path))
+        out_files = list((tmp_path / "design_msstats_in.csv").glob("*.csv"))
+        assert len(out_files) == 1
+
+
+class TestExtractSample:
+    def test_plain(self, spark, tmp_path):
+        design = _write(tmp_path, "design.tsv", LEGACY_DESIGN)
+        out = extract_sample(spark, design)
+        assert sorted((r["Spectra_Filepath"], r["Sample"]) for r in out.collect()) == [
+            ("a/run_A.mzML", "1"),
+            ("a/run_B.mzML", "2"),
+        ]
+
+    def test_mixture(self, spark, tmp_path):
+        design = _write(tmp_path, "designm.tsv", LEGACY_DESIGN_MIXTURE)
+        out = extract_sample(spark, design)
+        assert sorted((r["Spectra_Filepath"], r["Sample"]) for r in out.collect()) == [
+            ("a/run_A.mzML", "M1"),
+            ("a/run_B.mzML", "M2"),
+        ]
+
+    def test_missing_separator(self, spark, tmp_path):
+        design = _write(tmp_path, "nosep.tsv", "A\tB\n1\t2\n")
+        with pytest.raises(SampleSheetError, match="blank separator"):
+            extract_sample(spark, design)
+
+    def test_mixture_missing_sample(self, spark, tmp_path):
+        bad = LEGACY_DESIGN_MIXTURE.replace("2\ttreated\t2\tM2\n", "")
+        design = _write(tmp_path, "badmix.tsv", bad)
+        with pytest.raises(SampleSheetError, match="no matching entry"):
+            extract_sample(spark, design)
+
+
+class TestCheckSamplesheet:
+    def test_valid(self, spark, tmp_path):
+        p = _write(tmp_path, "ok.sdrf.tsv", SDRF_VALID)
+        assert check_samplesheet(spark, p) == []
+
+    def test_missing_required(self, spark, tmp_path):
+        content = SDRF_VALID.replace("Source Name\t", "Other\t")
+        p = _write(tmp_path, "bad.sdrf.tsv", content)
+        errors = check_samplesheet(spark, p)
+        assert any("'source name' is missing" in e for e in errors)
+
+    def test_header_only(self, spark, tmp_path):
+        p = _write(tmp_path, "empty.sdrf.tsv", SDRF_VALID.split("\n")[0] + "\n")
+        errors = check_samplesheet(spark, p)
+        assert errors == ["ERROR: SDRF file contains a header but no data rows."]
+
+    def test_missing_mod_column(self, spark, tmp_path):
+        content = SDRF_VALID.replace(
+            "\tComment[modification parameters]", "\tComment[other]"
+        )
+        p = _write(tmp_path, "nomod.sdrf.tsv", content)
+        errors = check_samplesheet(spark, p)
+        assert any("modification parameters" in e for e in errors)
+
+
+class TestDiannCfg:
+    def test_enzyme(self):
+        assert enzyme_cut("Trypsin") == "K*,R*,!*P"
+        assert enzyme_cut(None) == ""
+        with pytest.raises(ConfigError, match="Unknown enzyme"):
+            enzyme_cut("NotAnEnzyme")
+
+    def test_full_config(self):
+        cfg = build_diann_config(
+            "Trypsin",
+            "Carbamidomethyl (C)",
+            "Oxidation (M), Phospho (S), Phospho (T), Acetyl (K), "
+            "Met-loss (Protein N-term M)",
+        )
+        assert cfg.startswith("--cut K*,R*,!*P")
+        assert "--fixed-mod UniMod:4,57.021464,C" in cfg
+        assert "--var-mod UniMod:35,15.994915,M" in cfg
+        # site merging: the two Phospho sites collapse into one flag
+        assert "--var-mod UniMod:21,79.966331,ST" in cfg
+        assert "--met-excision" in cfg
+
+    def test_nterm_site_mapping(self):
+        cfg = build_diann_config(None, None, "Acetyl (Protein N-term)")
+        assert "--var-mod UniMod:1,42.010565,*n" in cfg
+
+    def test_unknown_mod(self):
+        with pytest.raises(ConfigError, match="Unsupported modification"):
+            build_diann_config(None, "NotAMod (C)", None)
+
+    def test_compound_site_rejected(self):
+        with pytest.raises(ConfigError, match="terminal AAs"):
+            build_diann_config(None, None, "Oxidation (Protein N-term M)")
