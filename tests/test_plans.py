@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale-critical properties of headline
+query plans (pushdown, pruning, broadcast, no nested-loop degradation,
+whole-stage codegen) pinned as assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from quantms_utils_spark.plans import (
+    explain_str,
+    plan_has,
+    pushed_filters,
+    read_schema_columns,
+)
+from quantms_utils_spark.queries.core import (
+    pricing_summary,
+    projection_filter_pushdown,
+    range_join_features,
+    star_join_revenue,
+    topk_orders,
+    validated_m1_join_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_projection_and_filter_reach_scan(spark):
+    df = projection_filter_pushdown(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_linenumber" in pushed  # IN-filter pushed to parquet
+    assert "l_quantity" in pushed
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found in plan"
+    # column pruning: the 11-column lineitem scan reads only the 3 needed
+    assert sorted(schemas[0]) == ["l_linenumber", "l_orderkey", "l_quantity"]
+
+
+def test_pricing_summary_scan_pruned_and_partial_agg(spark):
+    df = pricing_summary(spark, SF)
+    schemas = read_schema_columns(df)
+    assert schemas and len(schemas[0]) <= 7  # 7 of 11 columns needed
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    # map-side combine before the exchange
+    assert plan_has(df, "partial_", "HashAggregate")
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = explain_str(star_join_revenue(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_validated_join_is_broadcast(spark):
+    plan = explain_str(validated_m1_join_agg(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_not_nested_loop(spark):
+    """The binned range join must be an equi-join on (user_id, bin) with a
+    residual predicate — never BroadcastNestedLoopJoin (which is O(n*m) and
+    dies at scale)."""
+    plan = explain_str(range_join_features(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = explain_str(topk_orders(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    """Under AQE the codegen annotation only appears per-stage at runtime, so
+    inspect the statically-planned version: every operator between scan and
+    exchange must sit inside a WholeStageCodegen span (no Python/UDF break)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(pricing_summary(spark, SF), "codegen")
+        assert "WholeStageCodegen" in plan
+        assert "Found 0 WholeStageCodegen" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

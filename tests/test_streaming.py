@@ -1,0 +1,99 @@
+"""Structured Streaming tests: file-source micro-batches with watermarked
+windows, checked against the identical batch computation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.streaming import (
+    hourly_event_aggregate,
+    read_event_stream,
+    stream_quality_filter,
+)
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    """Three micro-batch files of JSON events across three hours."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = []
+    for hour in range(3):
+        batch = [
+            {
+                "event_id": hour * 100 + i,
+                "ts": f"2024-01-01T{hour:02d}:{i % 60:02d}:00.000Z",
+                "user_id": i % 5,
+                "event_type": "purchase" if i % 2 == 0 else "view",
+                "value": float(10 * (i + 1)),
+                "props": json.dumps({"k": i}),
+            }
+            for i in range(10)
+        ]
+        (src / f"batch_{hour}.json").write_text(
+            "\n".join(json.dumps(r) for r in batch)
+        )
+        rows.extend(batch)
+    return str(src), rows
+
+
+def _run_stream_to_memory(df, name):
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not df.isStreaming or True else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query
+
+
+def test_streaming_hourly_agg_matches_batch(spark, event_files):
+    path, _ = event_files
+    stream = read_event_stream(spark, path)
+    assert stream.isStreaming
+
+    agg = hourly_event_aggregate(stream)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM hourly_agg").collect()
+    }
+
+    batch = spark.read.schema(stream.schema).json(path)
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_aggregate(batch).collect()
+    }
+    assert got == expected
+    assert len(got) == 6  # 3 hours × 2 event types
+
+
+def test_stream_quality_filter(spark, event_files):
+    path, rows = event_files
+    stream = stream_quality_filter(read_event_stream(spark, path), min_value=50.0)
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("filtered")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = spark.sql("SELECT * FROM filtered").collect()
+    expected_n = sum(1 for r in rows if r["value"] > 50.0)
+    assert len(got) == expected_n
+    assert all(r["k"] is not None for r in got)
