@@ -46,6 +46,9 @@ def word_shingles(
     )
 
 
+HASHES_PER_SEED = 4  # four 8-hex-char (32-bit) minhashes carved per md5
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -55,16 +58,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash signature columns ``sig_0..sig_{k-1}`` per document.
 
-    Hash family: ``md5(seed || '|' || shingle)`` — deterministic, seedable,
-    and reproducible in any engine with md5 (which is what lets the DuckDB
-    oracle verify the full pipeline rather than a mock).
+    Hash family: each seeded ``md5(seed || '|' || shingle)`` yields FOUR
+    independent 32-bit minhashes (its four disjoint 8-hex-char windows), so k
+    hashes cost ceil(k/4) md5 evaluations per shingle instead of k — md5 is
+    the dominant map-side cost of the whole pipeline. The seeded digests are
+    projected once before the aggregate so codegen computes each exactly once.
+    Deterministic and reproducible in any engine with md5/substr, which is
+    what lets the DuckDB oracle verify the full pipeline rather than a mock.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
+    n_seeds = -(-n_hashes // HASHES_PER_SEED)
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min(
+            F.substring(
+                F.col(f"h{j // HASHES_PER_SEED}"), (j % HASHES_PER_SEED) * 8 + 1, 8
+            )
+        ).alias(f"sig_{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -74,10 +93,18 @@ def lsh_candidate_pairs(
 
     Bands are generated in ONE pass with posexplode (an array of band hashes
     per row) instead of an n_bands-way union — a union would re-evaluate the
-    whole upstream shingle→signature pipeline once per band. The banded frame
-    is persisted before the self-join for the same reason: both join sides
-    reference it. At cluster scale this persist is the signature checkpoint
-    every LSH dedup pipeline materializes anyway.
+    whole upstream shingle→signature pipeline once per band. Pairing is a
+    single groupBy(band, bucket) + in-bucket pair explosion rather than a
+    bucket self-join: one shuffle of the banded rows instead of two (a
+    self-join shuffles the same data for both sides) and no persist/
+    checkpoint of the signature pipeline. Bucket members are sorted, so
+    emitted pairs already satisfy doc_a < doc_b; the final distinct collapses
+    pairs that collide in several bands.
+
+    Skew: a pathological hot bucket (k documents) emits k·(k-1)/2 pairs from
+    one group — the classic LSH hot-bucket problem. The fix at scale is more
+    rows per band (smaller buckets), not a skew-join hint, because the blowup
+    is in the *output* cardinality, not the shuffle.
     """
     n_bands = n_hashes // band_size
     band_hashes = F.array(
@@ -90,15 +117,25 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
-    ).persist()
-    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    buckets = (
+        sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

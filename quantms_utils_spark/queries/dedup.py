@@ -89,8 +89,11 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql_columns() -> str:
+    # Mirrors operators.dedup.minhash_signatures: four 32-bit minhashes carved
+    # from each seeded md5 (disjoint 8-hex-char windows).
     return ",\n  ".join(
-        f"min(md5('{j}|' || shingle)) AS sig_{j}" for j in range(N_HASHES)
+        f"min(substr(md5('{j // 4}|' || shingle), {(j % 4) * 8 + 1}, 8)) AS sig_{j}"
+        for j in range(N_HASHES)
     )
 
 
