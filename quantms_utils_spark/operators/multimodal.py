@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -41,7 +42,26 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_channels", IntegerType(), True),
-        StructField("mean_luma", StringType(), True),
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("ts_s", DoubleType(), True),
+        StructField("frame_digest", StringType(), True),
     ]
 )
 
@@ -67,17 +87,19 @@ def attach_payload_metadata(
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
     """Deterministic fake decode: dimensions derived from the content digest.
 
     Stands in for PIL decoding when the library is absent; the Spark-side
-    batch shape and schema are identical to the real path.
+    batch shape and schema are identical to the real path. Every derived
+    value is a pure function of sha256 bytes, so a SQL oracle can reproduce
+    it (hex-window parse) and verify the whole mapInPandas pipeline.
     """
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     channels = 3
-    mean_luma = f"{digest[2] / 255.0:.4f}"
+    mean_luma = round(digest[2] / 255.0, 4)
     return width, height, channels, mean_luma
 
 
@@ -104,7 +126,9 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
                     img = PIL.Image.open(io.BytesIO(payload))
                     w, h = img.size
                     c = len(img.getbands())
-                    luma = f"{sum(img.convert('L').getdata()) / (255.0 * w * h):.4f}"
+                    luma = round(
+                        sum(img.convert("L").getdata()) / (255.0 * w * h), 4
+                    )
                 rows.append((media_id, w, h, c, luma))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_channels", "mean_luma"]
@@ -112,4 +136,102 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+try:  # pragma: no cover - environment-dependent
+    import soundfile  # noqa: F401
+
+    HAVE_SOUNDFILE = True
+except Exception:  # pragma: no cover
+    HAVE_SOUNDFILE = False
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
+    """Deterministic fake audio decode: rate/length/energy from the digest +
+    byte length — sha256-derivable, so SQL-oracle-reproducible."""
+    digest = hashlib.sha256(payload).digest()
+    sample_rate = 8000 * (1 + digest[0] % 5)  # 8/16/24/32/40 kHz
+    n_samples = len(payload) * 256 + digest[1]
+    # Exact IEEE division, deliberately unrounded: int/int division of the
+    # same operands is bit-identical in any engine, while decimal rounding of
+    # a half-tie is not.
+    duration_s = n_samples / sample_rate
+    rms = round(digest[2] / 255.0, 4)
+    return sample_rate, n_samples, duration_s, rms
+
+
+def extract_audio_features(
+    media: DataFrame, decode_stub: bool | None = None
+) -> DataFrame:
+    """Audio feature extraction (sample rate, length, duration, RMS energy)
+    over an opaque payload column — same Arrow-batched mapInPandas contract as
+    the image path; the soundfile-backed branch activates when the library is
+    present, otherwise the deterministic stub keeps the pipeline end-to-end
+    testable."""
+    use_stub = decode_stub if decode_stub is not None else not HAVE_SOUNDFILE
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None))
+                    continue
+                payload = bytes(payload)
+                if use_stub:
+                    sr, n, dur, rms = _decode_audio_stub(payload)
+                else:  # pragma: no cover - needs soundfile + real audio
+                    data, sr = soundfile.read(io.BytesIO(payload))
+                    n = int(data.shape[0])
+                    dur = n / sr
+                    rms = round(float((data**2).mean() ** 0.5), 4)
+                rows.append((media_id, sr, n, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_s", "rms"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAME_STRIDE_S = 0.5
+
+
+def sample_video_frames(media: DataFrame, decode_stub: bool | None = None) -> DataFrame:
+    """Frame sampling: one video payload → N frame rows (UDTF-shaped fan-out
+    inside mapInPandas, so output batches are decoupled from input batches —
+    the same contract a real ffmpeg/PyAV keyframe sampler needs). The stub
+    samples ``1 + digest[3] % 4`` frames at a fixed stride; each frame carries
+    a content-derived digest standing in for the decoded frame tensor."""
+    use_stub = decode_stub if decode_stub is not None else True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if not use_stub:  # pragma: no cover - needs a video decoder
+                    raise NotImplementedError(
+                        "real video decoding requires PyAV/ffmpeg, absent here"
+                    )
+                digest = hashlib.sha256(payload).digest()
+                n_frames = 1 + digest[3] % 4
+                for i in range(n_frames):
+                    frame_digest = hashlib.sha256(
+                        payload + b":" + str(i).encode()
+                    ).hexdigest()
+                    rows.append((media_id, i, round(i * FRAME_STRIDE_S, 2), frame_digest))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_s", "frame_digest"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAMES_SCHEMA
     )

@@ -36,6 +36,44 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold within coarse blocks.
+
+    The block column (cluster/label/IVF-centroid assignment) turns the O(n²)
+    all-pairs space into Σ b² per block — the same blocking idea as LSH
+    banding, but in embedding space. Vectors are L2-normalized ONCE before the
+    self-join so per-pair work is a single dot product; the join shuffles both
+    sides by block, so block-size balance (not corpus size) bounds task cost.
+    Output pairs satisfy id_a < id_b.
+    """
+    unit = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: x / l2_norm(_to_double(F.col(vec_col))),
+    )
+    normed = df.select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id"), unit.alias("u")
+    )
+    a = normed.select(
+        F.col("block"), F.col("id").alias("id_a"), F.col("u").alias("ua")
+    )
+    b = normed.select(
+        F.col("block"), F.col("id").alias("id_b"), F.col("u").alias("ub")
+    )
+    cos = dot(F.col("ua"), F.col("ub"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+    )
+
+
 def ann_bruteforce(
     vectors: DataFrame,
     query: DataFrame,

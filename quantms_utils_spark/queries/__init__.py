@@ -13,12 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quantms_utils_spark.queries import core, dedup, similarity, textops
+from quantms_utils_spark.queries import core, dedup, relational, similarity, textops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, similarity, textops):
+for _mod in (core, dedup, relational, similarity, textops):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")

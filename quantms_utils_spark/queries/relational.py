@@ -1,0 +1,251 @@
+"""Relational-breadth queries: semi/having joins, multi-way star chains,
+grouping sets, and range-frame windows over the synthetic TPC-H-ish tables.
+
+The reference's join surface stops at broadcast-size equi-joins
+(diann/diann2msstats.py:117 and friends, see SURVEY §2.3); an engine a
+reference user migrates onto also needs the standard analytic join/agg
+shapes.  Each query here is the canonical Spark plan for one of them:
+
+- semi-join (EXISTS) that never materializes the probe side's payload,
+- a 6-table join chain where dimension order + broadcast choice decide the
+  shuffle count,
+- HAVING-over-fact pre-aggregation feeding a top-k,
+- ROLLUP grouping sets computed in one shuffle (Expand, not a union of
+  re-scans),
+- a RANGE-frame sliding window (event-time seconds, not row counts).
+
+Scale notes per query in the docstrings; all are single-digit-shuffle plans
+whose only size-sensitive knob is the fact-table shuffle partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from quantms_utils_spark.tables import load
+
+
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: count orders per priority having at least one
+    late-shipped lineitem. LEFT SEMI keeps exactly the orders columns — the
+    lineitem side never reaches the aggregate, so the post-join shuffle
+    carries (priority) only. The non-equi part of the predicate
+    (l_shipdate > o_orderdate) rides on the equi hash join as a residual
+    filter, not a BNLJ."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped 6-table chain: local-supplier revenue per ASIA nation.
+    Catalyst folds the region filter through nation before the fact join
+    (predicate transitivity), and nation/region/supplier broadcast — the only
+    shuffles are lineitem⋈orders⋈customer. The c_nationkey = s_nationkey
+    equality is the classic "local supplier" residual on the join."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped returned-revenue ranking: filter the fact FIRST
+    (l_returnflag = 'R' reaches the parquet scan as a pushed filter), join the
+    surviving ~25% against orders/customer, aggregate per customer, top-20 via
+    TakeOrderedAndProject (per-partition heaps — no global sort shuffle)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING: orders whose total quantity exceeds 300. The fact
+    pre-aggregates to (orderkey, qty) BEFORE touching orders/customer — the
+    expensive shuffle happens on the narrow two-column frame, and the
+    survivors (≪1%) drive broadcast-joinable lookups of the dimensions."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (returnflag, linestatus): subtotals and the
+    grand total in ONE pass — Spark plans this as an Expand (each input row
+    emitted once per grouping set) feeding a single hash aggregate, not three
+    scans unioned. grouping_id() disambiguates the NULL-as-subtotal rows."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows,
+       grouping_id(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user 1-hour trailing average of `value`.
+    A RANGE frame over epoch seconds — unlike a ROWS frame, the window's
+    extent is data-dependent, which is what a rate/usage monitor needs.
+    One shuffle (hash by user), sort within partitions; epoch is truncated to
+    whole seconds on BOTH engines so frame boundaries agree."""
+    e = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+MOVING_AVG_RANGE_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ), 4) AS avg_1h
+FROM events
+"""
+
+
+QUERIES = {
+    "order_priority_semi": (order_priority_semi, ORDER_PRIORITY_SEMI_SQL),
+    "regional_revenue": (regional_revenue, REGIONAL_REVENUE_SQL),
+    "returned_items_topk": (returned_items_topk, RETURNED_ITEMS_SQL),
+    "big_orders_having": (big_orders_having, BIG_ORDERS_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
+    "moving_avg_range": (moving_avg_range, MOVING_AVG_RANGE_SQL),
+}

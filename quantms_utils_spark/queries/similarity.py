@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
-from quantms_utils_spark.operators.similarity import ann_bruteforce, cosine_sim
+from quantms_utils_spark.operators.similarity import (
+    ann_bruteforce,
+    cosine_pairs_blocked,
+    cosine_sim,
+)
 from quantms_utils_spark.tables import load
 
 
@@ -85,8 +89,35 @@ FROM embeddings GROUP BY label
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4), blocked by the coarse
+    `label` partition — the embedding-space sibling of MinHash-LSH dedup.
+    Normalization happens once per vector before the block self-join."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    return pairs.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("cos_raw", 4).alias("cos_sim"),
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
 }

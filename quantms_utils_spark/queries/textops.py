@@ -156,10 +156,95 @@ FROM documents
 """
 
 
+def _media(spark: SparkSession, sf_dir: str):
+    """documents.text as a stand-in binary payload with standard metadata."""
+    from quantms_utils_spark.operators.multimodal import attach_payload_metadata
+
+    d = load(spark, sf_dir, "documents")
+    return attach_payload_metadata(
+        d.withColumn("payload_src", F.encode(F.col("text"), "UTF-8")),
+        payload_col="payload_src",
+        id_col="doc_id",
+        media_type="image/fake",
+    )
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract over opaque payloads via Arrow-batched
+    mapInPandas (operators.multimodal.extract_image_features). The stub
+    decode is a pure function of the sha256 digest, so the oracle reproduces
+    the WHOLE UDF pipeline — schema, batching, and values — in SQL."""
+    from quantms_utils_spark.operators.multimodal import extract_image_features
+
+    return extract_image_features(_media(spark, sf_dir), decode_stub=True)
+
+
+MULTIMODAL_IMAGE_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       64 + (('0x' || substr(sha256(text), 1, 2))::INT % 192) AS width,
+       64 + (('0x' || substr(sha256(text), 3, 2))::INT % 192) AS height,
+       3 AS n_channels,
+       round(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 4) AS mean_luma
+FROM documents
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (rate / length / duration / RMS) over opaque
+    payloads — same mapInPandas contract, digest-derived stub kernel."""
+    from quantms_utils_spark.operators.multimodal import extract_audio_features
+
+    return extract_audio_features(_media(spark, sf_dir), decode_stub=True)
+
+
+MULTIMODAL_AUDIO_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       8000 * (1 + ('0x' || substr(sha256(text), 1, 2))::INT % 5) AS sample_rate,
+       CAST(strlen(text) * 256 + ('0x' || substr(sha256(text), 3, 2))::INT AS BIGINT)
+         AS n_samples,
+       (strlen(text) * 256 + ('0x' || substr(sha256(text), 3, 2))::INT)
+         / (8000 * (1 + ('0x' || substr(sha256(text), 1, 2))::INT % 5))
+         AS duration_s,
+       round(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 4) AS rms
+FROM documents
+"""
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload → N frame rows (UDTF-shaped fan-out in
+    mapInPandas); frame count and per-frame digests are digest-derived, so the
+    row-multiplying UDF is still fully oracle-checked."""
+    from quantms_utils_spark.operators.multimodal import sample_video_frames
+
+    return sample_video_frames(_media(spark, sf_dir), decode_stub=True)
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       round(i * CAST(0.5 AS DOUBLE), 2) AS ts_s,
+       sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_digest
+FROM documents,
+     UNNEST(generate_series(0, ('0x' || substr(sha256(text), 7, 2))::INT % 4)) AS t(i)
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id_predict, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
+    "multimodal_image_features": (
+        multimodal_image_features,
+        MULTIMODAL_IMAGE_FEATURES_SQL,
+    ),
+    "multimodal_audio_features": (
+        multimodal_audio_features,
+        MULTIMODAL_AUDIO_FEATURES_SQL,
+    ),
+    "multimodal_video_frames": (
+        multimodal_video_frames,
+        MULTIMODAL_VIDEO_FRAMES_SQL,
+    ),
 }
