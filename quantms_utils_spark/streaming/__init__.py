@@ -1,7 +1,13 @@
 from quantms_utils_spark.streaming.events import (
     hourly_event_aggregate,
     read_event_stream,
+    sessionize_stateful,
     stream_quality_filter,
 )
 
-__all__ = ["hourly_event_aggregate", "read_event_stream", "stream_quality_filter"]
+__all__ = [
+    "hourly_event_aggregate",
+    "read_event_stream",
+    "sessionize_stateful",
+    "stream_quality_filter",
+]

@@ -68,6 +68,126 @@ def hourly_event_aggregate(
     )
 
 
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType(), True),  # epoch µs
+        StructField("last_ts", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState``.
+
+    State per user is the one OPEN session (start, last-seen, counters). Each
+    micro-batch folds its events into the state in event-time order, emitting
+    a row whenever a gap > ``gap_seconds`` closes a session; the trailing
+    open session survives in the state store and is flushed by event-time
+    timeout once the watermark passes it. This is the operator Spark's
+    built-in windowing cannot express (data-driven window extents) — the
+    batch twin is queries/core.py:sessionize (lag + cumulative flag-sum).
+
+    Scale: state is O(active users), shuffled once by user_id; per-batch work
+    is Arrow-batched pandas, not per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                        "total_value": [total],
+                    }
+                )
+            return
+
+        ts_list, val_list = [], []
+        for pdf in pdf_iter:
+            ts_list.append(pdf["ts"])
+            val_list.append(pdf["value"])
+        ts = pd.concat(ts_list)
+        vals = pd.concat(val_list)
+        order = ts.argsort(kind="stable")
+        # Normalize to µs regardless of the incoming datetime64 resolution
+        # (Arrow hands pandas 2 datetime64[us]; plain int64-cast would be
+        # resolution-dependent).
+        ts_us = ts.astype("datetime64[us]").astype("int64").to_numpy()[order]
+        vals = vals.to_numpy()[order]
+
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if start is None:
+                start, last, n, total = t, t, 1, float(v)
+            elif t - last > gap_us:
+                closed.append((start, last, n, total))
+                start, last, n, total = t, t, 1, float(v)
+            else:
+                last = max(last, t)
+                n += 1
+                total += float(v)
+
+        state.update((int(start), int(last), int(n), float(total)))
+        # Flush the open session once event time passes its gap deadline.
+        state.setTimeoutTimestamp(int(last) // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                    "n_events": [c for *_, c, _ in closed],
+                    "total_value": [v for *_, v in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_quality_filter(events: DataFrame, min_value: float = 0.0) -> DataFrame:
     """Stateless streaming filter + projection (the shape of a streaming
     ingest-cleaning stage); fully pushes down to the source scan in batch."""

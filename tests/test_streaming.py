@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from quantms_utils_spark.streaming import (
     hourly_event_aggregate,
     read_event_stream,
+    sessionize_stateful,
     stream_quality_filter,
 )
 
@@ -79,6 +80,44 @@ def test_streaming_hourly_agg_matches_batch(spark, event_files):
     }
     assert got == expected
     assert len(got) == 6  # 3 hours × 2 event types
+
+
+def test_sessionize_stateful(spark, event_files):
+    """applyInPandasWithState gap-sessionizer: three hourly micro-batch files,
+    30-min gap → each user's hour-0 and hour-1 sessions close when the next
+    hour's batch arrives; hour-2 sessions stay open in state (watermark never
+    passes their timeout within the test data)."""
+    path, rows = event_files
+    stream = read_event_stream(spark, path)
+    sessions = sessionize_stateful(stream, gap_seconds=1800)
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    )
+    # Expected: per user (0..4), one closed session per hour 0 and 1:
+    # events at minutes u and u+5 → n_events=2, value 10*(u+1) + 10*(u+6).
+    expected = sorted(
+        (
+            u,
+            f"2024-01-01 {h:02d}:{u:02d}:00",
+            f"2024-01-01 {h:02d}:{u + 5:02d}:00",
+            2,
+            float(10 * (u + 1) + 10 * (u + 6)),
+        )
+        for u in range(5)
+        for h in range(2)
+    )
+    assert got == expected
 
 
 def test_stream_quality_filter(spark, event_files):
