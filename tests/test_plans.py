@@ -70,6 +70,70 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_semi_join_no_nested_loop(spark):
+    """EXISTS with a non-equi residual must ride the equi hash join — a
+    BNLJ here is O(orders × lineitem) and dies at scale."""
+    from quantms_utils_spark.queries.relational import order_priority_semi
+
+    plan = explain_str(order_priority_semi(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join LeftSemi" in explain_str(
+        order_priority_semi(spark, SF), "extended"
+    ) or "left_semi" in plan.lower() or "LeftSemi" in plan
+
+
+def test_returned_items_filter_pushed_and_topk(spark):
+    from quantms_utils_spark.queries.relational import returned_items_topk
+
+    df = returned_items_topk(spark, SF)
+    assert "l_returnflag" in " ".join(pushed_filters(df))
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_big_orders_preaggregates_narrow(spark):
+    """The fact pre-aggregation must read only (l_orderkey, l_quantity) —
+    the shuffle carries two columns, not eleven."""
+    from quantms_utils_spark.queries.relational import big_orders_having
+
+    df = big_orders_having(spark, SF)
+    schemas = read_schema_columns(df)
+    assert ["l_orderkey", "l_quantity"] in [sorted(s) for s in schemas]
+    assert plan_has(df, "partial_", "HashAggregate")
+
+
+def test_rollup_is_single_pass_expand(spark):
+    """ROLLUP must plan as one Expand + aggregate, not unioned re-scans."""
+    from quantms_utils_spark.queries.relational import rollup_revenue
+
+    plan = explain_str(rollup_revenue(spark, SF), "simple")
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_embedding_cosine_pairs_blocked_join(spark):
+    """The near-dup self-join must be an equi-join on the block column —
+    never an all-pairs cartesian."""
+    from quantms_utils_spark.queries.similarity import dedup_embedding_cosine
+
+    plan = explain_str(dedup_embedding_cosine(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pairs_single_aggregate_no_join(spark):
+    """The restructured LSH pairing is groupBy + in-bucket explosion: no join
+    operator at all, and exactly one exchange feeds the bucket aggregate
+    (plus one for the final distinct)."""
+    from quantms_utils_spark.queries.dedup import minhash_lsh_pairs
+
+    plan = explain_str(minhash_lsh_pairs(spark, SF), "simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_active(spark):
     """Under AQE the codegen annotation only appears per-stage at runtime, so
     inspect the statically-planned version: every operator between scan and
