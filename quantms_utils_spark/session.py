@@ -46,6 +46,9 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "256m",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Let Python DataSources (sources/mzml_datasource.py) receive pushed
+        # filters via pushFilters().
+        "spark.sql.python.filterPushdown.enabled": "true",
         # Dimension tables in this domain (designs, Unimod, enzyme maps) are
         # tiny; keep auto-broadcast generous.
         "spark.sql.autoBroadcastJoinThreshold": "64m",

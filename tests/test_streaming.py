@@ -82,27 +82,52 @@ def test_streaming_hourly_agg_matches_batch(spark, event_files):
     assert len(got) == 6  # 3 hours × 2 event types
 
 
-def test_sessionize_stateful(spark, event_files):
-    """applyInPandasWithState gap-sessionizer: three hourly micro-batch files,
-    30-min gap → each user's hour-0 and hour-1 sessions close when the next
-    hour's batch arrives; hour-2 sessions stay open in state (watermark never
-    passes their timeout within the test data)."""
-    path, rows = event_files
-    stream = read_event_stream(spark, path)
-    sessions = sessionize_stateful(stream, gap_seconds=1800)
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName("sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    query.stop()
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap-sessionizer: three hourly batches delivered
+    IN ORDER (one query restart per file against the same checkpoint, so the
+    state store carries over), 30-min gap → each user's hour-0 and hour-1
+    sessions close when the next hour's batch arrives; hour-2 sessions stay
+    open in state (watermark never passes their timeout in the test data)."""
+    import json as _json
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    for hour in range(3):
+        batch = [
+            {
+                "event_id": hour * 100 + i,
+                "ts": f"2024-01-01T{hour:02d}:{i % 60:02d}:00.000Z",
+                "user_id": i % 5,
+                "event_type": "purchase" if i % 2 == 0 else "view",
+                "value": float(10 * (i + 1)),
+                "props": _json.dumps({"k": i}),
+            }
+            for i in range(10)
+        ]
+        (src / f"batch_{hour}.json").write_text(
+            "\n".join(_json.dumps(r) for r in batch)
+        )
+        stream = read_event_stream(spark, str(src))
+        sessions = sessionize_stateful(stream, gap_seconds=1800)
+        query = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        query.stop()
+
     got = sorted(
         (r["user_id"], str(r["session_start"]), str(r["session_end"]),
          r["n_events"], r["total_value"])
-        for r in spark.sql("SELECT * FROM sessions").collect()
+        for r in collected
     )
     # Expected: per user (0..4), one closed session per hour 0 and 1:
     # events at minutes u and u+5 → n_events=2, value 10*(u+1) + 10*(u+6).
