@@ -41,6 +41,11 @@ HEADLINE = [
     ("q_ann", "ann_bruteforce_topk"),
     ("q_text_quality", "text_quality_scores"),
     ("q_token_counts", "text_token_counts"),
+    ("q_semi", "order_priority_semi"),
+    ("q_regional", "regional_revenue"),
+    ("q_rollup", "rollup_revenue"),
+    ("q_embed_cosine", "dedup_embedding_cosine"),
+    ("q_video_frames", "multimodal_video_frames"),
 ]
 
 
@@ -69,6 +74,11 @@ def main() -> None:
         # canonicalized plans, so the timed run would silently reuse it and
         # measure only the post-cache stages).
         spark.catalog.clearCache()
+        # Collect the previous queries' garbage (broadcasts, arrow batches)
+        # OUTSIDE the timed region — measured: a heavy query right after the
+        # suite's accumulated garbage pays a 2-3x major-GC penalty that is
+        # allocation history, not plan cost.
+        spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[key] = round(time.perf_counter() - start, 3)

@@ -13,8 +13,10 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import DoubleType
 
 
 def _to_double(arr: Column) -> Column:
@@ -42,36 +44,81 @@ def cosine_pairs_blocked(
     vec_col: str,
     block_col: str,
     threshold: float,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold within coarse blocks.
 
     The block column (cluster/label/IVF-centroid assignment) turns the O(n²)
     all-pairs space into Σ b² per block — the same blocking idea as LSH
     banding, but in embedding space. Vectors are L2-normalized ONCE before the
-    self-join so per-pair work is a single dot product; the join shuffles both
-    sides by block, so block-size balance (not corpus size) bounds task cost.
-    Output pairs satisfy id_a < id_b.
+    self-join so per-pair work is a single dot product.
+
+    Parallelism is pair-TILED, not just blocked: a plain self-join on the
+    block column puts each block's entire b² pairing into one task — block
+    count caps parallelism and hot blocks straggle. Instead the right side is
+    hashed into one of ``n_buckets`` deterministic buckets and the left side
+    is replicated across all buckets, so each (block, bucket) tile pairs
+    independently: parallelism = blocks × n_buckets, each pair produced
+    exactly once, no distinct needed. Cost: left side replicated ×n_buckets
+    through the shuffle — the usual replicate-vs-straggle trade, tunable per
+    corpus. Output pairs satisfy id_a < id_b.
     """
-    unit = F.transform(
-        _to_double(F.col(vec_col)),
-        lambda x: x / l2_norm(_to_double(F.col(vec_col))),
+    # Two-step normalization: materialize the norm as a column FIRST, then
+    # divide. Referencing l2_norm(...) inside the transform lambda would
+    # re-evaluate the whole O(d) fold per element — O(d²) per vector.
+    vec_d = _to_double(F.col(vec_col))
+    with_norm = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        vec_d.alias("v"),
+        l2_norm(vec_d).alias("nrm"),
     )
-    normed = df.select(
-        F.col(block_col).alias("block"), F.col(id_col).alias("id"), unit.alias("u")
+    normed = with_norm.select(
+        "block",
+        "id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
     )
     a = normed.select(
         F.col("block"), F.col("id").alias("id_a"), F.col("u").alias("ua")
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
     )
     b = normed.select(
-        F.col("block"), F.col("id").alias("id_b"), F.col("u").alias("ub")
+        F.col("block"),
+        F.col("id").alias("id_b"),
+        F.col("u").alias("ub"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
-    cos = dot(F.col("ua"), F.col("ub"))
+    # Explicit repartition on the tile key: with a broadcast-size right side
+    # the join would otherwise inherit the left scan's partitioning (often 1
+    # for a small file) and serialize every tile into one task.
+    a = a.repartition(F.col("block"), F.col("bucket"))
+    # Per-pair scoring is the hot loop (Σ block² pairs): Catalyst higher-order
+    # functions interpret the fold lambda per element, so a d-dim dot over
+    # millions of pairs is millions×d interpreted steps. The Arrow-batched
+    # numpy einsum does the same arithmetic vectorized.
     return (
-        a.join(b, "block")
+        a.join(b, ["block", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .select(
+            "id_a", "id_b", _batch_dot(F.col("ua"), F.col("ub")).alias("cos_raw")
+        )
         .filter(F.col("cos_raw") >= threshold)
     )
+
+
+@F.pandas_udf(DoubleType())
+def _batch_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized dot product over two array<double> columns (equal length
+    per row). Arrow hands each batch as object Series of numpy arrays."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def ann_bruteforce(

@@ -1,0 +1,71 @@
+"""Skew-handling operators: hot-key detection and salted joins.
+
+AQE's skew-join splitting (enabled in session.py) already rescues sort-merge
+joins whose *partitions* are oversized, but it cannot help when a single join
+KEY is hot — all of that key's rows still meet in one task. The classic fix
+is salting: spread the big side's hot keys across N sub-keys and replicate
+the matching small-side rows N times, so the hot key's work lands on N tasks.
+
+These helpers keep the decision explicit and measurable:
+
+- ``hot_keys``      — one aggregate pass returning keys whose row count
+                      exceeds a threshold (run it on a sample at 100 TB).
+- ``salted_join``   — equi-join with the big side salted uniformly at random
+                      and the small side exploded across all salts. Result is
+                      row-identical to the plain join (verified in tests);
+                      cost is small-side replication ×N, which is the right
+                      trade whenever small × N ≪ big's hot-key mass.
+
+Only the *small* side is replicated, and the salt column is dropped before
+returning — callers see plain join semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hot_keys(
+    df: DataFrame, keys: Sequence[str], min_count: int, top: int = 100
+) -> DataFrame:
+    """Keys with at least ``min_count`` rows, heaviest first — the diagnostic
+    run before choosing a salting factor. Single partial+final aggregate; at
+    corpus scale point it at a ``.sample()`` and scale min_count down."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int | None = 42,
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the big side salted into
+    ``n_salts`` sub-keys.
+
+    The big side gets a uniform random salt (row-independent, so the hot
+    key's rows scatter across ``n_salts`` shuffle partitions); the small side
+    is cross-joined with the 0..n_salts-1 range so every (key, salt) probe
+    finds its match. Supports 'inner' and 'left' (the salted small side stays
+    complete, so left semantics survive).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.rand(seed) * n_salts).cast("int") if seed is not None else (
+        F.rand() * n_salts
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    small_s = small.select("*", salts)
+    joined = big_s.join(small_s, [*on, "_salt"], how)
+    return joined.drop("_salt")

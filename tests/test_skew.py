@@ -1,0 +1,61 @@
+"""Skew operators: salted join must be row-identical to the plain join, and
+hot-key detection must rank by frequency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.operators.skew import hot_keys, salted_join
+from quantms_utils_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    l = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    return l, o
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_inner_join_matches_plain(tables):
+    l, o = tables
+    plain = l.join(o, l.l_orderkey == o.o_orderkey)
+    salted = salted_join(
+        l, o.withColumnRenamed("o_orderkey", "l_orderkey"), on=["l_orderkey"]
+    )
+    assert _rows(salted) == _rows(
+        plain.select("l_orderkey", "l_quantity", "o_orderkey", "o_orderpriority")
+        .drop("o_orderkey")
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+    )
+
+
+def test_salted_left_join_matches_plain(spark, tables):
+    l, o = tables
+    # restrict the small side so some big-side rows miss
+    o_half = o.filter(F.col("o_orderkey") % 2 == 0).withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = l.join(o_half, "l_orderkey", "left")
+    salted = salted_join(l, o_half, on=["l_orderkey"], how="left")
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_join_rejects_unsupported_how(tables):
+    l, o = tables
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(l, o, on=["l_orderkey"], how="full")
+
+
+def test_hot_keys_ranking(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 2, schema="k string"
+    )
+    got = [(r["k"], r["n_rows"]) for r in hot_keys(df, ["k"], min_count=5).collect()]
+    assert got == [("a", 50), ("b", 10)]
