@@ -89,6 +89,86 @@ FROM embeddings GROUP BY label
 """
 
 
+def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Fixed random hyperplanes (seeded, rounded so the SQL literal and the
+    Spark literal are the same numbers)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [[round(float(x), 6) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_expr(emb: F.Column) -> F.Column:
+    """Sign-bit bucket id from the fixed hyperplanes (random-hyperplane LSH:
+    nearby vectors agree on most sign bits, so same-bucket is a high-recall
+    candidate filter)."""
+    emb_d = F.transform(emb, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for j, plane in enumerate(_PLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dot_j = F.aggregate(
+            F.zip_with(emb_d, lit_plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path next to the IVF/label probe): bucket
+    every vector by 4 random-hyperplane sign bits (16 buckets), score only the
+    query's bucket, exact cosine top-10 within it. At 100 TB the bucket id is
+    a partition/cluster key, so the probe prunes ~15/16 of the corpus at scan
+    time; recall is tuned by adding planes/probing neighbor buckets."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr(F.col("embedding"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    candidates = e.join(broadcast(q), e.bucket == q.q_bucket).filter(
+        F.col("vec_id") != 0
+    )
+    scored = candidates.select(
+        "vec_id", cosine_sim(F.col("embedding"), F.col("q_emb")).alias("cos_raw")
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+ANN_LSH_BUCKETED_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {_bucket_sql()} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0
+)
+SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cos_sim
+FROM b, q
+WHERE bucket = qb AND vec_id <> 0
+ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+LIMIT 10
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), blocked by the coarse
     `label` partition — the embedding-space sibling of MinHash-LSH dedup.
@@ -118,6 +198,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
 }

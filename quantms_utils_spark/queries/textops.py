@@ -229,7 +229,38 @@ FROM documents,
 """
 
 
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-stable
+    hash of the document id — the split every training-data pipeline needs:
+    reproducible across engines and runs (no RNG state), stable under
+    re-partitioning, joinable back to any derived table. The bucket is
+    md5-derived so the oracle reproduces it exactly."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+    pct = F.pmod(h.cast("long"), F.lit(100))
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", split.alias("split"), pct.cast("int").alias("pct_bucket")
+    )
+
+
+TRAIN_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(pct AS INT) AS pct_bucket
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS pct
+  FROM documents
+)
+"""
+
+
 QUERIES = {
+    "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_lang_id": (lang_id_predict, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),

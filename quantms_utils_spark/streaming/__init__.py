@@ -2,6 +2,7 @@ from quantms_utils_spark.streaming.events import (
     hourly_event_aggregate,
     read_event_stream,
     sessionize_stateful,
+    stream_dedup_events,
     stream_quality_filter,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "hourly_event_aggregate",
     "read_event_stream",
     "sessionize_stateful",
+    "stream_dedup_events",
     "stream_quality_filter",
 ]

@@ -188,6 +188,18 @@ def sessionize_stateful(
     )
 
 
+def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event dedup: duplicates arriving within the watermark
+    horizon are dropped; state is bounded by the watermark (the streaming
+    form of exact dedup — id state expires instead of growing forever). On a
+    batch frame this degrades to plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def stream_quality_filter(events: DataFrame, min_value: float = 0.0) -> DataFrame:
     """Stateless streaming filter + projection (the shape of a streaming
     ingest-cleaning stage); fully pushes down to the source scan in batch."""

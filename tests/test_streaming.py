@@ -12,6 +12,7 @@ from quantms_utils_spark.streaming import (
     hourly_event_aggregate,
     read_event_stream,
     sessionize_stateful,
+    stream_dedup_events,
     stream_quality_filter,
 )
 
@@ -143,6 +144,47 @@ def test_sessionize_stateful(spark, tmp_path):
         for h in range(2)
     )
     assert got == expected
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    """Duplicate event_ids delivered across micro-batches are emitted once;
+    watermark bounds the dedup state."""
+    import json as _json
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # two files, each containing ids 0..9 (file 2 is a full replay of file 1
+    # plus new ids 10..14)
+    for fidx, ids in enumerate([range(10), list(range(10)) + list(range(10, 15))]):
+        rows = [
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i % 60:02d}:00.000Z",
+                "user_id": i % 3,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i in ids
+        ]
+        (src / f"f{fidx}.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    deduped = stream_dedup_events(read_event_stream(spark, str(src)))
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_events").collect()]
+    assert sorted(got) == list(range(15))
+
+    # batch twin
+    batch = spark.read.schema(read_event_stream(spark, str(src)).schema).json(str(src))
+    assert stream_dedup_events(batch).count() == 15
 
 
 def test_stream_quality_filter(spark, event_files):
