@@ -20,7 +20,12 @@ def spark():
         app_name="quantms-utils-spark-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+            # keep bucketed-table test artifacts out of the repo tree
+            "spark.sql.warehouse.dir": "/tmp/quantms-spark-test-warehouse",
+        },
     )
     yield spark
     spark.stop()

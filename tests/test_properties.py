@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the scalar expression library and
+the SimHash kernel. Each property generates a BATCH of examples and evaluates
+it in one Spark job, so hypothesis explores the input space without paying
+per-example job overhead."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.functions.core import (
+    extract_scan_id,
+    file_stem,
+    mods_position,
+    normalize_ws,
+)
+from quantms_utils_spark.operators.dedup import simhash
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+RESIDUES = string.ascii_uppercase
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30))
+def test_extract_scan_id_roundtrip(spark, scan_numbers):
+    """spectrum=<n> / scan=<n> always extracts exactly <n>."""
+    rows = [(f"controllerType=0 spectrum={n}",) for n in scan_numbers] + [
+        (f"scan={n}",) for n in scan_numbers
+    ]
+    df = spark.createDataFrame(rows, "native_id string")
+    got = [r[0] for r in df.select(extract_scan_id("native_id")).collect()]
+    assert got == [str(n) for n in scan_numbers] * 2
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet=string.ascii_letters + string.digits + "_-",
+                        min_size=1, max_size=12), min_size=1, max_size=20))
+def test_file_stem_strips_one_extension(spark, stems):
+    rows = [(f"/data/{s}.mzML",) for s in stems] + [(f"{s}.d.zip",) for s in stems]
+    df = spark.createDataFrame(rows, "p string")
+    got = [r[0] for r in df.select(file_stem("p")).collect()]
+    assert got == stems * 2
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=RESIDUES, min_size=1, max_size=15),  # prefix residues
+            st.sampled_from(["Oxidation", "Carbamidomethyl", "Phospho"]),
+            st.text(alphabet=RESIDUES, min_size=0, max_size=15),  # suffix residues
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_mods_position_counts_residues(spark, cases):
+    """For PREFIX(Mod)SUFFIX the reported position is len(PREFIX)."""
+    rows = [(f"{pre}({mod}){suf}",) for pre, mod, suf in cases]
+    df = spark.createDataFrame(rows, "peptidoform string")
+    got = [r[0] for r in df.select(mods_position("peptidoform")).collect()]
+    assert got == [[f"{len(pre)}-{mod}"] for pre, mod, suf in cases]
+
+
+@SETTINGS
+@given(st.lists(words, min_size=1, max_size=25))
+def test_simhash_is_token_order_invariant(spark, tokens):
+    """SimHash sums per-token contributions, so token order cannot change the
+    fingerprint; identical text always collides."""
+    forward = " ".join(tokens)
+    backward = " ".join(reversed(tokens))
+    df = spark.createDataFrame(
+        [(forward,), (backward,), (forward,)], "text string"
+    ).select(simhash(F.col("text")).alias("h"))
+    a, b, c = [r["h"] for r in df.collect()]
+    assert a == b == c
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " \t\n",
+                        min_size=0, max_size=40), min_size=1, max_size=20))
+def test_normalize_ws_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = [r[0] for r in df.select(normalize_ws("t").alias("n")).collect()]
+    twice = [
+        r[0]
+        for r in df.select(normalize_ws(normalize_ws("t")).alias("n")).collect()
+    ]
+    assert once == twice
+    assert all("  " not in (x or "") for x in once)
