@@ -241,7 +241,72 @@ FROM events
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (view → purchase) per user: conditional min-timestamps
+    in ONE aggregate pass (no self-join) — the standard funnel shape at scale:
+    shuffle once by user, compare step times post-agg."""
+    e = load(spark, sf_dir, "events")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        first_view.alias("first_view"), first_purchase.alias("first_purchase")
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewers"),
+        F.sum(
+            F.when(
+                F.col("first_purchase") > F.col("first_view"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_converted"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+SELECT count(*) AS n_users,
+       count(first_view) AS n_viewers,
+       CAST(sum(CASE WHEN first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95) of `value` per event_type —
+    F.percentile is the exact sort-based aggregate (one shuffle); at corpus
+    scale swap in percentile_approx (t-digest sketch, mergeable map-side)
+    and the plan shape stays identical."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+    "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "order_priority_semi": (order_priority_semi, ORDER_PRIORITY_SEMI_SQL),
     "regional_revenue": (regional_revenue, REGIONAL_REVENUE_SQL),
     "returned_items_topk": (returned_items_topk, RETURNED_ITEMS_SQL),
