@@ -66,24 +66,41 @@ def minhash_signatures(
     Deterministic and reproducible in any engine with md5/substr, which is
     what lets the DuckDB oracle verify the full pipeline rather than a mock.
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    # No explode, no groupBy, NO SHUFFLE: each document's signature is a pure
+    # per-row projection — min over its shingles' hashes via
+    # array_min(transform(...)). Duplicate shingles cannot change a min, so
+    # skipping distinct is exact; the equivalent explode+group-by (what the
+    # DuckDB oracle runs) returns identical values. At 100 TB this turns the
+    # signature stage into map-only work that pipelines into the banding
+    # aggregate's single shuffle.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(shingle_n - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, shingle_n), " ")
+    )
     n_seeds = -(-n_hashes // HASHES_PER_SEED)
-    hashed = sh.select(
+    with_digests = df.filter(F.size(words) >= shingle_n).select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            F.transform(
+                grams, lambda g: F.md5(F.concat(F.lit(f"{s}|"), g))
+            ).alias(f"h{s}")
             for s in range(n_seeds)
         ],
     )
-    aggs = [
-        F.min(
-            F.substring(
-                F.col(f"h{j // HASHES_PER_SEED}"), (j % HASHES_PER_SEED) * 8 + 1, 8
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col(f"h{j // HASHES_PER_SEED}"),
+                lambda x: F.substring(x, (j % HASHES_PER_SEED) * 8 + 1, 8),
             )
         ).alias(f"sig_{j}")
         for j in range(n_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return with_digests.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
