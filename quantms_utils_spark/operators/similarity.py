@@ -44,28 +44,39 @@ def cosine_pairs_blocked(
     vec_col: str,
     block_col: str,
     threshold: float,
-    n_buckets: int = 8,
+    n_buckets: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold within coarse blocks.
 
     The block column (cluster/label/IVF-centroid assignment) turns the O(n²)
     all-pairs space into Σ b² per block — the same blocking idea as LSH
-    banding, but in embedding space. Vectors are L2-normalized ONCE before the
-    self-join so per-pair work is a single dot product.
+    banding, but in embedding space.
 
-    Parallelism is pair-TILED, not just blocked: a plain self-join on the
-    block column puts each block's entire b² pairing into one task — block
-    count caps parallelism and hot blocks straggle. Instead the right side is
-    hashed into one of ``n_buckets`` deterministic buckets and the left side
-    is replicated across all buckets, so each (block, bucket) tile pairs
-    independently: parallelism = blocks × n_buckets, each pair produced
-    exactly once, no distinct needed. Cost: left side replicated ×n_buckets
-    through the shuffle — the usual replicate-vs-straggle trade, tunable per
-    corpus. Output pairs satisfy id_a < id_b.
+    Execution shape (chosen over a pair-expanding self-join deliberately):
+
+    1. L2-normalize each vector ONCE (norm materialized as a column first —
+       referencing the norm fold inside the divide lambda would re-evaluate
+       it per element, O(d²) per vector).
+    2. Hash each row into one of ``n_buckets`` deterministic sub-buckets and
+       explode it to the ``n_buckets`` unordered tiles (min(t,b), max(t,b))
+       its bucket participates in. Every unordered pair of rows meets in
+       EXACTLY one tile, so no distinct is needed, and parallelism is
+       blocks × tiles instead of blocks — hot blocks cannot straggle.
+    3. ``applyInPandas`` per (block, tile): one numpy gemm scores the whole
+       tile. Each vector crosses the Arrow boundary once per tile it joins —
+       NOT once per pair. A join+per-pair-UDF formulation ships
+       O(pairs × 2d) doubles to Python; this ships O(rows × n_buckets × d):
+       for a 200-vector block that is ~50× less traffic, and the arithmetic
+       runs as one BLAS call instead of 40k interpreted folds.
+
+    Replication factor ``n_buckets`` through the single shuffle is the
+    tuning knob: raise it for hot blocks (smaller tiles, more tasks), lower
+    it for many small blocks. Output pairs satisfy id_a < id_b.
     """
-    # Two-step normalization: materialize the norm as a column FIRST, then
-    # divide. Referencing l2_norm(...) inside the transform lambda would
-    # re-evaluate the whole O(d) fold per element — O(d²) per vector.
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
     vec_d = _to_double(F.col(vec_col))
     with_norm = df.select(
         F.col(block_col).alias("block"),
@@ -77,48 +88,67 @@ def cosine_pairs_blocked(
         "block",
         "id",
         F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("bkt"),
     )
-    a = normed.select(
-        F.col("block"), F.col("id").alias("id_a"), F.col("u").alias("ua")
-    ).select(
-        "*",
-        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    # Tiles this row participates in: pairing its bucket with every bucket t
+    # as an unordered (ti, tj). Row in bucket b appears once per t — the pair
+    # of two rows in buckets (b1, b2) meets exactly in tile (min, max).
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda t: F.struct(
+            F.least(t, F.col("bkt")).alias("ti"),
+            F.greatest(t, F.col("bkt")).alias("tj"),
+        ),
     )
-    b = normed.select(
-        F.col("block"),
-        F.col("id").alias("id_b"),
-        F.col("u").alias("ub"),
-        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("bucket"),
+    exploded = normed.select(
+        "block", "id", "u", "bkt", F.explode(F.array_distinct(tiles)).alias("tile")
+    ).select("block", "id", "u", "bkt", F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"))
+
+    id_field = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field, True),
+            StructField("id_b", id_field, True),
+            StructField("cos_raw", DoubleType(), True),
+        ]
     )
-    # Explicit repartition on the tile key: with a broadcast-size right side
-    # the join would otherwise inherit the left scan's partitioning (often 1
-    # for a small file) and serialize every tile into one task.
-    a = a.repartition(F.col("block"), F.col("bucket"))
-    # Per-pair scoring is the hot loop (Σ block² pairs): Catalyst higher-order
-    # functions interpret the fold lambda per element, so a d-dim dot over
-    # millions of pairs is millions×d interpreted steps. The Arrow-batched
-    # numpy einsum does the same arithmetic vectorized.
-    return (
-        a.join(b, ["block", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", _batch_dot(F.col("ua"), F.col("ub")).alias("cos_raw")
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
+        if ti == tj:
+            sub = pdf[pdf["bkt"] == ti].sort_values("id")
+            if len(sub) < 2:
+                return empty
+            ids = sub["id"].to_numpy()
+            U = np.stack(sub["u"].to_numpy())
+            G = U @ U.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = G[ia, ib]
+        else:
+            a_sub = pdf[pdf["bkt"] == ti]
+            b_sub = pdf[pdf["bkt"] == tj]
+            if len(a_sub) == 0 or len(b_sub) == 0:
+                return empty
+            ids_a_all = a_sub["id"].to_numpy()
+            ids_b_all = b_sub["id"].to_numpy()
+            G = np.stack(a_sub["u"].to_numpy()) @ np.stack(b_sub["u"].to_numpy()).T
+            ia, ib = np.nonzero(np.ones_like(G, dtype=bool))
+            cos = G[ia, ib]
+            lo = np.minimum(ids_a_all[ia], ids_b_all[ib])
+            hi = np.maximum(ids_a_all[ia], ids_b_all[ib])
+            keep = cos >= threshold
+            return pd.DataFrame(
+                {"id_a": lo[keep], "id_b": hi[keep], "cos_raw": cos[keep]}
+            )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_raw": cos[keep]}
         )
-        .filter(F.col("cos_raw") >= threshold)
+
+    return exploded.groupBy("block", "ti", "tj").applyInPandas(
+        tile_pairs, schema=out_schema
     )
-
-
-@F.pandas_udf(DoubleType())
-def _batch_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Vectorized dot product over two array<double> columns (equal length
-    per row). Arrow hands each batch as object Series of numpy arrays."""
-    import numpy as np
-
-    if len(a) == 0:
-        return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    return pd.Series(np.einsum("ij,ij->i", A, B))
 
 
 def ann_bruteforce(
