@@ -226,6 +226,52 @@ def simhash(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every vertex
+    converges to the smallest vertex id reachable from it — the step that
+    turns near-dup candidate PAIRS into dedup CLUSTERS (keeper = cluster id).
+
+    Per iteration: push each vertex's label across all edges, take the min of
+    (own label, incoming labels). Iterations = graph diameter; dedup graphs
+    are unions of small cliques, so 2-3 rounds in practice. Each round
+    ``localCheckpoint``s the label frame — iterative self-joins otherwise
+    stack lineage until planning itself dominates. Convergence is detected by
+    the label-sum (strictly decreasing until fixpoint, one cheap agg — no
+    extra join). For graphs with whale components at 100 TB scale, swap the
+    propagation body for the large-star/small-star rewrite; the driver loop
+    and convergence test stay the same.
+
+    Returns (v, label) — vertex id → component id (min member id).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.a == labels.v).select(
+            F.col("b").alias("v"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the minimum-id row per exact content fingerprint."""
     fp = F.md5(F.col(text_col))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from quantms_utils_spark.operators.dedup import (
+    connected_components,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -144,6 +145,48 @@ FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id <
 """
 
 
+def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidate pairs → connected components
+    (iterative min-label propagation) → (doc_id, cluster) where cluster is
+    the minimum member id, i.e. the keeper. The oracle reproduces the
+    transitive closure with a recursive CTE over the identical pair set."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_sql_columns()}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, CASE b {_BAND_CASE} END AS bucket
+  FROM sig, UNNEST([{", ".join(str(b) for b in range(N_HASHES // BAND_SIZE))}]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), walk(v, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, walk.label FROM walk JOIN edges e ON walk.v = e.a
+)
+SELECT v AS doc_id, min(label) AS cluster FROM walk GROUP BY v
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Arrow-batched Pandas UDF kernel).
 
@@ -159,5 +202,6 @@ QUERIES = {
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_signatures": (minhash_sigs, MINHASH_SIGS_SQL),
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
     "dedup_simhash": (simhash_fingerprints, None),
 }

@@ -59,3 +59,25 @@ def test_hot_keys_ranking(spark):
     )
     got = [(r["k"], r["n_rows"]) for r in hot_keys(df, ["k"], min_count=5).collect()]
     assert got == [("a", 50), ("b", 10)]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain, a triangle, and an isolated edge all
+    collapse to their minimum member; iteration count bounded by diameter."""
+    from quantms_utils_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # lone edge
+        "src long, dst long",
+    )
+    got = {
+        (r["v"], r["label"])
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
