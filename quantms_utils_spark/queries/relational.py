@@ -304,7 +304,33 @@ ORDER BY event_type
 """
 
 
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile over one per-user ordered window — all three functions
+    share a single sort+shuffle (one Window operator), the planner-visible
+    reason to co-locate window expressions with identical specs."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
+    "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "order_priority_semi": (order_priority_semi, ORDER_PRIORITY_SEMI_SQL),
