@@ -197,25 +197,34 @@ def write_tables(
     ms2_file: bool = False,
     feature_detection: bool = False,
     compression: str = "zstd",
+    partition_by_run: bool = False,
 ) -> dict[str, str]:
     """Sink policy mirroring the reference's derived output naming (K5,
     mzml_statistics.py:492-494) — parquet via Spark's writer (zstd beats the
-    reference's hardcoded gzip on both ratio and speed)."""
+    reference's hardcoded gzip on both ratio and speed).
+
+    ``partition_by_run=True`` writes hive-partitioned by run
+    (`reference_file_name=...`): at corpus scale every per-run read (the
+    reference's whole access pattern — one invocation per file) becomes
+    partition PRUNING instead of a scan-and-filter over the combined table.
+    """
+
+    def _write(df: DataFrame, target: str) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by_run:
+            writer = writer.partitionBy(RUN)
+        writer.parquet(target, compression=compression)
+
     outputs: dict[str, str] = {}
-    ms_info = compute_ms_info(spectra)
     target = f"{out_dir}/{stem}_ms_info.parquet"
-    ms_info.write.mode("overwrite").parquet(target, compression=compression)
+    _write(compute_ms_info(spectra), target)
     outputs["ms_info"] = target
     if ms2_file:
         target = f"{out_dir}/{stem}_ms2_info.parquet"
-        compute_ms2_info(spectra).write.mode("overwrite").parquet(
-            target, compression=compression
-        )
+        _write(compute_ms2_info(spectra), target)
         outputs["ms2_info"] = target
     if feature_detection:
         target = f"{out_dir}/{stem}_ms1_feature_info.parquet"
-        detect_features(spectra).write.mode("overwrite").parquet(
-            target, compression=compression
-        )
+        _write(detect_features(spectra), target)
         outputs["ms1_features"] = target
     return outputs

@@ -115,6 +115,33 @@ class TestMs2InfoAndSinks:
         for path in outputs.values():
             assert spark.read.parquet(path).count() > 0
 
+    def test_write_tables_partitioned_by_run(self, spectra, tmp_path):
+        """Hive-partitioned layout: one directory per run, and a per-run read
+        prunes to that partition (PartitionFilters, not a post-scan filter)."""
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.plans import explain_str
+
+        outputs = write_tables(
+            spectra, str(tmp_path), "combined", partition_by_run=True
+        )
+        part_dirs = sorted(
+            p.name for p in Path(outputs["ms_info"]).iterdir()
+            if p.name.startswith("reference_file_name=")
+        )
+        assert part_dirs == [
+            "reference_file_name=runA", "reference_file_name=runB",
+        ]
+        spark = spectra.sparkSession
+        df = spark.read.parquet(outputs["ms_info"]).filter(
+            F.col("reference_file_name") == "runA"
+        )
+        plan = explain_str(df, "formatted")
+        assert "PartitionFilters: [isnotnull(reference_file_name" in plan
+        assert df.count() > 0
+
 
 class TestFeatures:
     def test_feature_table(self, spectra):
