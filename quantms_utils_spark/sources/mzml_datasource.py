@@ -26,6 +26,7 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -133,11 +134,63 @@ class MzmlDataSourceReader(DataSourceReader):
         yield from table.to_batches(max_chunksize=10_000)
 
 
+class MzmlStreamReader(DataSourceStreamReader):
+    """Continuous ingestion of newly-landed runs: each micro-batch picks up
+    mzML files that appeared since the last committed offset.
+
+    Offsets are positions in the lexicographically-sorted discovered-file
+    list — the usual object-store landing convention (files are immutable
+    once landed, names monotone per producer). ``partitions(start, end)``
+    hands each NEW file to one task and ``read`` reuses the batch
+    partition-reader verbatim, so batch and streaming ingest share one parse
+    path (and one set of parser backends).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        self.raw = options.get("paths") or options.get("path")
+        if not self.raw:
+            raise ValueError("mzml stream needs .load(path) or .option('paths', ...)")
+
+    def _discover(self) -> list[str]:
+        try:
+            return MzmlDataSourceReader._expand(self.raw)
+        except ValueError:
+            return []  # nothing landed yet
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._discover())}
+
+    def partitions(self, start: dict, end: dict):
+        files = sorted(self._discover())
+        return [MzmlInputPartition(p) for p in files[start["index"] : end["index"]]]
+
+    def read(self, partition: MzmlInputPartition):
+        reader = MzmlDataSourceReader.__new__(MzmlDataSourceReader)
+        reader.schema = self.schema
+        reader.parser = self.options.get("parser", "auto")
+        if reader.parser == "auto":
+            reader.parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
+        reader.n_synthetic = int(self.options.get("synthetic_spectra_per_file", "200"))
+        reader.ms_levels = None
+        reader.rt_min = None
+        reader.rt_max = None
+        yield from MzmlDataSourceReader.read(reader, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class MzmlDataSource(DataSource):
     """Usage::
 
         spark.dataSource.register(MzmlDataSource)
         df = spark.read.format("mzml").option("parser", "synthetic").load(path)
+        stream = spark.readStream.format("mzml").load(landing_dir)
     """
 
     @classmethod
@@ -149,6 +202,9 @@ class MzmlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> MzmlDataSourceReader:
         return MzmlDataSourceReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> MzmlStreamReader:
+        return MzmlStreamReader(schema, dict(self.options))
 
 
 def register_mzml_source(spark) -> None:

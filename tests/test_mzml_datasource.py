@@ -99,6 +99,44 @@ def test_reader_applies_claimed_filters():
     assert set(table["ms_level"].to_pylist()) == {1}
 
 
+def test_stream_reader_incremental_files(spark, tmp_path):
+    """Streaming ingest: each restart picks up only files landed since the
+    committed offset; batch and streaming share the same partition reader."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("mzml")
+            .option("parser", "synthetic")
+            .option("synthetic_spectra_per_file", "50")
+            .load(str(landing))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(
+                    df.groupBy("reference_file_name").count().collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (landing / "runA.mzML").write_text("")
+    run_once()
+    assert [(r["reference_file_name"], r["count"]) for r in collected] == [("runA", 50)]
+
+    (landing / "runB.mzML").write_text("")
+    run_once()
+    got = sorted((r["reference_file_name"], r["count"]) for r in collected)
+    assert got == [("runA", 50), ("runB", 50)]  # runA NOT re-ingested
+
+
 def test_glob_and_missing_paths(tmp_path):
     (tmp_path / "x.mzML").write_text("")
     (tmp_path / "y.mzML").write_text("")
