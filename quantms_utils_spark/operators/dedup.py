@@ -245,8 +245,14 @@ def connected_components(
 
     Returns (v, label) — vertex id → component id (min member id).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the edge list ONCE — it is referenced by every iteration's
+    # join, and without the checkpoint each iteration would re-execute the
+    # whole upstream pipeline that produced the edges (e.g. the LSH pair
+    # generation), turning an O(diameter) loop into O(diameter × pipeline).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("v"))

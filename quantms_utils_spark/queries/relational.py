@@ -329,7 +329,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics per event_type: HyperLogLog++ distinct users
+    and t-digest-style approximate p50/p95. These are the 100 TB forms of
+    `distinct_count` / `value_percentiles` — mergeable, fixed-size state,
+    map-side combinable, one shuffle of sketches instead of values. Results
+    are approximate by construction, so this registers WITHOUT a value oracle
+    (rows-only check); the exact twins above are the correctness anchors."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("approx_p50_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "approx_event_stats": (approx_event_stats, None),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
