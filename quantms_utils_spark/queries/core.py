@@ -648,6 +648,52 @@ FROM pep
 """
 
 
+def mods_position_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF form of mods parsing: LATERAL-join a Python table function
+    (functions/udtfs.py:ParseMods) against synthesized peptidoforms — the
+    row-multiplying parse surface (SURVEY §2.10 U4) exposed to SQL users.
+    Unmodified peptides yield no rows (plain LATERAL semantics)."""
+    from quantms_utils_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    p = load(spark, sf_dir, "part")
+    residues = F.upper(F.regexp_replace(F.col("p_name"), "[^a-zA-Z]", ""))
+    pep = (
+        F.when(F.col("p_size") % 3 == 0,
+               F.concat(F.substring(residues, 1, 4), F.lit("(Oxidation)"),
+                        F.substring(residues, 5, 100)))
+        .when(F.col("p_size") % 3 == 1, F.concat(F.lit("(Acetyl)"), residues))
+        .otherwise(residues)
+    )
+    p.select("p_partkey", pep.alias("peptidoform")).createOrReplaceTempView(
+        "__pep_synth_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.peptidoform, m.pos, m.mod_name
+        FROM __pep_synth_for_udtf AS p, LATERAL parse_mods(p.peptidoform) AS m
+        """
+    )
+
+
+MODS_POSITION_UDTF_SQL = """
+WITH pep AS (
+  SELECT p_partkey,
+    CASE WHEN p_size % 3 = 0 THEN
+           substring(upper(regexp_replace(p_name, '[^a-zA-Z]', '', 'g')), 1, 4) || '(Oxidation)' ||
+           substring(upper(regexp_replace(p_name, '[^a-zA-Z]', '', 'g')), 5, 100)
+         WHEN p_size % 3 = 1 THEN '(Acetyl)' || upper(regexp_replace(p_name, '[^a-zA-Z]', '', 'g'))
+         ELSE upper(regexp_replace(p_name, '[^a-zA-Z]', '', 'g')) END AS peptidoform
+  FROM part
+)
+SELECT p_partkey, peptidoform,
+       CAST(strpos(peptidoform, '(') - 1 AS INT) AS pos,
+       regexp_extract(peptidoform, '\\(([^)]+)\\)', 1) AS mod_name
+FROM pep
+WHERE peptidoform LIKE '%(%'
+"""
+
+
 # --- F12-ish: JSON extraction -----------------------------------------------
 
 
@@ -753,6 +799,7 @@ QUERIES = {
     "null_defaulting": (null_defaulting, NULL_DEFAULTING_SQL),
     "array_peak_stats": (array_peak_stats, ARRAY_PEAK_STATS_SQL),
     "mods_position_single": (mods_position_single, MODS_POSITION_SQL),
+    "mods_position_udtf": (mods_position_udtf, MODS_POSITION_UDTF_SQL),
     "json_extract": (json_extract, JSON_EXTRACT_SQL),
     "event_hourly_agg": (event_hourly_agg, EVENT_HOURLY_AGG_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
