@@ -226,6 +226,34 @@ def simhash(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for a GIVEN candidate-pair set — the verify
+    stage after LSH: cost is O(|pairs| × doc length), never corpus². Each
+    document's distinct shingle set is aggregated once (array per doc) and
+    joined to both pair sides; the intersection is a per-row array op.
+    Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 50
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from quantms_utils_spark.operators.dedup import (
     connected_components,
+    jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -187,6 +188,52 @@ SELECT v AS doc_id, min(label) AS cluster FROM walk GROUP BY v
 """
 
 
+def lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full candidate→verify near-dup pipeline: LSH pairs, then exact
+    Jaccard computed ONLY on candidates (threshold 0.5). At corpus scale the
+    exact step touches O(|candidates|) rows — LSH did the pruning."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    return jaccard_for_pairs(d, pairs, "doc_id", "text", n=3, threshold=0.5)
+
+
+LSH_VERIFIED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_sql_columns()}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, CASE b {_BAND_CASE} END AS bucket
+  FROM sig, UNNEST([{", ".join(str(b) for b in range(N_HASHES // BAND_SIZE))}]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Arrow-batched Pandas UDF kernel).
 
@@ -203,5 +250,6 @@ QUERIES = {
     "dedup_minhash_signatures": (minhash_sigs, MINHASH_SIGS_SQL),
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
+    "dedup_lsh_verified": (lsh_verified, LSH_VERIFIED_SQL),
     "dedup_simhash": (simhash_fingerprints, None),
 }
