@@ -67,9 +67,10 @@ def main() -> None:
 
     # Steady-state measurement: one untimed warmup execution per query (JVM
     # JIT + whole-stage-codegen compilation dominate a cold local run and are
-    # fixed overhead, not data-dependent cost), then one timed execution.
-    # Cached intermediates are NOT shared between queries; each timed run
-    # executes its full plan.
+    # fixed overhead, not data-dependent cost), then the MEDIAN of three
+    # timed executions — single-shot numbers on a shared host swing 2-3x with
+    # background load. Cached intermediates are NOT shared between queries;
+    # each timed run executes its full plan.
     timings: dict[str, float] = {}
     for key, name in HEADLINE:
         fn, _ = REGISTRY[name]
@@ -78,14 +79,18 @@ def main() -> None:
         # canonicalized plans, so the timed run would silently reuse it and
         # measure only the post-cache stages).
         spark.catalog.clearCache()
-        # Collect the previous queries' garbage (broadcasts, arrow batches)
-        # OUTSIDE the timed region — measured: a heavy query right after the
-        # suite's accumulated garbage pays a 2-3x major-GC penalty that is
-        # allocation history, not plan cost.
-        spark.sparkContext._jvm.System.gc()
-        start = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[key] = round(time.perf_counter() - start, 3)
+        samples = []
+        for _ in range(3):
+            # Collect the previous run's garbage (broadcasts, arrow batches)
+            # OUTSIDE the timed region — measured: a heavy query right after
+            # an allocation burst pays a 2-3x major-GC penalty that is
+            # history, not plan cost.
+            spark.sparkContext._jvm.System.gc()
+            start = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+        timings[key] = round(sorted(samples)[1], 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
