@@ -139,6 +139,65 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("thumbnail", BinaryType(), True),
+        StructField("thumb_digest", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    decode_stub: bool | None = None,
+) -> DataFrame:
+    """Resize/thumbnail an opaque image payload column via mapInPandas.
+
+    Real path (PIL present): decode → LANCZOS resize → PNG re-encode. Stub
+    path: the thumbnail is a deterministic digest-derived byte string (the
+    sha256 of payload + target geometry), so schema, batch shape, AND values
+    are oracle-reproducible — the Spark-side contract a real deployment keeps
+    is identical either way: binary in, smaller binary + typed metadata out.
+    """
+    use_stub = decode_stub if decode_stub is not None else not HAVE_PIL
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, width, height, None, None))
+                    continue
+                payload = bytes(payload)
+                if use_stub:
+                    thumb = hashlib.sha256(
+                        payload + f":{width}x{height}".encode()
+                    ).hexdigest().encode("ascii")
+                else:  # pragma: no cover - needs PIL + real images
+                    img = PIL.Image.open(io.BytesIO(payload))
+                    img = img.resize((width, height), PIL.Image.LANCZOS)
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    thumb = buf.getvalue()
+                digest = hashlib.sha256(thumb).hexdigest()
+                rows.append((media_id, width, height, thumb, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_width", "out_height", "thumbnail", "thumb_digest"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 try:  # pragma: no cover - environment-dependent
     import soundfile  # noqa: F401
 

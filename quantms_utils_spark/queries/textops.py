@@ -210,6 +210,25 @@ FROM documents
 """
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize over opaque payloads (binary in → smaller binary +
+    typed metadata out) via mapInPandas; the stub thumbnail is digest-derived
+    ascii, so even the emitted BYTES are oracle-checked (via their digest)."""
+    from quantms_utils_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_media(spark, sf_dir), 64, 64, decode_stub=True)
+    return resized.select("media_id", "out_width", "out_height", "thumb_digest")
+
+
+MULTIMODAL_IMAGE_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       64 AS out_width,
+       64 AS out_height,
+       sha256(sha256(text || ':64x64')) AS thumb_digest
+FROM documents
+"""
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one payload → N frame rows (UDTF-shaped fan-out in
     mapInPandas); frame count and per-frame digests are digest-derived, so the
@@ -277,5 +296,9 @@ QUERIES = {
     "multimodal_video_frames": (
         multimodal_video_frames,
         MULTIMODAL_VIDEO_FRAMES_SQL,
+    ),
+    "multimodal_image_resize": (
+        multimodal_image_resize,
+        MULTIMODAL_IMAGE_RESIZE_SQL,
     ),
 }
