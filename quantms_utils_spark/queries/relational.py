@@ -348,8 +348,42 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup cascade: daily aggregates computed FROM the hourly
+    aggregate, not from raw events — the continuous-aggregate/materialized-
+    rollup pattern every event warehouse runs at scale (raw → hourly once,
+    every coarser grain re-aggregates partials). Only works because the
+    aggregates are mergeable (sum/count); the oracle computes daily straight
+    from raw, proving the cascade is lossless."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENT_DAILY_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
+    "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
