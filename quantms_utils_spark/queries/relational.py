@@ -381,8 +381,92 @@ ORDER BY day, event_type
 """
 
 
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k (top-3 parts by retail price per brand): rank over a
+    partitioned window + filter. Unlike global top-k (TakeOrderedAndProject),
+    this shape shuffles once by group and never sorts globally — per-group
+    heaps at 100 TB. row_number (not rank) with a full tiebreak keeps the
+    result deterministic."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+ORDER BY p_brand, rn
+"""
+
+
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per event_type, every hour between that type's
+    first and last event, zero-filled where no events landed. The hour axis
+    is generated per group with sequence() over the group's own [min, max] —
+    NO cross join against a global calendar table, so the density work scales
+    with actual span per key, and the join back to observed counts stays an
+    equi-join."""
+    e = load(spark, sf_dir, "events")
+    hours = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    axis = hours.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    observed = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        axis.join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+HOURLY_GAP_FILL_SQL = """
+WITH spans AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY event_type
+), axis AS (
+  SELECT event_type, CAST(t.hour AS TIMESTAMP) AS hour
+  FROM spans, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t(hour)
+), observed AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.hour, COALESCE(o.n, 0) AS n_events
+FROM axis a LEFT JOIN observed o
+  ON a.event_type = o.event_type AND a.hour = o.hour
+ORDER BY a.event_type, a.hour
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
+    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
+    "hourly_gap_fill": (hourly_gap_fill, HOURLY_GAP_FILL_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
