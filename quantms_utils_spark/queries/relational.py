@@ -463,10 +463,64 @@ ORDER BY a.event_type, a.hour
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user value totals as one column per event
+    type. The value list is EXPLICIT — with it, pivot is a single hash
+    aggregate with one output slot per (group, value); without it Spark must
+    first scan for distinct values (an extra job) and the output schema
+    becomes data-dependent, which breaks at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted.orderBy("user_id")
+
+
+EVENT_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}"
+                  for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(): numeric part measures melted to
+    (key, measure, value) rows — a per-row expression (an Expand of width
+    n_measures), no shuffle at all; the shape every metrics-normalization
+    stage needs before a long-format aggregate."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
+            "'size', CAST(p_size AS DOUBLE)) AS (measure, val)"
+        ),
+    )
+
+
+PART_UNPIVOT_SQL = """
+SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val
+FROM part
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "hourly_gap_fill": (hourly_gap_fill, HOURLY_GAP_FILL_SQL),
+    "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
+    "part_unpivot": (part_unpivot, PART_UNPIVOT_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
