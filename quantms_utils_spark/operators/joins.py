@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 
@@ -74,6 +74,70 @@ def unmatched_keys(
     warn-and-drop diagnostic of diann2msstats.py:119-127."""
     keys = [on] if isinstance(on, str) else list(on)
     return fact.select(*keys).distinct().join(dim.select(*keys).distinct(), keys, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """Two-table backward-inclusive as-of join: each left row picks up the
+    right row with the greatest ``right_ts <= left_ts`` for the same keys
+    (trades/quotes, purchase/last-click, spectrum/last-calibration).
+
+    Spark has no ASOF JOIN, and the correlated-subquery formulation is a
+    per-row lookup that cannot distribute. The scalable shape is
+    UNION + WINDOW: tag both inputs, union them on (keys, ts), and take
+    ``last(right_payload, ignorenulls=True)`` over an unbounded-preceding
+    window ordered by (ts, side) with right rows sorting before left rows at
+    equal ts (inclusive semantics). ONE shuffle on the keys, state per key is
+    a single struct — no join explosion, no lookup amplification. This
+    generalizes the within-table as-of of operators/windows.py:asof_lookup
+    (reference precursor lookup, mzml_statistics.py:253-260) to two inputs.
+
+    Returns all left columns plus ``right_value_cols`` (null when no prior
+    right row exists).
+    """
+    keys = list(on)
+    rvals = list(right_value_cols)
+    r_payload_t = right.select(
+        F.struct(*[F.col(c) for c in rvals]).alias("__r")
+    ).schema["__r"].dataType
+    l_payload_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    ).schema["__l"].dataType
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_payload_t).alias("__r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_payload_t).alias("__l"),
+        F.struct(*[F.col(c) for c in rvals]).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__last_r.{c}").alias(c) for c in rvals
+    ]
+    return matched.select(*out_cols)
 
 
 def range_join_binned(

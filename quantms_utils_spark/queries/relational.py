@@ -515,12 +515,49 @@ FROM part
 """
 
 
+def asof_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join (operators/joins.py:asof_join): every purchase
+    picks up the user's latest prior-or-simultaneous click timestamp — the
+    trades/quotes shape via UNION + WINDOW (one shuffle on user_id), checked
+    against DuckDB's native ASOF JOIN."""
+    from quantms_utils_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_ts"],
+    )
+    return joined.select("event_id", "user_id", "click_ts")
+
+
+ASOF_JOIN_TWO_TABLE_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "hourly_gap_fill": (hourly_gap_fill, HOURLY_GAP_FILL_SQL),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "part_unpivot": (part_unpivot, PART_UNPIVOT_SQL),
+    "asof_join_two_table": (asof_join_two_table, ASOF_JOIN_TWO_TABLE_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
