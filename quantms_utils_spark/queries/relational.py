@@ -551,6 +551,36 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key via max_by (argmax aggregates): ONE hash
+    aggregate instead of the window-rank-filter formulation — no sort, pure
+    partial+final agg, the upsert/compaction read pattern ("current row per
+    key") at minimum shuffle cost. Timestamps are unique per user in this
+    data, so the argmax is deterministic."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, max(ts) AS last_ts,
+       max_by(event_type, ts) AS last_type,
+       max_by(value, ts) AS last_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -558,6 +588,7 @@ QUERIES = {
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "part_unpivot": (part_unpivot, PART_UNPIVOT_SQL),
     "asof_join_two_table": (asof_join_two_table, ASOF_JOIN_TWO_TABLE_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),

@@ -3,6 +3,7 @@ from quantms_utils_spark.streaming.events import (
     read_event_stream,
     sessionize_stateful,
     stream_dedup_events,
+    stream_purchase_click_join,
     stream_quality_filter,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_event_stream",
     "sessionize_stateful",
     "stream_dedup_events",
+    "stream_purchase_click_join",
     "stream_quality_filter",
 ]

@@ -188,6 +188,42 @@ def sessionize_stateful(
     )
 
 
+def stream_purchase_click_join(
+    events: DataFrame,
+    lookback: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks within the preceding hour. Both sides carry watermarks and the
+    join condition carries the event-time range — that PAIR is what lets the
+    state store expire rows (without the time bound, stream-stream join state
+    grows forever). Works identically on batch frames (the time range is just
+    a predicate there)."""
+    purchases = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (purchases.user_id == clicks.click_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= F.expr(f"purchase_ts - {lookback}"))
+    )
+    return purchases.join(clicks, cond).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event dedup: duplicates arriving within the watermark
     horizon are dropped; state is bounded by the watermark (the streaming

@@ -13,6 +13,7 @@ from quantms_utils_spark.streaming import (
     read_event_stream,
     sessionize_stateful,
     stream_dedup_events,
+    stream_purchase_click_join,
     stream_quality_filter,
 )
 
@@ -144,6 +145,37 @@ def test_sessionize_stateful(spark, tmp_path):
         for h in range(2)
     )
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, event_files):
+    """Watermarked stream-stream join (purchases × prior-hour clicks) must
+    produce exactly the batch join's rows once all data is processed."""
+    path, _ = event_files
+    stream = read_event_stream(spark, path)
+    joined = stream_purchase_click_join(stream, right_type="view")
+    assert joined.isStreaming
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT purchase_id, click_id FROM ss_join"
+        ).collect())
+    )
+
+    batch = spark.read.schema(stream.schema).json(path)
+    expected = sorted(
+        map(tuple, stream_purchase_click_join(batch, right_type="view")
+            .select("purchase_id", "click_id").collect())
+    )
+    assert got == expected
+    assert len(got) > 0
 
 
 def test_stream_dedup_events(spark, tmp_path):
