@@ -581,6 +581,35 @@ ORDER BY user_id
 """
 
 
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, Pearson correlation
+    against event recency) per event_type — single partial+final aggregate;
+    the moment accumulators are mergeable, so the plan is identical to a
+    plain sum at any scale."""
+    e = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("double")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr("value", epoch), 4).alias("corr_value_time"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_VALUE_STATS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value,
+       round(corr(value, CAST(floor(epoch(ts)) AS DOUBLE)), 4) AS corr_value_time
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -589,6 +618,7 @@ QUERIES = {
     "part_unpivot": (part_unpivot, PART_UNPIVOT_SQL),
     "asof_join_two_table": (asof_join_two_table, ASOF_JOIN_TWO_TABLE_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "event_value_stats": (event_value_stats, EVENT_VALUE_STATS_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
