@@ -610,6 +610,42 @@ ORDER BY event_type
 """
 
 
+def customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers who ordered in 1996 but not in
+    1998. Catalyst plans EXCEPT as aggregate + left-anti join — the pushed
+    year filters prune at the scan, so both inputs are narrow before the
+    anti join."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y96.subtract(y98).orderBy("o_custkey")
+
+
+CUSTOMERS_LAPSED_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+ORDER BY o_custkey
+"""
+
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1998 — planned as
+    distinct + left-semi join, the same shuffle budget as one equi-join."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y96.intersect(y98).orderBy("o_custkey")
+
+
+REPEAT_BUYERS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -619,6 +655,8 @@ QUERIES = {
     "asof_join_two_table": (asof_join_two_table, ASOF_JOIN_TWO_TABLE_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "event_value_stats": (event_value_stats, EVENT_VALUE_STATS_SQL),
+    "customers_lapsed": (customers_lapsed, CUSTOMERS_LAPSED_SQL),
+    "repeat_buyers": (repeat_buyers, REPEAT_BUYERS_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
