@@ -646,6 +646,36 @@ ORDER BY o_custkey
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order year, distinct
+    actives counted per (cohort, order year). The cohort dimension is DERIVED
+    from the fact (min-year aggregate), broadcast back onto it, then
+    re-aggregated — two shuffles total, no self-join of the full fact."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(broadcast(first), "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").alias("order_year"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+        .orderBy("cohort_year", "order_year")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey
+)
+SELECT cohort_year, year(o_orderdate) AS order_year,
+       count(DISTINCT o.o_custkey) AS active_customers
+FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+ORDER BY cohort_year, order_year
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -657,6 +687,7 @@ QUERIES = {
     "event_value_stats": (event_value_stats, EVENT_VALUE_STATS_SQL),
     "customers_lapsed": (customers_lapsed, CUSTOMERS_LAPSED_SQL),
     "repeat_buyers": (repeat_buyers, REPEAT_BUYERS_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
