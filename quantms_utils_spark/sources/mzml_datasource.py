@@ -89,16 +89,37 @@ class MzmlDataSourceReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Claim ms_level equality/IN and rt range bounds; everything else is
-        returned to Spark to evaluate post-scan."""
+        returned to Spark to evaluate post-scan.
+
+        At most ONE filter per (column, bound-kind) slot is claimed — a
+        conjunction like ``rt > 5 AND rt >= 10`` must not collapse into a
+        single stored bound (the overwritten predicate would never be
+        evaluated anywhere). Subsequent filters on an occupied slot are
+        yielded back to Spark, which applies them post-scan.
+        """
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
-            if col == "ms_level" and isinstance(f, EqualTo):
+            if (
+                col == "ms_level"
+                and isinstance(f, EqualTo)
+                and self.ms_levels is None
+            ):
                 self.ms_levels = [int(f.value)]
-            elif col == "ms_level" and isinstance(f, In):
+            elif (
+                col == "ms_level" and isinstance(f, In) and self.ms_levels is None
+            ):
                 self.ms_levels = sorted(int(v) for v in f.value)
-            elif col == "rt" and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            elif (
+                col == "rt"
+                and isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                and self.rt_min is None
+            ):
                 self.rt_min = (float(f.value), isinstance(f, GreaterThanOrEqual))
-            elif col == "rt" and isinstance(f, (LessThan, LessThanOrEqual)):
+            elif (
+                col == "rt"
+                and isinstance(f, (LessThan, LessThanOrEqual))
+                and self.rt_max is None
+            ):
                 self.rt_max = (float(f.value), isinstance(f, LessThanOrEqual))
             else:
                 yield f
@@ -138,12 +159,15 @@ class MzmlStreamReader(DataSourceStreamReader):
     """Continuous ingestion of newly-landed runs: each micro-batch picks up
     mzML files that appeared since the last committed offset.
 
-    Offsets are positions in the lexicographically-sorted discovered-file
-    list — the usual object-store landing convention (files are immutable
-    once landed, names monotone per producer). ``partitions(start, end)``
-    hands each NEW file to one task and ``read`` reuses the batch
-    partition-reader verbatim, so batch and streaming ingest share one parse
-    path (and one set of parser backends).
+    Offsets are a lexicographic HIGH-WATER MARK over file names (the usual
+    object-store landing convention: files are immutable once landed, names
+    monotone per producer). A positional index into the re-sorted file list
+    would corrupt on a late file sorting before committed ones (re-read +
+    skip); with the watermark, such a file is deterministically IGNORED —
+    the documented contract, matching file-source semantics for out-of-order
+    landings. ``partitions(start, end)`` hands each new file to one task and
+    ``read`` reuses the batch partition-reader verbatim, so batch and
+    streaming ingest share one parse path (and one set of parser backends).
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -160,14 +184,16 @@ class MzmlStreamReader(DataSourceStreamReader):
             return []  # nothing landed yet
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"watermark": ""}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._discover())}
+        files = sorted(self._discover())
+        return {"watermark": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
         files = sorted(self._discover())
-        return [MzmlInputPartition(p) for p in files[start["index"] : end["index"]]]
+        lo, hi = start["watermark"], end["watermark"]
+        return [MzmlInputPartition(p) for p in files if lo < p <= hi]
 
     def read(self, partition: MzmlInputPartition):
         reader = MzmlDataSourceReader.__new__(MzmlDataSourceReader)

@@ -85,6 +85,66 @@ def test_push_filters_contract():
     assert reader2.ms_levels == [1, 2]
 
 
+def test_push_filters_conjunction_keeps_residual():
+    """Two bounds on the same column: only ONE is claimed, the other must
+    come back as a residual for Spark to apply — silently swallowing it
+    would leak rows violating the discarded predicate."""
+    reader = MzmlDataSourceReader(
+        MzmlDataSource({}).schema(), {"paths": RUNS, "parser": "synthetic"}
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    residual = list(
+        reader.pushFilters(
+            [GreaterThan(("rt",), 5.0), GreaterThanOrEqual(("rt",), 10.0),
+             EqualTo(("ms_level",), 2), In(("ms_level",), (1, 2))]
+        )
+    )
+    assert reader.rt_min == (5.0, False)
+    assert reader.ms_levels == [2]
+    assert residual == [GreaterThanOrEqual(("rt",), 10.0), In(("ms_level",), (1, 2))]
+
+
+def test_push_filters_conjunction_end_to_end(spark):
+    """Conjunction of two rt lower bounds through the planner must apply
+    BOTH predicates to the result."""
+    df = _read(spark).filter((F.col("rt") > 5.0) & (F.col("rt") >= 100.0))
+    lo = df.select(F.min("rt")).first()[0]
+    assert lo >= 100.0
+    full = _read(spark)
+    assert df.count() == full.filter(F.col("rt") >= 100.0).count()
+
+
+def test_stream_offsets_ignore_out_of_order_landing(tmp_path):
+    """A file landing lexicographically BEFORE the committed watermark is
+    ignored (never re-shifts what already-committed offsets mean)."""
+    from quantms_utils_spark.sources.mzml_datasource import MzmlStreamReader
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "runB.mzML").write_text("")
+    reader = MzmlStreamReader(
+        MzmlDataSource({}).schema(),
+        {"paths": str(landing), "parser": "synthetic"},
+    )
+    start = reader.initialOffset()
+    end1 = reader.latestOffset()
+    parts1 = reader.partitions(start, end1)
+    assert [p.path for p in parts1] == [str(landing / "runB.mzML")]
+
+    # late, out-of-order landing: sorts before the watermark → ignored
+    (landing / "runA.mzML").write_text("")
+    end2 = reader.latestOffset()
+    assert end2 == end1  # watermark did not move backwards
+    assert reader.partitions(end1, end2) == []
+
+    # a properly-ordered new file advances the watermark and is picked up
+    (landing / "runC.mzML").write_text("")
+    end3 = reader.latestOffset()
+    parts3 = reader.partitions(end1, end3)
+    assert [p.path for p in parts3] == [str(landing / "runC.mzML")]
+
+
 def test_reader_applies_claimed_filters():
     reader = MzmlDataSourceReader(
         MzmlDataSource({}).schema(), {"paths": RUNS, "parser": "synthetic"}
