@@ -22,6 +22,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Shingling is CPU-bound; a small-file scan (one parquet row group)
+    gives one partition and serializes it. Fan out to the session's
+    parallelism — but never *reduce* an already well-partitioned input (the
+    100 TB case, where the scan arrives with far more partitions than
+    cores)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
+def _words_expr(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _grams_expr(text_col: str, n: int):
+    """Word n-gram array (with duplicates) — the ONE tokenizer shared by the
+    signature path and the exact-jaccard verify path; they must agree for
+    the LSH pipeline to be sound."""
+    words = _words_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -30,19 +55,13 @@ def word_shingles(
     Documents with fewer than ``n`` words produce no rows (consistent with the
     DuckDB oracle formulation).
     """
-    # Shingling is CPU-bound; a small-file scan (one parquet row group) gives
-    # one partition and serializes it. Fan out to the session's parallelism —
-    # but never *reduce* an already well-partitioned input (the 100 TB case,
-    # where the scan arrives with far more partitions than cores).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    df = _fan_out(df)
     return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.filter(F.size(_words_expr(text_col)) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_grams_expr(text_col, n))).alias("shingle"),
+        )
     )
 
 
@@ -73,16 +92,10 @@ def minhash_signatures(
     # DuckDB oracle runs) returns identical values. At 100 TB this turns the
     # signature stage into map-only work that pipelines into the banding
     # aggregate's single shuffle.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(words) - F.lit(shingle_n - 1))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i, shingle_n), " ")
-    )
+    df = _fan_out(df)
+    grams = _grams_expr(text_col, shingle_n)
     n_seeds = -(-n_hashes // HASHES_PER_SEED)
-    with_digests = df.filter(F.size(words) >= shingle_n).select(
+    with_digests = df.filter(F.size(_words_expr(text_col)) >= shingle_n).select(
         F.col(id_col),
         *[
             F.transform(
@@ -243,12 +256,18 @@ def jaccard_for_pairs(
     sets_ = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sa"))
     b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size("sa") + F.size("sb") - inter
-    jac = inter.cast("double") / union
+    # LEFT joins + empty-set defaults: a candidate doc too short to shingle
+    # must come back as jaccard 0, not silently vanish from the verify output
+    # (the contract is one output row per input pair passing the threshold).
+    empty = F.array().cast("array<string>")
+    sa = F.coalesce(F.col("sa"), empty)
+    sb = F.coalesce(F.col("sb"), empty)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(a, "doc_a", "left")
+        .join(b, "doc_b", "left")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(jac >= threshold)
     )
@@ -299,7 +318,16 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        # Convergence signal must work for ANY vertex id type (string/uuid
+        # ids are normal for a generic operator): sum the labels' xxhash64,
+        # not the labels themselves — summing strings casts to null and
+        # would terminate the loop after one iteration with split
+        # components. The hashes are summed as decimal so ANSI mode cannot
+        # overflow; hash-sum equality at a non-fixpoint requires a 64-bit
+        # collision across the whole label frame (negligible).
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

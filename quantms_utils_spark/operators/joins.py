@@ -157,9 +157,19 @@ def range_join_binned(
     Both inputs may carry arbitrary extra columns; all survive. ``bin_width``
     should be on the order of the median interval width: too small explodes
     the interval side, too large degrades to a near-cross join within a bin.
+
+    Inner join only: the residual containment predicate is applied AFTER the
+    bin equi-join, which on an outer join would silently drop the unmatched
+    (null-extended) rows — so outer variants are rejected rather than
+    miscomputed.
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if how != "inner":
+        raise ValueError(
+            "range_join_binned supports how='inner' only; an outer join would "
+            "drop null-extended rows at the residual filter"
+        )
     keys = list(equi_keys)
     binned_intervals = intervals.withColumn(
         "__bin",

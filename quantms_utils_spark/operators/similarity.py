@@ -114,6 +114,10 @@ def cosine_pairs_blocked(
     )
 
     def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Threshold-first: np.nonzero over the boolean score mask touches
+        # only survivors. Materializing all |A|x|B| index/id arrays and
+        # filtering afterwards allocates the full pair space for (typically)
+        # a sub-percent survivor rate.
         ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []})
         if ti == tj:
@@ -123,27 +127,24 @@ def cosine_pairs_blocked(
             ids = sub["id"].to_numpy()
             U = np.stack(sub["u"].to_numpy())
             G = U @ U.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            cos = G[ia, ib]
-        else:
-            a_sub = pdf[pdf["bkt"] == ti]
-            b_sub = pdf[pdf["bkt"] == tj]
-            if len(a_sub) == 0 or len(b_sub) == 0:
-                return empty
-            ids_a_all = a_sub["id"].to_numpy()
-            ids_b_all = b_sub["id"].to_numpy()
-            G = np.stack(a_sub["u"].to_numpy()) @ np.stack(b_sub["u"].to_numpy()).T
-            ia, ib = np.nonzero(np.ones_like(G, dtype=bool))
-            cos = G[ia, ib]
-            lo = np.minimum(ids_a_all[ia], ids_b_all[ib])
-            hi = np.maximum(ids_a_all[ia], ids_b_all[ib])
-            keep = cos >= threshold
+            ia, ib = np.nonzero(np.triu(G >= threshold, k=1))
             return pd.DataFrame(
-                {"id_a": lo[keep], "id_b": hi[keep], "cos_raw": cos[keep]}
+                {"id_a": ids[ia], "id_b": ids[ib], "cos_raw": G[ia, ib]}
             )
-        keep = cos >= threshold
+        a_sub = pdf[pdf["bkt"] == ti]
+        b_sub = pdf[pdf["bkt"] == tj]
+        if len(a_sub) == 0 or len(b_sub) == 0:
+            return empty
+        ids_a_all = a_sub["id"].to_numpy()
+        ids_b_all = b_sub["id"].to_numpy()
+        G = np.stack(a_sub["u"].to_numpy()) @ np.stack(b_sub["u"].to_numpy()).T
+        ia, ib = np.nonzero(G >= threshold)
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_raw": cos[keep]}
+            {
+                "id_a": np.minimum(ids_a_all[ia], ids_b_all[ib]),
+                "id_b": np.maximum(ids_a_all[ia], ids_b_all[ib]),
+                "cos_raw": G[ia, ib],
+            }
         )
 
     return exploded.groupBy("block", "ti", "tj").applyInPandas(

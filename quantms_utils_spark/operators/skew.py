@@ -48,7 +48,7 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
-    seed: int | None = 42,
+    seed: int = 42,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the big side salted into
     ``n_salts`` sub-keys.
@@ -58,12 +58,20 @@ def salted_join(
     is cross-joined with the 0..n_salts-1 range so every (key, salt) probe
     finds its match. Supports 'inner' and 'left' (the salted small side stays
     complete, so left semantics survive).
+
+    The salt is ALWAYS seeded: ``F.rand(seed)`` is deterministic per
+    (partition, row position), so a stage retry recomputes identical salts.
+    An unseeded rand would re-salt recomputed partitions differently from the
+    shuffle blocks already fetched — silently duplicating/losing join rows.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (F.rand(seed) * n_salts).cast("int") if seed is not None else (
-        F.rand() * n_salts
-    ).cast("int")
+    if seed is None:
+        raise ValueError(
+            "salted_join requires a seed: unseeded rand() re-salts recomputed "
+            "partitions differently on task retry, corrupting join results"
+        )
+    salt = (F.rand(seed) * n_salts).cast("int")
     big_s = big.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_s = small.select("*", salts)

@@ -136,6 +136,16 @@ def sessionize_stateful(
             val_list.append(pdf["value"])
         ts = pd.concat(ts_list)
         vals = pd.concat(val_list)
+        # Null event times would become NaT → int64-min → a garbage session
+        # start AND a setTimeoutTimestamp before the watermark, which kills
+        # the whole query. Drop them row-wise instead.
+        valid = ts.notna()
+        ts, vals = ts[valid], vals[valid]
+        if len(ts) == 0:
+            if state.exists:
+                start, last, n, total = state.get
+                state.setTimeoutTimestamp(int(last) // 1000 + gap_seconds * 1000)
+            return
         order = ts.argsort(kind="stable")
         # Normalize to µs regardless of the incoming datetime64 resolution
         # (Arrow hands pandas 2 datetime64[us]; plain int64-cast would be

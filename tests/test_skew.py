@@ -81,3 +81,17 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_jaccard_for_pairs_keeps_short_doc_pairs(spark):
+    """A candidate pair whose doc is too short to shingle must come back as
+    jaccard 0, not silently vanish (the verify contract: one output row per
+    input pair passing the threshold)."""
+    from quantms_utils_spark.operators.dedup import jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "hi")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = jaccard_for_pairs(docs, pairs, "doc_id", "text", n=3, threshold=0.0)
+    assert [tuple(r) for r in got.collect()] == [(1, 2, 0.0)]
