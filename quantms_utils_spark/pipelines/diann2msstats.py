@@ -29,6 +29,7 @@ from quantms_utils_spark.functions import sanitize_sequence
 from quantms_utils_spark.operators.joins import join_many_to_one, unmatched_keys
 from quantms_utils_spark.sources.design import read_experimental_design
 from quantms_utils_spark.sources.report import read_diann_report
+from quantms_utils_spark.validation import SampleSheetError
 
 logger = logging.getLogger(__name__)
 
@@ -106,6 +107,11 @@ def diann_to_msstats(
             F.col("IsotopeLabelType").isNotNull()
             & (F.trim(F.col("IsotopeLabelType")) != "")
         )
+        if "Label" not in f_table.columns:
+            raise SampleSheetError(
+                "multiplexed DIA-NN report (multiple Channel values) but the "
+                "experimental design has no Label column to join on"
+            )
         f_cols = ["Fraction", "Sample", "run", "Label"]
         merge_keys = ["Run", "IsotopeLabelType"]
     else:
@@ -129,7 +135,8 @@ def diann_to_msstats(
 
     joined = join_many_to_one(out, design_lookup, merge_keys, how="left")
 
-    bad_runs = [r["Run"] for r in unmatched_keys(out, design_lookup, merge_keys).collect()]
+    unmatched = unmatched_keys(out, design_lookup, merge_keys)
+    bad_runs = [r["Run"] for r in unmatched.collect()]
     if bad_runs:
         logger.warning(
             "Run(s) in DIA-NN report have no match in experimental design: %s. "
@@ -137,7 +144,10 @@ def diann_to_msstats(
             "stems) match Spectra_Filepath in the design.",
             bad_runs,
         )
-        joined = joined.na.drop(subset=["BioReplicate"])
+        # Drop precisely the JOIN-MISS rows (anti-join on the keys) — a
+        # na.drop on BioReplicate would also discard matched rows whose
+        # design cell happens to be empty, with a misleading diagnostic.
+        joined = joined.join(broadcast(unmatched), merge_keys, "left_anti")
 
     if out_dir is not None:
         prefix = Path(design_path).stem

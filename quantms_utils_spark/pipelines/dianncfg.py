@@ -61,7 +61,11 @@ def _lookup_unimod(name: str) -> tuple[str, float] | None:
                 acc = m.get_accession().replace("UNIMOD:", "UniMod:")
                 return acc, float(m._delta_mono_mass)
         return None
-    except ImportError:
+    except Exception:
+        # Same gate policy as every other optional-dependency boundary in
+        # the repo: a present-but-broken sdrf-pipelines install (missing
+        # data file, API drift) must fall back to the embedded table, not
+        # abort config generation.
         entry = EMBEDDED_UNIMOD.get(name)
         return (entry[0], entry[1]) if entry else None
 

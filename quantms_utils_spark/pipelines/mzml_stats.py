@@ -12,8 +12,12 @@ python loop becomes pure DataFrame expressions:
 - precursor purity (U5, reference :264-268 delegates to C++) is re-expressed
   relationally: the preceding MS1's peak arrays ride along the same window,
   and an aggregate-over-zip computes in-isolation-window totals;
-- the pTIC prefix sum (A5/W1), interpolation at feature rts (W2), and the
-  feature↔scan range join (J6) reuse the engine's window/range operators.
+- the pTIC prefix sum (A5/W1) and the feature↔scan range join (J6) reuse the
+  engine's window/range operators. Feature seeds are whole scans here, so
+  each seed carries its own exact pTIC; the between-scan interpolation
+  composite (W2, operators/windows.py:interpolate_at, oracle-checked by the
+  `interpolate_ptic` query) slots in when real centroided features land
+  between scan rts.
 
 Sinks are plain ``df.write.parquet`` — the reference's hand-rolled 10k-row
 Arrow batch writer (K1, :283-337) is exactly what Spark's pipelined execution
@@ -26,7 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from quantms_utils_spark.operators import exclusive_prefix_sum, interpolate_at
+from quantms_utils_spark.operators import exclusive_prefix_sum
 from quantms_utils_spark.operators.joins import range_join_binned
 
 RUN = "reference_file_name"
@@ -116,8 +120,10 @@ def detect_features(
     *seeding* here is a deterministic stand-in (top-N MS1 base peaks per run);
     everything around it is the real relational pipeline the reference builds
     in python: corrupt-spectrum min-mz filter (P7), global TIC (A4), exclusive
-    pTIC prefix sum (W1) interpolated at feature rts (W2), feature↔scan range
-    join (J6) collecting feature_scans, intensity-desc ordering (O1).
+    pTIC prefix sum (W1 — seeds are whole scans so each carries its own exact
+    pTIC; the W2 interpolation composite applies when features land between
+    scan rts), feature↔scan range join (J6) collecting feature_scans,
+    intensity-desc ordering (O1).
     """
     ms1 = (
         spectra.filter(F.col("ms_level") == 1)
@@ -155,10 +161,10 @@ def detect_features(
             F.lit(2).alias("feature_charge"),
             F.round("ptic", 4).alias("feature_percentile_tic"),
             F.lit(1.0).alias("feature_quality"),
-            F.row_number()
-            .over(Window.orderBy(RUN, F.col("feature_intensity").desc(), "rt"))
-            .cast("long")
-            .alias("feature_id"),
+            # Deterministic unique id WITHOUT a global sort: a row_number
+            # over an unpartitioned window would pull every feature row into
+            # one task. (run, per-run rank) is already unique; hash it.
+            F.xxhash64(F.col(RUN), F.col("rnk")).alias("feature_id"),
             (F.col("rt") - rt_halfwidth).alias("feature_min_rt"),
             (F.col("rt") + rt_halfwidth).alias("feature_max_rt"),
             F.round(F.col("feature_mz") - mz_halfwidth, 4).alias("feature_min_mz"),

@@ -130,6 +130,8 @@ def read_identifications(
     """Nested identifications DataFrame; one partition per idXML file."""
     if parser == "auto":
         parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
+    if parser not in ("pyopenms", "synthetic"):
+        raise ValueError(f"unknown parser {parser!r}")
     if parser == "pyopenms" and not HAVE_PYOPENMS:  # pragma: no cover
         raise NotImplementedError(
             "pyopenms is not importable; pass parser='synthetic'"
@@ -153,8 +155,6 @@ def read_identifications(
 
 def _parse_pyopenms_idxml(path: str) -> pd.DataFrame:  # pragma: no cover
     """Real idXML parse (reference psm_conversion.py:87-108)."""
-    import os
-
     import pyopenms as oms
 
     prot_ids = []
@@ -171,9 +171,13 @@ def _parse_pyopenms_idxml(path: str) -> pd.DataFrame:  # pragma: no cover
         ]
     else:
         engines = [prot_ids[0].getSearchEngine()]
-    ref = os.path.splitext(
-        prot_ids[0].getMetaValue("spectra_data")[0].decode("UTF-8")
-    )[0]
+    # Stem derivation MUST match sources/mzml.py (`Path(p).name.split('.')[0]`)
+    # — the PSM↔spectrum join keys on reference_file_name equality, and
+    # os.path.splitext would keep the directory and only one extension
+    # ('/data/run.mzML' -> '/data/run' vs the mzML side's 'run'), silently
+    # joining zero peak rows.
+    spectra_path = prot_ids[0].getMetaValue("spectra_data")[0].decode("UTF-8")
+    ref = Path(spectra_path).name.split(".")[0]
     rows = []
     for pid in pep_ids:
         hits = []

@@ -77,8 +77,9 @@ class MzmlDataSourceReader(DataSourceReader):
                 continue
             p = Path(token)
             if p.is_dir():
-                out.extend(sorted(str(c) for c in p.glob("*.mzML")))
-                out.extend(sorted(str(c) for c in p.glob("*.mzml")))
+                # every suffix VALID_SUFFIXES accepts, including gzipped runs
+                for pattern in ("*.mzML", "*.mzml", "*.mzML.gz", "*.mzml.gz"):
+                    out.extend(sorted(str(c) for c in p.glob(pattern)))
             elif any(ch in token for ch in "*?["):
                 out.extend(sorted(str(c) for c in p.parent.glob(p.name)))
             else:
