@@ -24,6 +24,24 @@ for _mod in (core, dedup, relational, similarity, textops):
             raise ValueError(f"duplicate query name {_name!r}")
         REGISTRY[_name] = _pair
 
+# The round-1 driver recorded check rows for exactly the first 50 registry
+# entries, leaving the tail (ANN / text / multimodal / four relational
+# queries) unverified. Front-load those so a capped or time-budgeted checker
+# covers them first; relative order is otherwise preserved.
+_FRONT = [
+    "returned_items_topk", "big_orders_having", "rollup_revenue",
+    "moving_avg_range", "ann_bruteforce_topk", "ann_partitioned_topk",
+    "ann_lsh_bucketed", "embedding_norms", "dedup_embedding_cosine",
+    "text_train_split", "text_lang_id", "text_quality_scores",
+    "text_token_counts", "text_fingerprints", "multimodal_metadata",
+    "multimodal_image_features", "multimodal_audio_features",
+    "multimodal_video_frames", "multimodal_image_resize",
+]
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _FRONT},
+    **{n: p for n, p in REGISTRY.items() if n not in _FRONT},
+}
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -341,7 +341,8 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("approx_p50_p95"),
+            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
