@@ -51,11 +51,13 @@ def openms2sample_cmd(expdesign, out_dir, master):
 
 
 @cli.command("checksamplesheet", short_help="Validate an SDRF/design sample sheet")
-@click.option("--is_sdrf", is_flag=True, default=True)
+@click.option("--is_sdrf/--no-is_sdrf", default=True)
 @click.option("--check_ms", is_flag=True, default=False)
 @click.option("--sdrf", "--input", "input_file", required=True, type=click.Path(exists=True))
 @click.option("--template", default="ms-proteomics")
-@click.option("--minimal", is_flag=True, default=True)
+# off by default, like the reference (check_samplesheet.py:113-125) — full
+# template validation is the default tier, --minimal opts down.
+@click.option("--minimal/--full", default=False)
 @click.option("--use_ols_cache_only", is_flag=True, default=False)
 @click.option("--master", default=None)
 def checksamplesheet_cmd(

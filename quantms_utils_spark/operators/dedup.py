@@ -28,9 +28,15 @@ def _fan_out(df: DataFrame) -> DataFrame:
     parallelism — but never *reduce* an already well-partitioned input (the
     100 TB case, where the scan arrives with far more partitions than
     cores)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    sc = df.sparkSession.sparkContext
+    # Estimate scan parallelism from the file listing instead of
+    # df.rdd.getNumPartitions() — the RDD conversion forces a full
+    # plan-to-RDD translation just to read a number. One file can hold many
+    # splits, so this only *under*-counts; the guard errs toward fanning out,
+    # and never reduces a many-file (100 TB) scan.
+    n_files = len(df.inputFiles())
+    if n_files < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return df
 
 

@@ -2,15 +2,21 @@
 
 Spark-first reimplementation of quantmsutils/sdrf/check_samplesheet.py. The
 minimal mode (reference :64-99) checks pipeline-required columns
-case-insensitively; full-schema OLS ontology validation depends on the
-sdrf-pipelines package, which is environment-gated.
+case-insensitively. Full mode uses the sdrf-pipelines package when
+importable (reference :52-56); otherwise it degrades to a NATIVE template
+tier implementing the structural rules of the public SDRF-Proteomics
+specification (required template columns, column ordering, empty cells,
+label whitelist, numeric fraction/replicate, duplicate run definitions) —
+everything except live OLS ontology lookups, which need the external
+service. All cell-level rules run as ONE Spark aggregate over the sheet, so
+the same code validates a 10-row design and a 10-million-row corpus sheet.
 """
 
 from __future__ import annotations
 
 import logging
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 logger = logging.getLogger(__name__)
 
@@ -41,6 +47,41 @@ except Exception:  # pragma: no cover
     HAVE_SDRF_PIPELINES = False
 
 
+# Template tier: required columns per schema template (public SDRF-Proteomics
+# spec). Every template includes the minimal pipeline columns.
+TEMPLATE_REQUIRED_COLUMNS: dict[str, tuple[str, ...]] = {
+    "ms-proteomics": MINIMAL_REQUIRED_COLUMNS
+    + (
+        "characteristics[organism]",
+        "characteristics[organism part]",
+        "characteristics[disease]",
+        "characteristics[cell type]",
+        "comment[technical replicate]",
+        "comment[fraction identifier]",
+    ),
+    "dia-acquisition": MINIMAL_REQUIRED_COLUMNS
+    + (
+        "characteristics[organism]",
+        "comment[technical replicate]",
+        "comment[fraction identifier]",
+    ),
+}
+
+# comment[label] whitelist (SDRF-Proteomics accepted label values).
+VALID_LABELS = frozenset(
+    {"label free sample", "unlabeled sample"}
+    # TMT 6/10/11-plex channels plus TMTpro 16/18-plex extensions
+    | {f"TMT{n}" for n in range(126, 132)}
+    | {f"TMT{n}{suffix}" for n in range(127, 135) for suffix in ("N", "C")}
+    | {"TMT135N"}
+    | {f"iTRAQ{n}" for n in range(113, 122)}
+    | {"SILAC light", "SILAC medium", "SILAC heavy"}
+)
+
+# placeholder cell values the SDRF spec allows in any column
+_PLACEHOLDERS = ("not available", "not applicable")
+
+
 def check_samplesheet(
     spark: SparkSession,
     path: str,
@@ -49,19 +90,178 @@ def check_samplesheet(
     use_ols_cache_only: bool = False,
 ) -> list[str]:
     """Validate an SDRF sample sheet; returns a list of error strings
-    (empty = valid). Mirrors the reference's messages exactly — its tests
-    assert on them."""
+    (empty = valid). Minimal-mode messages mirror the reference exactly —
+    its tests assert on them."""
     if not minimal:
-        if not HAVE_SDRF_PIPELINES:  # pragma: no cover
-            raise NotImplementedError(
-                "Full SDRF schema validation requires the sdrf-pipelines "
-                "package (OLS ontology checks); run with minimal=True here."
+        if HAVE_SDRF_PIPELINES:  # pragma: no cover - needs sdrf-pipelines
+            df = read_sdrf(path)
+            return df.validate_sdrf(
+                template=template, use_ols_cache_only=use_ols_cache_only
             )
-        df = read_sdrf(path)  # pragma: no cover
-        return df.validate_sdrf(
-            template=template, use_ols_cache_only=use_ols_cache_only
-        )  # pragma: no cover
+        logger.warning(
+            "sdrf-pipelines is not importable: falling back to the native "
+            "template tier (structural + value checks; OLS ontology lookups "
+            "skipped)."
+        )
+        return _validate_template(spark, path, template)
     return _validate_minimal(spark, path)
+
+
+def _validate_template(
+    spark: SparkSession, path: str, template: str
+) -> list[str]:
+    """Native full-template tier: structural SDRF-Proteomics rules.
+
+    Header rules run driver-side (a header is tiny); every cell-level rule is
+    folded into ONE Spark aggregate so the sheet is scanned exactly once no
+    matter how many rules apply.
+    """
+    if template not in TEMPLATE_REQUIRED_COLUMNS:
+        return [
+            f"ERROR: Unknown template '{template}'. Known templates: "
+            + ", ".join(sorted(TEMPLATE_REQUIRED_COLUMNS))
+        ]
+
+    errors = _validate_minimal(spark, path)
+    if errors and errors[0].endswith("no data rows."):
+        return errors
+
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    cols = df.columns
+    lower = [c.lower() for c in cols]
+
+    for col in TEMPLATE_REQUIRED_COLUMNS[template]:
+        if col not in lower and not any(
+            c.startswith(col) for c in lower
+        ):
+            msg = f"ERROR: Required column '{col}' is missing from the SDRF file."
+            if msg not in errors:
+                errors.append(msg)
+
+    # --- header ordering (SDRF spec: source name, characteristics...,
+    # assay name, comment..., factor value... last) -------------------------
+    if lower and lower[0] != "source name":
+        errors.append("ERROR: 'source name' must be the first SDRF column.")
+    if "assay name" in lower:
+        assay_at = lower.index("assay name")
+        late_char = [
+            cols[i]
+            for i in range(assay_at + 1, len(lower))
+            if lower[i].startswith("characteristics[")
+        ]
+        if late_char:
+            errors.append(
+                "ERROR: characteristics columns must appear before 'assay "
+                f"name': {late_char}"
+            )
+        early_comment = [
+            cols[i] for i in range(assay_at) if lower[i].startswith("comment[")
+        ]
+        if early_comment:
+            errors.append(
+                "ERROR: comment columns must appear after 'assay name': "
+                f"{early_comment}"
+            )
+    factor_positions = [
+        i for i, c in enumerate(lower) if c.startswith("factor value[")
+    ]
+    if factor_positions and factor_positions[-1] != len(lower) - 1:
+        errors.append("ERROR: factor value columns must be the last SDRF columns.")
+    non_factor_after = [
+        cols[i]
+        for i in range(min(factor_positions), len(lower))
+        if not lower[i].startswith("factor value[")
+    ] if factor_positions else []
+    if non_factor_after:
+        errors.append(
+            f"ERROR: non-factor columns after factor value columns: {non_factor_after}"
+        )
+
+    # --- cell-level rules: one aggregate pass ------------------------------
+    def _col(name: str):
+        for c in cols:
+            if c.lower() == name:
+                return F.col(f"`{c}`")
+        return None
+
+    aggs: list = []
+    agg_err: list[str] = []
+
+    present_required = [
+        name for name in TEMPLATE_REQUIRED_COLUMNS[template] if _col(name) is not None
+    ]
+    for name in present_required:
+        c = _col(name)
+        empty = F.sum(
+            (c.isNull() | (F.trim(c) == "")).cast("long")
+        )
+        aggs.append(empty.alias(f"empty_{len(aggs)}"))
+        agg_err.append(
+            f"ERROR: Column '{name}' contains {{n}} empty cell(s); use "
+            "'not available' / 'not applicable' instead."
+        )
+
+    label = _col("comment[label]")
+    if label is not None:
+        bad = F.sum(
+            (
+                ~F.lower(label).isin(
+                    *[v.lower() for v in VALID_LABELS | set(_PLACEHOLDERS)]
+                )
+            ).cast("long")
+        )
+        aggs.append(bad.alias(f"label_{len(aggs)}"))
+        agg_err.append(
+            "ERROR: comment[label] contains {n} value(s) outside the SDRF "
+            "label vocabulary (TMT/iTRAQ/SILAC channels or 'label free sample')."
+        )
+
+    for name in ("comment[fraction identifier]", "comment[technical replicate]"):
+        c = _col(name)
+        if c is not None:
+            nonpos = F.sum(
+                (
+                    c.try_cast("int").isNull() | (c.try_cast("int") < 1)
+                ).cast("long")
+            )
+            aggs.append(nonpos.alias(f"num_{len(aggs)}"))
+            agg_err.append(
+                f"ERROR: Column '{name}' must contain positive integers "
+                "({n} invalid value(s))."
+            )
+
+    if aggs:
+        counts = df.agg(*aggs).first()
+        for n_bad, msg in zip(counts, agg_err):
+            if n_bad and n_bad > 0:
+                errors.append(msg.format(n=n_bad))
+
+    # duplicate run definitions: the same raw file must not map to the same
+    # (fraction, label, technical replicate) twice
+    run_cols = [
+        _col(n)
+        for n in (
+            "comment[data file]",
+            "comment[fraction identifier]",
+            "comment[label]",
+            "comment[technical replicate]",
+        )
+    ]
+    if all(c is not None for c in run_cols):
+        dups = (
+            df.groupBy(*run_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            errors.append(
+                "ERROR: Duplicate run definition: the same (data file, "
+                "fraction, label, technical replicate) combination appears "
+                "more than once."
+            )
+    return errors
 
 
 def _validate_minimal(spark: SparkSession, path: str) -> list[str]:

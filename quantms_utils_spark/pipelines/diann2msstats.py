@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
 from quantms_utils_spark.functions import sanitize_sequence
+from quantms_utils_spark.sinks import write_single_csv
 from quantms_utils_spark.operators.joins import join_many_to_one, unmatched_keys
 from quantms_utils_spark.sources.design import read_experimental_design
 from quantms_utils_spark.sources.report import read_diann_report
@@ -82,6 +83,13 @@ def diann_to_msstats(
     report = read_diann_report(spark, report_path, qvalue_threshold)
     s_table, f_table = read_experimental_design(spark, design_path)
 
+    if not HAVE_PYOPENMS:
+        logger.warning(
+            "pyopenms is not importable: PeptideSequence values will NOT be "
+            "AASequence-normalized (sequences pass through sanitization only "
+            "and may diverge from reference output)."
+        )
+
     multiplexed = (
         "Channel" in report.columns
         and report.select(F.countDistinct("Channel")).collect()[0][0] > 1
@@ -136,12 +144,17 @@ def diann_to_msstats(
     joined = join_many_to_one(out, design_lookup, merge_keys, how="left")
 
     unmatched = unmatched_keys(out, design_lookup, merge_keys)
-    bad_runs = [r["Run"] for r in unmatched.collect()]
+    # Bounded diagnostic collect: a malformed design can mismatch every
+    # distinct run — never pull an unbounded key set to the driver.
+    bad_runs = [r["Run"] for r in unmatched.limit(100).collect()]
     if bad_runs:
+        n_bad = unmatched.count() if len(bad_runs) == 100 else len(bad_runs)
         logger.warning(
-            "Run(s) in DIA-NN report have no match in experimental design: %s. "
-            "These rows will be dropped. Check that Run names (spectra file "
-            "stems) match Spectra_Filepath in the design.",
+            "%d run(s) in DIA-NN report have no match in experimental design "
+            "(showing up to 100): %s. These rows will be dropped. Check that "
+            "Run names (spectra file stems) match Spectra_Filepath in the "
+            "design.",
+            n_bad,
             bad_runs,
         )
         # Drop precisely the JOIN-MISS rows (anti-join on the keys) — a
@@ -151,7 +164,8 @@ def diann_to_msstats(
 
     if out_dir is not None:
         prefix = Path(design_path).stem
-        target = str(Path(out_dir) / f"{prefix}_msstats_in.csv")
-        joined.coalesce(1).write.mode("overwrite").csv(target, header=True)
+        target = write_single_csv(
+            joined, Path(out_dir) / f"{prefix}_msstats_in.csv"
+        )
         logger.info("MSstats input written to %s", target)
     return joined

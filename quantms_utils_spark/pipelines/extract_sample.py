@@ -14,6 +14,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import broadcast
 
+from quantms_utils_spark.sinks import write_single_csv
 from quantms_utils_spark.sources.design import _lines_to_sdf, _read_lines, split_two_table_lines
 from quantms_utils_spark.validation import SampleSheetError
 
@@ -47,6 +48,7 @@ def extract_sample(
         )
 
     if out_dir is not None:
-        target = str(Path(out_dir) / f"{Path(design_path).stem}_sample.csv")
-        result.coalesce(1).write.mode("overwrite").csv(target, header=True, sep="\t")
+        write_single_csv(
+            result, Path(out_dir) / f"{Path(design_path).stem}_sample.csv", sep="\t"
+        )
     return result

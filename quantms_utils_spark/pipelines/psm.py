@@ -55,16 +55,19 @@ def convert_psms(
     """Explode identifications into the reference's 21-column PSM table."""
     scan = F.regexp_extract(F.col("spectrum_reference"), r"(?:spectrum|scan)=(\d+)", 1)
     ids = identifications.withColumn("scan_number", F.nullif(scan, F.lit("")))
-    # skip-with-warning on unextractable scans (reference :123-129)
-    ids = ids.filter(F.col("scan_number").isNotNull()).withColumn(
-        "scan_number", F.col("scan_number").cast("int")
-    )
+    # skip-with-warning on unextractable scans (reference :123-129);
+    # try_cast so a pathological digit run becomes a null (dropped) rather
+    # than an ANSI runtime CAST error killing the job.
+    ids = ids.withColumn(
+        "scan_number", F.col("scan_number").try_cast("int")
+    ).filter(F.col("scan_number").isNotNull())
 
     exploded = ids.select(
         "reference_file_name",
         "retention_time",
         "exp_mass_to_charge",
         "search_engines",
+        "score_type",
         "scan_number",
         F.explode("hits").alias("hit"),
     )
@@ -88,9 +91,15 @@ def convert_psms(
             )
         )
     )
+    # hit.score only stands in for the q-value when the run is multi-engine
+    # AND the peptide id's score type actually is a q-value (reference
+    # psm_conversion.py:144-146); CV-accession/meta q-values always win.
     global_qvalue = F.coalesce(
         F.col("hit.qvalue_meta"),
-        F.when(multi_engine, F.col("hit.score")),
+        F.when(
+            multi_engine & F.col("score_type").contains("q-value"),
+            F.col("hit.score"),
+        ),
     )
 
     peptidoform = F.col("hit.peptidoform")
@@ -124,7 +133,11 @@ def convert_psms(
     if ms2_info is not None:
         peaks = ms2_info.select(
             F.col("reference_file_name"),
-            F.col("scan").cast("int").alias("scan_number"),
+            # _scan_from_native_id falls back to the raw nativeID string when
+            # no scan=/spectrum= token exists; try_cast turns that into a null
+            # join miss (reference behavior: string compare never matches)
+            # instead of an ANSI CAST error.
+            F.col("scan").try_cast("int").alias("scan_number"),
             "mz_array",
             "intensity_array",
         )

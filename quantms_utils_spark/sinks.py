@@ -1,0 +1,40 @@
+"""Single-file sinks.
+
+Spark's CSV writer always produces a *directory* of part files; the
+reference's MSstats / sample outputs are single CSV **files** at an exact
+path (diann2msstats.py:129, extract_sample.py:58) that downstream R tooling
+opens directly. ``write_single_csv`` keeps the write distributed-correct
+(coalesce(1) still streams through one task, no driver materialization) and
+then promotes the lone part file to the target path.
+
+At 100 TB these artifacts stay small — they are end-of-pipeline summary
+tables, not data-plane outputs — so a single-file sink is the right contract;
+the data-plane sinks (parquet, hive-partitioned) live in the pipelines.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(
+    df: DataFrame, target: str | Path, sep: str = ",", header: bool = True
+) -> str:
+    """Write ``df`` as ONE csv file at exactly ``target`` (not a directory)."""
+    target = Path(target)
+    tmp = target.with_name(target.name + ".__spark_tmp__")
+    df.coalesce(1).write.mode("overwrite").csv(str(tmp), header=header, sep=sep)
+    parts = sorted(tmp.glob("part-*"))
+    if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees one part
+        raise RuntimeError(f"expected exactly one part file in {tmp}, got {len(parts)}")
+    if target.exists():
+        if target.is_dir():
+            shutil.rmtree(target)
+        else:
+            target.unlink()
+    shutil.move(str(parts[0]), str(target))
+    shutil.rmtree(tmp)
+    return str(target)

@@ -54,6 +54,7 @@ PSM_ID_SCHEMA = StructType(
         StructField("retention_time", DoubleType(), True),
         StructField("exp_mass_to_charge", DoubleType(), True),
         StructField("search_engines", ArrayType(StringType()), True),
+        StructField("score_type", StringType(), True),
         StructField("hits", ArrayType(HIT_SCHEMA), True),
     ]
 )
@@ -78,6 +79,13 @@ def synthetic_identifications(stem: str, n_ids: int = 60) -> pd.DataFrame:
     rng = np.random.RandomState(_stem_seed(stem) ^ 0x5A5A)
     engines = ["Comet"] if rng.rand() < 0.5 else ["MS-GF+", "Comet"]
     multi = len(engines) > 1
+    # ConsensusID runs usually carry a 'q-value' score type after FDR, but
+    # not always (reference psm_conversion.py:144-146 gates on it) — vary it
+    # deterministically so both branches of the gate are exercised.
+    if multi:
+        score_type = "q-value" if rng.rand() < 0.7 else "Posterior Error Probability"
+    else:
+        score_type = "expect" if engines == ["Comet"] else "SpecEValue"
     rows = []
     for _ in range(n_ids):
         i = int(rng.randint(0, 200))
@@ -116,6 +124,7 @@ def synthetic_identifications(stem: str, n_ids: int = 60) -> pd.DataFrame:
                 rt,
                 mz,
                 engines,
+                score_type,
                 hits,
             )
         )
@@ -209,6 +218,7 @@ def _parse_pyopenms_idxml(path: str) -> pd.DataFrame:  # pragma: no cover
                 float(pid.getRT()),
                 float(pid.getMZ()),
                 engines,
+                pid.getScoreType(),
                 hits,
             )
         )

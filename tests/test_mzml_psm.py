@@ -189,6 +189,30 @@ class TestPsmConvert:
         with_decoys = convert_psms(ids, ms2, export_decoy_psm=True)
         assert with_decoys.filter(F.col("is_decoy") == 1).count() > 0
 
+    def test_global_qvalue_gated_on_score_type(self, spark):
+        """hit.score stands in for global_qvalue ONLY when the run is
+        multi-engine AND the peptide id score type contains 'q-value'
+        (reference psm_conversion.py:144-146); meta q-values always win."""
+        ids = read_identifications(
+            spark, ["runA.idXML", "runB.idXML"], parser="synthetic"
+        )
+        # force a multi-engine shape so the gate is what decides
+        ids = ids.withColumn("search_engines", F.array(F.lit("MS-GF+"), F.lit("Comet")))
+
+        gated = convert_psms(
+            ids.withColumn("score_type", F.lit("q-value")), None
+        )
+        # q-value score type: every hit has a global_qvalue (meta or score)
+        assert gated.filter(F.col("global_qvalue").isNull()).count() == 0
+
+        ungated = convert_psms(
+            ids.withColumn("score_type", F.lit("Posterior Error Probability")), None
+        )
+        # non-q-value score type: hits without a meta q-value stay null
+        assert ungated.filter(F.col("global_qvalue").isNull()).count() > 0
+        # but meta q-values still populate regardless of the gate
+        assert ungated.filter(F.col("global_qvalue").isNotNull()).count() > 0
+
     def test_modifications_parsed(self, spark):
         ids = read_identifications(spark, ["runA.idXML"], parser="synthetic")
         psms = convert_psms(ids, None)

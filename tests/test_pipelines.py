@@ -122,8 +122,11 @@ class TestDiann2MSstats:
         report = _write(tmp_path, "report.tsv", REPORT_TSV)
         design = _write(tmp_path, "design.tsv", LEGACY_DESIGN)
         diann_to_msstats(spark, report, design, out_dir=str(tmp_path))
-        out_files = list((tmp_path / "design_msstats_in.csv").glob("*.csv"))
-        assert len(out_files) == 1
+        target = tmp_path / "design_msstats_in.csv"
+        # single FILE at the exact path (not a Spark part-file directory)
+        assert target.is_file()
+        header = target.read_text().splitlines()[0]
+        assert "PeptideSequence" in header
 
 
 class TestExtractSample:
@@ -178,6 +181,100 @@ class TestCheckSamplesheet:
         p = _write(tmp_path, "nomod.sdrf.tsv", content)
         errors = check_samplesheet(spark, p)
         assert any("modification parameters" in e for e in errors)
+
+
+SDRF_FULL_HEADER = (
+    "Source Name\tCharacteristics[organism]\tCharacteristics[organism part]\t"
+    "Characteristics[disease]\tCharacteristics[cell type]\tAssay Name\t"
+    "Technology Type\tComment[data file]\tComment[label]\t"
+    "Comment[cleavage agent details]\tComment[instrument]\t"
+    "Comment[proteomics data acquisition method]\t"
+    "Comment[modification parameters]\tComment[technical replicate]\t"
+    "Comment[fraction identifier]\tFactor Value[disease]"
+)
+SDRF_FULL_ROW = (
+    "s1\thomo sapiens\tliver\tnormal\tnot available\ta1\tproteomics\t"
+    "f1.raw\tTMT126\tTrypsin\tQE\tDDA\tCarbamidomethyl\t1\t1\tnormal"
+)
+SDRF_FULL = SDRF_FULL_HEADER + "\n" + SDRF_FULL_ROW + "\n"
+
+
+class TestCheckSamplesheetTemplate:
+    """Native full-template tier (runs when sdrf-pipelines is absent)."""
+
+    def _errors(self, spark, tmp_path, content, name="t.sdrf.tsv"):
+        return check_samplesheet(
+            spark, _write(tmp_path, name, content), minimal=False
+        )
+
+    def test_valid_full_sheet(self, spark, tmp_path):
+        assert self._errors(spark, tmp_path, SDRF_FULL) == []
+
+    def test_unknown_template(self, spark, tmp_path):
+        p = _write(tmp_path, "u.sdrf.tsv", SDRF_FULL)
+        errors = check_samplesheet(spark, p, template="nope", minimal=False)
+        assert errors and "Unknown template" in errors[0]
+
+    def test_missing_template_column(self, spark, tmp_path):
+        content = SDRF_FULL.replace("Characteristics[organism]", "Characteristics[x]")
+        errors = self._errors(spark, tmp_path, content)
+        assert any("characteristics[organism]" in e for e in errors)
+
+    def test_source_name_must_be_first(self, spark, tmp_path):
+        header = SDRF_FULL_HEADER.split("\t")
+        header[0], header[1] = header[1], header[0]
+        row = SDRF_FULL_ROW.split("\t")
+        row[0], row[1] = row[1], row[0]
+        errors = self._errors(
+            spark, tmp_path, "\t".join(header) + "\n" + "\t".join(row) + "\n"
+        )
+        assert any("must be the first SDRF column" in e for e in errors)
+
+    def test_characteristics_after_assay_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "Comment[fraction identifier]", "Characteristics[strain]"
+        ).replace("Characteristics[strain]\tFactor", "Characteristics[strain]\tFactor")
+        errors = self._errors(spark, tmp_path, content)
+        assert any("before 'assay name'" in e for e in errors)
+        # the fraction column is now missing too
+        assert any("fraction identifier" in e for e in errors)
+
+    def test_factor_values_must_be_last(self, spark, tmp_path):
+        header = SDRF_FULL_HEADER.replace(
+            "Comment[technical replicate]\t", ""
+        ) + "\tComment[technical replicate]"
+        row = SDRF_FULL_ROW.replace("\t1\t1\t", "\t1\t") + "\t1"
+        errors = self._errors(spark, tmp_path, header + "\n" + row + "\n")
+        assert any("factor value columns" in e.lower() for e in errors)
+
+    def test_bad_label_value(self, spark, tmp_path):
+        content = SDRF_FULL.replace("\tTMT126\t", "\tTMT999\t")
+        errors = self._errors(spark, tmp_path, content)
+        assert any("label vocabulary" in e for e in errors)
+
+    def test_empty_cell_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace("\tliver\t", "\t\t")
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "organism part" in e and "empty cell" in e for e in errors
+        )
+
+    def test_nonnumeric_fraction(self, spark, tmp_path):
+        content = SDRF_FULL.replace("\t1\t1\t", "\t1\tF1\t")
+        errors = self._errors(spark, tmp_path, content)
+        assert any("fraction identifier" in e and "positive integers" in e for e in errors)
+
+    def test_duplicate_run_definition(self, spark, tmp_path):
+        content = SDRF_FULL + SDRF_FULL_ROW.replace("s1\t", "s2\t") + "\n"
+        errors = self._errors(spark, tmp_path, content)
+        assert any("Duplicate run definition" in e for e in errors)
+
+    def test_multiplexed_channels_not_duplicates(self, spark, tmp_path):
+        row2 = SDRF_FULL_ROW.replace("\tTMT126\t", "\tTMT127N\t").replace(
+            "s1\t", "s2\t"
+        )
+        content = SDRF_FULL + row2 + "\n"
+        assert self._errors(spark, tmp_path, content) == []
 
 
 class TestDiannCfg:
