@@ -96,7 +96,7 @@ def dianncfg_cmd(enzyme, fix_mod, var_mod, out_dir):
 @click.option("--ms2_file", is_flag=True, default=False)
 @click.option("--feature_detection", is_flag=True, default=False)
 @click.option("--out_dir", default=".", type=click.Path())
-@click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "synthetic"]))
+@click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "xml", "synthetic"]))
 @click.option("--master", default=None)
 def mzmlstats_cmd(ms_path, ms2_file, feature_detection, out_dir, parser, master):
     from pathlib import Path
@@ -119,7 +119,7 @@ def mzmlstats_cmd(ms_path, ms2_file, feature_detection, out_dir, parser, master)
 @click.option("--ms2_file", default=None, type=click.Path())
 @click.option("--export_decoy_psm", is_flag=True, default=False)
 @click.option("--out_dir", default=".", type=click.Path())
-@click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "synthetic"]))
+@click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "xml", "synthetic"]))
 @click.option("--master", default=None)
 def psmconvert_cmd(idxml, ms2_file, export_decoy_psm, out_dir, parser, master):
     from pathlib import Path

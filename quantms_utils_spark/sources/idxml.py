@@ -7,10 +7,12 @@ in pipelines/psm.py — so the parser yields data in the shape the file has,
 and Catalyst handles the flattening.
 
 Backends mirror sources/mzml.py: ``pyopenms`` (real IdXMLFile parsing,
-reference psm_conversion.py:87-93) gated behind import; ``synthetic``
-generates deterministic identifications whose scan numbers reference the
-synthetic mzML spectra of the same stem (same seed derivation), so the
-PSM↔spectrum join (J4) is exercised end-to-end without the C++ library.
+reference psm_conversion.py:87-93) gated behind import; ``xml`` (pure-Python
+parser of the public OpenMS idXML format — real file bytes, no C++);
+``synthetic`` generates deterministic identifications whose scan numbers
+reference the synthetic mzML spectra of the same stem (same seed
+derivation), so the PSM↔spectrum join (J4) is exercised end-to-end without
+any input files. ``auto`` = pyopenms > xml (if the file exists) > synthetic.
 """
 
 from __future__ import annotations
@@ -138,12 +140,16 @@ def read_identifications(
 ) -> DataFrame:
     """Nested identifications DataFrame; one partition per idXML file."""
     if parser == "auto":
-        parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
-    if parser not in ("pyopenms", "synthetic"):
+        if HAVE_PYOPENMS:  # pragma: no cover - needs pyopenms
+            parser = "pyopenms"
+        else:
+            parser = "xml" if paths and Path(paths[0]).exists() else "synthetic"
+    if parser not in ("pyopenms", "xml", "synthetic"):
         raise ValueError(f"unknown parser {parser!r}")
     if parser == "pyopenms" and not HAVE_PYOPENMS:  # pragma: no cover
         raise NotImplementedError(
-            "pyopenms is not importable; pass parser='synthetic'"
+            "pyopenms is not importable; use parser='xml' (pure-Python idXML "
+            "parsing) or 'synthetic'"
         )
 
     paths_df = spark.createDataFrame(
@@ -156,10 +162,117 @@ def read_identifications(
                 stem = Path(path).name.split(".")[0]
                 if parser == "pyopenms":  # pragma: no cover - needs pyopenms
                     yield _parse_pyopenms_idxml(path)
+                elif parser == "xml":
+                    yield _parse_xml_idxml(path)
                 else:
                     yield synthetic_identifications(stem)
 
     return paths_df.mapInPandas(parse, schema=PSM_ID_SCHEMA)
+
+
+def _parse_xml_idxml(path: str) -> pd.DataFrame:
+    """Pure-Python parse of the public OpenMS idXML format.
+
+    Produces the same nested frame as ``_parse_pyopenms_idxml`` (reference
+    psm_conversion.py:87-108): engine detection from the ConsensusID
+    SearchParameters SE:* user params, run stem from the spectra_data
+    protein-identification param, one row per PeptideIdentification with its
+    hits nested. Hit rank is the 1-based position in file order (idXML does
+    not store ranks; OpenMS keeps hits sorted best-first).
+    """
+    from xml.etree.ElementTree import parse as etree_parse
+
+    root = etree_parse(path).getroot()
+
+    # SearchParameters id -> set of UserParam names (for SE:* detection)
+    search_params: dict[str, set[str]] = {}
+    for sp in root.iter("SearchParameters"):
+        search_params[sp.get("id", "")] = {
+            up.get("name", "") for up in sp if up.tag == "UserParam"
+        }
+
+    prot_elems = list(root.iter("ProteinIdentification"))
+    if not prot_elems:
+        raise ValueError(f"No protein identification entries found in {path}")
+
+    rows = []
+    for run in root.iter("IdentificationRun"):
+        engine = run.get("search_engine", "")
+        params = search_params.get(run.get("search_parameters_ref", ""), set())
+        if "ConsensusID" in engine:
+            engines = [
+                e
+                for e, key in (
+                    ("MS-GF+", "SE:MS-GF+"),
+                    ("Comet", "SE:Comet"),
+                    ("Sage", "SE:Sage"),
+                )
+                if key in params
+            ]
+        else:
+            engines = [engine]
+
+        prot = run.find("ProteinIdentification")
+        if prot is None:
+            continue
+        # accession lookup for PeptideHit protein_refs
+        accession = {
+            ph.get("id", ""): ph.get("accession", "")
+            for ph in prot.iter("ProteinHit")
+        }
+        spectra_data = None
+        for up in prot.iter("UserParam"):
+            if up.get("name") == "spectra_data":
+                spectra_data = up.get("value", "").strip("[]").split(",")[0].strip()
+        if spectra_data is None:
+            raise ValueError(f"No spectra_data entry found in {path}")
+        # Stem derivation MUST match sources/mzml.py (see _parse_pyopenms_idxml)
+        ref = Path(spectra_data).name.split(".")[0]
+
+        for pid in run.iter("PeptideIdentification"):
+            hits = []
+            for rank, hit in enumerate(pid.iter("PeptideHit"), start=1):
+                meta = {
+                    up.get("name"): up.get("value")
+                    for up in hit.iter("UserParam")
+                }
+                refs = (hit.get("protein_refs") or "").split()
+                starts = [int(v) for v in (hit.get("start") or "").split()]
+                ends = [int(v) for v in (hit.get("end") or "").split()]
+                qvalue = meta.get("MS:1001491", meta.get("q-value"))
+                pep = meta.get("Posterior Error Probability_score")
+                support = meta.get("consensus_support")
+                hits.append(
+                    {
+                        "peptidoform": hit.get("sequence"),
+                        "charge": int(hit.get("charge", "0")),
+                        "score": float(hit.get("score", "nan")),
+                        "is_decoy": 0 if meta.get("target_decoy") == "target" else 1,
+                        "hit_rank": rank,
+                        "consensus_support": float(support)
+                        if support is not None
+                        else None,
+                        "qvalue_meta": float(qvalue) if qvalue is not None else None,
+                        "posterior_error_probability": float(pep)
+                        if pep is not None
+                        else None,
+                        "protein_accessions": [accession.get(r, r) for r in refs],
+                        "protein_start_positions": starts,
+                        "protein_end_positions": ends,
+                    }
+                )
+            rows.append(
+                (
+                    ref,
+                    pid.get("spectrum_reference"),
+                    float(pid.get("RT", "nan")),
+                    float(pid.get("MZ", "nan")),
+                    engines,
+                    pid.get("score_type"),
+                    hits,
+                )
+            )
+    return pd.DataFrame(rows, columns=[f.name for f in PSM_ID_SCHEMA.fields])
 
 
 def _parse_pyopenms_idxml(path: str) -> pd.DataFrame:  # pragma: no cover

@@ -12,10 +12,16 @@ Parser backends:
 - ``pyopenms``: real mzML parsing (MzMLFile/MSExperiment, C++), used when the
   library is importable. MS-level pushdown maps to PeakFileOptions
   (reference ms1_feature_finder.py:51-52).
+- ``xml``: pure-Python streaming parser of the public HUPO-PSI mzML XML
+  format (sources/mzml_xml.py) — parses REAL file bytes (base64 + zlib peak
+  arrays) with no C++ dependency. MS-level pushdown skips binary decode.
 - ``synthetic``: a deterministic generator seeded by the file stem — NOT a
   parser. It exists so the distributed plumbing (partitioning, ordering,
-  as-of windows, joins against PSMs of the same stem) is fully testable in
-  environments without pyopenms. Clearly marked; never silently substituted.
+  as-of windows, joins against PSMs of the same stem) is fully testable
+  without any input files. Clearly marked; never silently substituted.
+
+``auto`` resolves to pyopenms when importable, else ``xml`` when the first
+path resolves to an existing file, else ``synthetic``.
 """
 
 from __future__ import annotations
@@ -171,15 +177,7 @@ def read_spectra(
     synthetic_spectra_per_file: int = 200,
 ) -> DataFrame:
     """Spectra DataFrame over many runs; one partition per file."""
-    if parser == "auto":
-        parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
-    if parser not in ("pyopenms", "synthetic"):
-        raise ValueError(f"unknown parser {parser!r}")
-    if parser == "pyopenms" and not HAVE_PYOPENMS:  # pragma: no cover
-        raise NotImplementedError(
-            "pyopenms is not importable in this environment; pass "
-            "parser='synthetic' for the deterministic test backend"
-        )
+    parser = resolve_parser(parser, paths)
 
     levels = list(ms_levels) if ms_levels else None
     paths_df = spark.createDataFrame(
@@ -191,6 +189,10 @@ def read_spectra(
             for path in pdf["path"]:
                 if parser == "pyopenms":  # pragma: no cover - needs pyopenms
                     out = _parse_pyopenms(resolve_ms_path(path), levels)
+                elif parser == "xml":
+                    from quantms_utils_spark.sources.mzml_xml import parse_mzml_xml
+
+                    out = parse_mzml_xml(resolve_ms_path(path), levels)
                 else:
                     stem = Path(path).name.split(".")[0]
                     out = synthetic_spectra(stem, synthetic_spectra_per_file)
@@ -199,3 +201,23 @@ def read_spectra(
                 yield out
 
     return paths_df.mapInPandas(parse, schema=SPECTRUM_SCHEMA)
+
+
+def resolve_parser(parser: str, paths: Sequence[str]) -> str:
+    """Resolve the ``auto`` backend choice; validate explicit choices."""
+    if parser == "auto":
+        if HAVE_PYOPENMS:  # pragma: no cover - needs pyopenms
+            return "pyopenms"
+        try:
+            resolve_ms_path(paths[0])
+            return "xml"
+        except (ValueError, IndexError):
+            return "synthetic"
+    if parser not in ("pyopenms", "xml", "synthetic"):
+        raise ValueError(f"unknown parser {parser!r}")
+    if parser == "pyopenms" and not HAVE_PYOPENMS:  # pragma: no cover
+        raise NotImplementedError(
+            "pyopenms is not importable in this environment; use parser='xml' "
+            "(pure-Python mzML parsing) or 'synthetic' (test generator)"
+        )
+    return parser

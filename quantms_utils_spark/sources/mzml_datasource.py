@@ -39,10 +39,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from quantms_utils_spark.sources.mzml import (
-    HAVE_PYOPENMS,
     SPECTRUM_SCHEMA,
     _parse_pyopenms,
     resolve_ms_path,
+    resolve_parser,
     synthetic_spectra,
 )
 
@@ -55,14 +55,12 @@ class MzmlInputPartition(InputPartition):
 class MzmlDataSourceReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
-        self.parser = options.get("parser", "auto")
-        if self.parser == "auto":
-            self.parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
         self.n_synthetic = int(options.get("synthetic_spectra_per_file", "200"))
         raw = options.get("paths") or options.get("path")
         if not raw:
             raise ValueError("mzml source needs .load(path) or .option('paths', ...)")
         self.paths = self._expand(raw)
+        self.parser = resolve_parser(options.get("parser", "auto"), self.paths)
         # pushed-down predicate state
         self.ms_levels: list[int] | None = None
         self.rt_min: tuple[float, bool] | None = None  # (bound, inclusive)
@@ -133,6 +131,10 @@ class MzmlDataSourceReader(DataSourceReader):
 
         if self.parser == "pyopenms":  # pragma: no cover - needs pyopenms
             pdf = _parse_pyopenms(resolve_ms_path(partition.path), self.ms_levels)
+        elif self.parser == "xml":
+            from quantms_utils_spark.sources.mzml_xml import parse_mzml_xml
+
+            pdf = parse_mzml_xml(resolve_ms_path(partition.path), self.ms_levels)
         else:
             stem = Path(partition.path).name.split(".")[0]
             pdf = synthetic_spectra(stem, self.n_synthetic)
@@ -199,9 +201,9 @@ class MzmlStreamReader(DataSourceStreamReader):
     def read(self, partition: MzmlInputPartition):
         reader = MzmlDataSourceReader.__new__(MzmlDataSourceReader)
         reader.schema = self.schema
-        reader.parser = self.options.get("parser", "auto")
-        if reader.parser == "auto":
-            reader.parser = "pyopenms" if HAVE_PYOPENMS else "synthetic"
+        reader.parser = resolve_parser(
+            self.options.get("parser", "auto"), [partition.path]
+        )
         reader.n_synthetic = int(self.options.get("synthetic_spectra_per_file", "200"))
         reader.ms_levels = None
         reader.rt_min = None
