@@ -80,46 +80,72 @@ def minhash_signatures(
     text_col: str,
     n_hashes: int = 8,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """k MinHash signature columns ``sig_0..sig_{k-1}`` per document.
 
-    Hash family: each seeded ``md5(seed || '|' || shingle)`` yields FOUR
-    independent 32-bit minhashes (its four disjoint 8-hex-char windows), so k
-    hashes cost ceil(k/4) md5 evaluations per shingle instead of k — md5 is
-    the dominant map-side cost of the whole pipeline. The seeded digests are
-    projected once before the aggregate so codegen computes each exactly once.
-    Deterministic and reproducible in any engine with md5/substr, which is
-    what lets the DuckDB oracle verify the full pipeline rather than a mock.
+    Hash families:
+    - ``"md5"`` (oracle-parity): each seeded ``md5(seed || '|' || shingle)``
+      yields FOUR independent 32-bit minhashes (its four disjoint 8-hex-char
+      windows), so k hashes cost ceil(k/4) md5 evaluations per shingle.
+      Deterministic and reproducible in any engine with md5/substr, which is
+      what lets the DuckDB oracle verify the full pipeline rather than a mock.
+    - ``"xxhash64"`` (the default): k seeded
+      xxhash64 evaluations per shingle — xxHash is an order of magnitude
+      cheaper per byte than md5 and stays inside whole-stage codegen. Same
+      signature contract (sig columns are longs instead of hex strings); the
+      md5 variant oracle-checks the identical pipeline structure.
+
+    Both are **map-only: no explode, no groupBy, NO SHUFFLE** — each
+    document's signature is a pure per-row projection, min over its shingles'
+    hashes via array_min(transform(...)). Duplicate shingles cannot change a
+    min, so skipping distinct is exact; the equivalent explode+group-by (what
+    the DuckDB oracle runs) returns identical values. At 100 TB this turns
+    the signature stage into map-only work that pipelines into the banding
+    aggregate's single shuffle. The shingle array is projected ONCE and
+    referenced by every hash column — Catalyst's CollapseProject keeps
+    non-cheap aliases un-duplicated, so the text is tokenized once per row,
+    not once per hash.
     """
-    # No explode, no groupBy, NO SHUFFLE: each document's signature is a pure
-    # per-row projection — min over its shingles' hashes via
-    # array_min(transform(...)). Duplicate shingles cannot change a min, so
-    # skipping distinct is exact; the equivalent explode+group-by (what the
-    # DuckDB oracle runs) returns identical values. At 100 TB this turns the
-    # signature stage into map-only work that pipelines into the banding
-    # aggregate's single shuffle.
     df = _fan_out(df)
-    grams = _grams_expr(text_col, shingle_n)
-    n_seeds = -(-n_hashes // HASHES_PER_SEED)
-    with_digests = df.filter(F.size(_words_expr(text_col)) >= shingle_n).select(
-        F.col(id_col),
-        *[
-            F.transform(
-                grams, lambda g: F.md5(F.concat(F.lit(f"{s}|"), g))
-            ).alias(f"h{s}")
-            for s in range(n_seeds)
-        ],
+    base = df.filter(F.size(_words_expr(text_col)) >= shingle_n).select(
+        F.col(id_col), _grams_expr(text_col, shingle_n).alias("_shingles")
     )
-    sigs = [
-        F.array_min(
+    sh = F.col("_shingles")
+    # NB: every F.transform lambda below must take exactly ONE parameter —
+    # PySpark interprets a second parameter as the array-index column, which
+    # would silently replace the captured loop variable.
+    if hash_family == "xxhash64":
+
+        def _xx_sig(j: int):
+            return F.array_min(
+                F.transform(sh, lambda g: F.xxhash64(F.lit(j), g))
+            ).alias(f"sig_{j}")
+
+        return base.select(F.col(id_col), *[_xx_sig(j) for j in range(n_hashes)])
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    n_seeds = -(-n_hashes // HASHES_PER_SEED)
+
+    def _digest(s: int):
+        return F.transform(
+            sh, lambda g: F.md5(F.concat(F.lit(f"{s}|"), g))
+        ).alias(f"h{s}")
+
+    def _md5_sig(j: int):
+        return F.array_min(
             F.transform(
                 F.col(f"h{j // HASHES_PER_SEED}"),
                 lambda x: F.substring(x, (j % HASHES_PER_SEED) * 8 + 1, 8),
             )
         ).alias(f"sig_{j}")
-        for j in range(n_hashes)
-    ]
-    return with_digests.select(F.col(id_col), *sigs)
+
+    with_digests = base.select(
+        F.col(id_col), *[_digest(s) for s in range(n_seeds)]
+    )
+    return with_digests.select(
+        F.col(id_col), *[_md5_sig(j) for j in range(n_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -143,16 +169,27 @@ def lsh_candidate_pairs(
     is in the *output* cardinality, not the shuffle.
     """
     n_bands = n_hashes // band_size
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat(
+    string_sigs = dict(sigs.dtypes).get("sig_0") == "string"
+    if string_sigs:  # md5 family: bucket = md5 of the band's hex signatures
+        band_hashes = F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+    else:  # xxhash64 family: bucket = xxhash64 of the band's long signatures
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
                     *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
                 )
-            )
-            for b in range(n_bands)
-        ]
-    )
+                for b in range(n_bands)
+            ]
+        )
     buckets = (
         sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket"))
         .groupBy("band", "bucket")

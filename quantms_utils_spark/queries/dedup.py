@@ -85,9 +85,23 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, md5 hash family) per document."""
+    """MinHash signatures (k=8) per document — md5 family pinned here so the
+    DuckDB oracle can reproduce every hash; the engine default (xxhash64) is
+    the production/bench path and shares the identical pipeline structure."""
     d = load(spark, sf_dir, "documents")
-    return minhash_signatures(d, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3)
+    return minhash_signatures(
+        d, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3, hash_family="md5"
+    )
+
+
+def minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-default LSH pipeline (xxhash64 family) — benchmark
+    entry; structure-identical to the oracle-checked md5 variant."""
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3, hash_family="xxhash64"
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=N_HASHES, band_size=BAND_SIZE)
 
 
 def _minhash_sig_sql_columns() -> str:
