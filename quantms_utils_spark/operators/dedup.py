@@ -329,9 +329,9 @@ def connected_components(
     ``localCheckpoint``s the label frame — iterative self-joins otherwise
     stack lineage until planning itself dominates. Convergence is detected by
     the label-sum (strictly decreasing until fixpoint, one cheap agg — no
-    extra join). For graphs with whale components at 100 TB scale, swap the
-    propagation body for the large-star/small-star rewrite; the driver loop
-    and convergence test stay the same.
+    extra join). For graphs with whale components at 100 TB scale use
+    ``connected_components_star`` (same return contract), which converges in
+    O(log² n) rounds regardless of diameter.
 
     Returns (v, label) — vertex id → component id (min member id).
     """
@@ -375,6 +375,99 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric, self-loop-free, distinct (u, v) edge frame."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(e: DataFrame):
+    """(count, hash-sum) convergence fingerprint of an edge set — works for
+    any orderable id type; decimal sum so ANSI mode cannot overflow."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    100 TB form of ``connected_components``: converges in O(log² n) rounds
+    REGARDLESS of component diameter, where min-label propagation needs
+    O(diameter) rounds and a whale component (a single giant near-clique, the
+    normal shape of a web-scale dup graph) makes that unbounded.
+
+    Each round is two hash aggregations + two joins on the node id — no
+    ``collect_list`` anywhere, so a whale's neighbor set is never
+    materialized in one row (the aggregate is a plain ``min``).
+
+    - large-star: every node v > u links to m = min(N(u) ∪ {u}) — hangs
+      larger neighbors under the local minimum.
+    - small-star: every node v ≤ u (plus u itself) links to that minimum —
+      flattens chains of smaller ids.
+
+    At the fixed point every non-root node has exactly one edge, to its
+    component minimum. Returns (v, label), identical contract to
+    ``connected_components``.
+    """
+    e = _sym(edges, src, dst).localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        # ---- large-star ---------------------------------------------------
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star ---------------------------------------------------
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = small
+        cur = _edge_fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Fixed point: e holds (node, component-min) for every non-root node.
+    # greatest/least in small-star guarantee v < u, so roots never appear
+    # on the left side.
+    labels = e.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("v"), "label"
+    )
+    roots = (
+        e.select(F.col("v")).distinct()
+        .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
+        .withColumn("label", F.col("v"))
+    )
+    return labels.unionByName(roots)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
