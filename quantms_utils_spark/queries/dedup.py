@@ -12,9 +12,9 @@ Scale design (100 TB story):
 - exact n-gram Jaccard is quadratic per shared shingle; it is the verify step
   applied to LSH candidates at scale. The standalone oracle query bounds the
   corpus (doc_id < 200) to keep the demonstration exact.
-- SimHash is a Pandas-UDF (Arrow-batched) bit-manipulation kernel — not
-  SQL-expressible in DuckDB, so it registers without an oracle (rows-only
-  check) and its correctness is property-tested in tests/.
+- SimHash is a Pandas-UDF (Arrow-batched) bit-manipulation kernel; its
+  md5-derived token hashes are re-derived in the DuckDB oracle with HUGEINT
+  nibble arithmetic, so the fingerprints are value-checked bit for bit.
 """
 
 from __future__ import annotations
@@ -251,11 +251,46 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (Arrow-batched Pandas UDF kernel).
 
-    Not SQL-expressible in the oracle dialect → rows-only check; bit-level
-    properties are asserted in tests/test_dedup.py.
+    The md5-derived token hashes make the whole bit-twiddling pipeline
+    reproducible in the oracle dialect: the DuckDB twin re-derives each
+    token's top-8-md5-bytes as a HUGEINT via nibble arithmetic, re-runs the
+    per-bit +/-1 vote, and reassembles the signed 64-bit fingerprint — so
+    even the one Python kernel in the dedup family is value-checked, not
+    just property-tested.
     """
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", simhash(F.col("text")).alias("simhash64"))
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), hx AS (
+  SELECT doc_id, substr(md5(tok), 1, 16) AS hex FROM toks2
+), hv AS (
+  -- big-endian uint64 of the first 8 md5 bytes, via per-nibble arithmetic
+  SELECT doc_id,
+    (SELECT sum((strpos('0123456789abcdef', substr(hex, i, 1)) - 1)::HUGEINT
+                << (4 * (16 - i)))
+     FROM generate_series(1, 16) g(i)) AS h
+  FROM hx
+), bits AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS s
+  FROM hv, generate_series(0, 63) t(b)
+), acc AS (
+  SELECT doc_id, b, sum(s) AS a FROM bits GROUP BY 1, 2
+), v AS (
+  SELECT doc_id, sum(CASE WHEN a > 0 THEN 1::HUGEINT << b ELSE 0 END) AS u
+  FROM acc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= (1::HUGEINT << 63) THEN u - (1::HUGEINT << 64)
+                 ELSE u END AS BIGINT) AS simhash64
+FROM v
+"""
 
 
 QUERIES = {
@@ -265,5 +300,5 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
     "dedup_lsh_verified": (lsh_verified, LSH_VERIFIED_SQL),
-    "dedup_simhash": (simhash_fingerprints, None),
+    "dedup_simhash": (simhash_fingerprints, SIMHASH_SQL),
 }
