@@ -41,7 +41,12 @@ def _run_window():
     return Window.partitionBy(RUN).orderBy(*_ORDER)
 
 
-def compute_ms_info(spectra: DataFrame, isolation_window: float = 0.7) -> DataFrame:
+def compute_ms_info(
+    spectra: DataFrame,
+    isolation_window: float = 0.7,
+    purity_tolerance_ppm: float = 100.0,
+    max_isotopes: int = 3,
+) -> DataFrame:
     """Per-spectrum statistics table (reference schema
     mzml_statistics.py:36-53; see FIXTURES.md §1)."""
     w_prev = _run_window().rowsBetween(Window.unboundedPreceding, -1)
@@ -53,21 +58,47 @@ def compute_ms_info(spectra: DataFrame, isolation_window: float = 0.7) -> DataFr
         F.when(is_ms1, F.col("intensity_array")), ignorenulls=True
     ).over(w_prev)
 
-    # In-isolation-window total intensity of the preceding MS1 spectrum — the
-    # relational form of PrecursorPurity (reference :264-268).
+    # PrecursorPurity re-expressed relationally (reference :264-268 delegates
+    # to OpenMS PrecursorPurity::computePrecursorPurity(spectrum, precursor,
+    # 100, True) — 100 ppm, ppm units): over the preceding MS1's peaks,
+    #   total_intensity  = sum of intensities inside the isolation window
+    #   target_intensity = sum of in-window peaks within the ppm tolerance of
+    #                      the selected ion m/z or one of its first
+    #                      ``max_isotopes`` isotope positions (spacing
+    #                      1.003355/charge; charge defaults to 1)
+    #   purity           = target / total
     pmz = F.col("precursor_mz")
+    charge_eff = F.coalesce(F.col("precursor_charge"), F.lit(1)).cast("double")
+    tol = pmz * F.lit(purity_tolerance_ppm * 1e-6)
+    iso = F.lit(1.003355) / charge_eff
     zipped = F.zip_with(
         prev_ms1_mz, prev_ms1_int, lambda m, i: F.struct(m.alias("m"), i.alias("i"))
     )
+
+    def _in_window(m):
+        return (m >= pmz - isolation_window) & (m <= pmz + isolation_window)
+
+    def _is_target(m):
+        cond = F.lit(False)
+        for k in range(max_isotopes + 1):
+            cond = cond | (F.abs(m - (pmz + F.lit(float(k)) * iso)) <= tol)
+        return cond
+
     in_window_total = F.aggregate(
         zipped,
         F.lit(0.0),
         lambda acc, p: acc
-        + F.when(
-            (p["m"] >= pmz - isolation_window) & (p["m"] <= pmz + isolation_window),
-            p["i"],
-        ).otherwise(F.lit(0.0)),
+        + F.when(_in_window(p["m"]), p["i"]).otherwise(F.lit(0.0)),
     )
+    target_total = F.aggregate(
+        zipped,
+        F.lit(0.0),
+        lambda acc, p: acc
+        + F.when(_in_window(p["m"]) & _is_target(p["m"]), p["i"]).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    purity = F.when(in_window_total > 0, target_total / in_window_total)
 
     ms2 = F.col("ms_level") == 2
     empty = F.size("mz_array") == 0
@@ -92,6 +123,8 @@ def compute_ms_info(spectra: DataFrame, isolation_window: float = 0.7) -> DataFr
             F.when(ms2, prev_ms1_rt).alias("precursor_rt"),
             F.when(ms2, F.col("precursor_intensity")).alias("precursor_intensity"),
             F.when(ms2, in_window_total).alias("precursor_total_intensity"),
+            F.when(ms2, target_total).alias("precursor_target_intensity"),
+            F.when(ms2, purity).alias("precursor_purity"),
             "acquisition_datetime",
             "spectrum_index",
         )

@@ -97,6 +97,54 @@ class TestMsInfo:
         )
         assert bad.count() == 0
 
+    def test_purity_ratio_bounds(self, spectra):
+        """0 ≤ purity ≤ 1 wherever defined; target ≤ total."""
+        info = compute_ms_info(spectra)
+        ms2 = info.filter(F.col("precursor_purity").isNotNull())
+        assert ms2.count() > 0
+        assert (
+            ms2.filter(
+                (F.col("precursor_purity") < 0) | (F.col("precursor_purity") > 1 + 1e-12)
+            ).count()
+            == 0
+        )
+        assert (
+            ms2.filter(
+                F.col("precursor_target_intensity")
+                > F.col("precursor_total_intensity") + 1e-9
+            ).count()
+            == 0
+        )
+
+    def test_purity_golden(self, spark):
+        """Hand-computed PrecursorPurity on a two-spectrum run.
+
+        Selected ion m/z 500.0 at charge 2 → ppm tolerance 0.05, isotope
+        spacing 1.003355/2 = 0.5016775, isolation window [499.3, 500.7].
+        MS1 peaks (m/z → intensity):
+          500.00   → 100  in window, target (selected ion)
+          500.20   → 50   in window, NOT within 0.05 of 500.0 / 500.5016775
+          500.5016 → 50   in window, target (k=1 isotope, off by 7.75e-5)
+          501.20   → 20   outside window
+          499.00   → 10   outside window
+        total = 200, target = 150 → purity 0.75
+        """
+        from quantms_utils_spark.sources.mzml import SPECTRUM_SCHEMA
+
+        rows = [
+            ("r", 0, "1", 1, 10.0,
+             [499.0, 500.0, 500.2, 500.5016, 501.2],
+             [10.0, 100.0, 50.0, 50.0, 20.0],
+             None, None, None, None),
+            ("r", 1, "2", 2, 11.0, [1.0], [1.0], 2, 500.0, 100.0, None),
+        ]
+        df = spark.createDataFrame(rows, SPECTRUM_SCHEMA)
+        info = compute_ms_info(df).filter(F.col("ms_level") == 2).collect()[0]
+        assert info["precursor_total_intensity"] == pytest.approx(200.0)
+        assert info["precursor_target_intensity"] == pytest.approx(150.0)
+        assert info["precursor_purity"] == pytest.approx(0.75)
+        assert info["precursor_rt"] == pytest.approx(10.0)
+
 
 class TestMs2InfoAndSinks:
     def test_ms2_info(self, spectra):
