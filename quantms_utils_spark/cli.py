@@ -95,10 +95,11 @@ def dianncfg_cmd(enzyme, fix_mod, var_mod, out_dir):
 @click.option("--ms_path", required=True, multiple=True)
 @click.option("--ms2_file", is_flag=True, default=False)
 @click.option("--feature_detection", is_flag=True, default=False)
+@click.option("--feature_method", default="seed", type=click.Choice(["seed", "masstrace"]))
 @click.option("--out_dir", default=".", type=click.Path())
 @click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "xml", "synthetic"]))
 @click.option("--master", default=None)
-def mzmlstats_cmd(ms_path, ms2_file, feature_detection, out_dir, parser, master):
+def mzmlstats_cmd(ms_path, ms2_file, feature_detection, feature_method, out_dir, parser, master):
     from pathlib import Path
 
     from quantms_utils_spark.pipelines.mzml_stats import write_tables
@@ -108,7 +109,8 @@ def mzmlstats_cmd(ms_path, ms2_file, feature_detection, out_dir, parser, master)
     spectra = read_spectra(spark, list(ms_path), parser=parser)
     stem = Path(ms_path[0]).name.split(".")[0] if len(ms_path) == 1 else "combined"
     outputs = write_tables(
-        spectra, out_dir, stem, ms2_file=ms2_file, feature_detection=feature_detection
+        spectra, out_dir, stem, ms2_file=ms2_file,
+        feature_detection=feature_detection, feature_method=feature_method,
     )
     for name, path in outputs.items():
         click.echo(f"{name}: {path}")

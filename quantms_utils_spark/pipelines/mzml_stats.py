@@ -235,6 +235,7 @@ def write_tables(
     stem: str,
     ms2_file: bool = False,
     feature_detection: bool = False,
+    feature_method: str = "seed",
     compression: str = "zstd",
     partition_by_run: bool = False,
 ) -> dict[str, str]:
@@ -264,6 +265,13 @@ def write_tables(
         outputs["ms2_info"] = target
     if feature_detection:
         target = f"{out_dir}/{stem}_ms1_feature_info.parquet"
-        _write(detect_features(spectra), target)
+        if feature_method == "masstrace":
+            from quantms_utils_spark.pipelines.feature_finder import (
+                detect_features_masstrace,
+            )
+
+            _write(detect_features_masstrace(spectra), target)
+        else:
+            _write(detect_features(spectra), target)
         outputs["ms1_features"] = target
     return outputs
