@@ -116,13 +116,42 @@ def minhash_signatures(
     # PySpark interprets a second parameter as the array-index column, which
     # would silently replace the captured loop variable.
     if hash_family == "xxhash64":
+        # Each shingle STRING is hashed exactly once (string hashing is the
+        # dominant cost); the k minhash functions are then derived
+        # arithmetically as a universal family (a_j·h + b_j) mod p over the
+        # 31-bit truncation — products stay < 2^62, so ANSI mode cannot
+        # overflow. Same two-projection structure keeps the base hash array
+        # from being re-computed per signature column.
+        p31 = 2147483647  # 2^31 - 1 (Mersenne prime)
+        rng_a = [2654435761 % p31, 805306457, 1610612741, 402653189,
+                 1476919657, 94418953, 198491329, 593459183,
+                 1222334449, 374761393, 668265263, 2246822519 % p31,
+                 3266489917 % p31, 61348151, 146354983, 1013904223]
+        rng_b = [1013904223, 374761393, 668265263, 94418953,
+                 2654435761 % p31, 805306457, 1610612741, 402653189,
+                 61348151, 146354983, 1476919657, 198491329,
+                 593459183, 1222334449, 3266489917 % p31, 2246822519 % p31]
+        if n_hashes > len(rng_a):
+            raise ValueError(f"xxhash64 family supports up to {len(rng_a)} hashes")
+        hashed = base.select(
+            F.col(id_col),
+            F.transform(
+                sh, lambda g: F.xxhash64(g).bitwiseAND(F.lit(0x7FFFFFFF))
+            ).alias("_h31"),
+        )
+        h31 = F.col("_h31")
 
-        def _xx_sig(j: int):
+        def _uni_sig(j: int):
+            a, b = rng_a[j], rng_b[j]
             return F.array_min(
-                F.transform(sh, lambda g: F.xxhash64(F.lit(j), g))
+                F.transform(
+                    h31, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p31)
+                )
             ).alias(f"sig_{j}")
 
-        return base.select(F.col(id_col), *[_xx_sig(j) for j in range(n_hashes)])
+        return hashed.select(
+            F.col(id_col), *[_uni_sig(j) for j in range(n_hashes)]
+        )
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
     n_seeds = -(-n_hashes // HASHES_PER_SEED)

@@ -1,0 +1,119 @@
+"""Cross-family MinHash/LSH tests.
+
+The md5 family is the oracle-parity path (value-checked by DuckDB in
+test_queries_oracle.py); the xxhash64 family is the production default
+(one xxhash64 per shingle, k universal-family derivations). These tests pin
+the contract between them: identical pipeline structure, identical *verified*
+near-duplicate output, and the minhash collision property each family must
+satisfy on its own.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.operators.dedup import (
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+N_HASHES = 8
+BAND_SIZE = 2
+
+
+def _corpus(spark):
+    rows = []
+    # 5 clusters of 3 near-identical docs + 15 unrelated docs; each cluster
+    # has a disjoint vocabulary so cross-cluster jaccard is exactly 0
+    for c in range(5):
+        stem = " ".join(f"c{c}word{i}" for i in range(25))
+        rows.append((c * 10 + 0, stem))
+        rows.append((c * 10 + 1, stem + " extra tail word"))
+        rows.append((c * 10 + 2, "leading word " + stem))
+    for i in range(15):
+        words = " ".join(f"unique{i}w{j}" for j in range(25))
+        rows.append((1000 + i, words))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _verified_pairs(docs, family):
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3,
+        hash_family=family,
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    verified = jaccard_for_pairs(docs, pairs, "doc_id", "text", 3, 0.5)
+    return {(r.doc_a, r.doc_b) for r in verified.collect()}
+
+
+def test_families_find_identical_verified_dup_sets(spark):
+    docs = _corpus(spark)
+    md5_set = _verified_pairs(docs, "md5")
+    xx_set = _verified_pairs(docs, "xxhash64")
+    # every intra-cluster pair must be found; both families must agree
+    expected = {
+        (c * 10 + a, c * 10 + b)
+        for c in range(5)
+        for a, b in [(0, 1), (0, 2), (1, 2)]
+    }
+    assert md5_set == expected
+    assert xx_set == expected
+
+
+@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+def test_identical_texts_have_identical_signatures(spark, family):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=N_HASHES, hash_family=family
+    ).collect()
+    by_id = {r.doc_id: tuple(r[f"sig_{j}"] for j in range(N_HASHES)) for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_xxhash64_signature_collision_tracks_jaccard(spark):
+    # two docs sharing ~75% of shingles should collide on most sig columns;
+    # two disjoint docs on none (up to rare 31-bit collisions).
+    shared = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared + " x1 x2 x3"),
+         (3, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=16, hash_family="xxhash64"
+    ).collect()
+    by_id = {r.doc_id: [r[f"sig_{j}"] for j in range(16)] for r in sigs}
+    near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert near >= 8  # E[near] = 16 * J(1,2) ≈ 16 * 0.87
+    assert far <= 2
+
+
+def test_xxhash64_family_size_cap(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="up to"):
+        minhash_signatures(
+            docs, "doc_id", "text", n_hashes=32, hash_family="xxhash64"
+        )
+
+
+def test_signatures_are_map_only(spark):
+    """The signature stage must not shuffle: no Exchange in the plan."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id int, text string"
+    )
+    for family in ("md5", "xxhash64"):
+        plan = minhash_signatures(
+            docs, "doc_id", "text", n_hashes=8, hash_family=family
+        )._jdf.queryExecution().executedPlan().toString()
+        # a repartition from _fan_out is allowed; a hash/range exchange from
+        # an aggregation is not
+        assert "hashpartitioning" not in plan.lower()
