@@ -46,6 +46,7 @@ HEADLINE = [
     ("q_rollup", "rollup_revenue"),
     ("q_embed_cosine", "dedup_embedding_cosine"),
     ("q_video_frames", "multimodal_video_frames"),
+    ("q_wav_decode", "media_wav_features"),
     ("q_clusters", "dedup_minhash_clusters"),
     ("q_lag_lead", "window_lag_lead"),
     ("q_funnel", "event_funnel"),

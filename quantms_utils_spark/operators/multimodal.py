@@ -2,11 +2,17 @@
 
 Media payloads are opaque ``binary`` columns travelling next to typed metadata
 (shape, codec, duration, digest). The Spark-side contract — schemas,
-Arrow-batched UDF signatures, partitioning — is real and tested; the actual
-decode kernels depend on media libraries that are not part of this
-environment, so they are gated: if PIL/soundfile are importable they run,
-otherwise ``decode_stub=True`` substitutes a deterministic fake so pipelines
-remain runnable and testable end-to-end.
+Arrow-batched UDF signatures, partitioning — is real and tested. Decode
+resolution per payload:
+
+1. ``decode_stub=True`` → always the deterministic digest-derived fake
+   (used by the oracle-checked demo queries whose payloads are not media).
+2. otherwise, a payload whose magic bytes identify a pure-stdlib-decodable
+   public format (WAV / BMP / PPM / PNG / Y4M — see
+   ``functions/media_codecs.py``) is REALLY decoded, no external libs needed.
+3. otherwise PIL / soundfile when importable (JPEG, FLAC, …).
+4. otherwise the stub (``decode_stub=None``, the default) or a ``ValueError``
+   (``decode_stub=False`` — strict mode, un-decodable payloads are an error).
 """
 
 from __future__ import annotations
@@ -72,6 +78,10 @@ try:  # pragma: no cover - environment-dependent
 except Exception:  # pragma: no cover
     HAVE_PIL = False
 
+from quantms_utils_spark.functions import media_codecs
+
+_IMAGE_FORMATS = ("bmp", "ppm", "png")
+
 
 def attach_payload_metadata(
     df: DataFrame, payload_col: str, id_col: str, media_type: str
@@ -107,8 +117,9 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
     """Decode / feature-extract over an opaque image payload column via
     mapInPandas (Arrow-batched; one task per input partition — the unit of
     parallelism is the file/object, matching how a 100 TB object store scan
-    parallelizes)."""
-    use_stub = decode_stub if decode_stub is not None else not HAVE_PIL
+    parallelizes). BMP/PPM/PNG payloads are REALLY decoded (pure-stdlib
+    codecs); other formats fall through to PIL, then the stub (see module
+    docstring for the resolution order)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -120,15 +131,24 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
                     rows.append((media_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                if use_stub:
+                if decode_stub is True:
                     w, h, c, luma = _decode_image_stub(payload)
-                else:  # pragma: no cover - needs PIL + real images
+                elif media_codecs.sniff(payload) in _IMAGE_FORMATS:
+                    w, h, c, luma = media_codecs.image_features(payload)
+                elif HAVE_PIL:  # pragma: no cover - needs PIL + real images
                     img = PIL.Image.open(io.BytesIO(payload))
                     w, h = img.size
                     c = len(img.getbands())
                     luma = round(
                         sum(img.convert("L").getdata()) / (255.0 * w * h), 4
                     )
+                elif decode_stub is False:
+                    raise ValueError(
+                        "un-decodable image payload in strict mode "
+                        f"(media_id={media_id})"
+                    )
+                else:
+                    w, h, c, luma = _decode_image_stub(payload)
                 rows.append((media_id, w, h, c, luma))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_channels", "mean_luma"]
@@ -158,13 +178,14 @@ def resize_images(
 ) -> DataFrame:
     """Resize/thumbnail an opaque image payload column via mapInPandas.
 
-    Real path (PIL present): decode → LANCZOS resize → PNG re-encode. Stub
-    path: the thumbnail is a deterministic digest-derived byte string (the
-    sha256 of payload + target geometry), so schema, batch shape, AND values
-    are oracle-reproducible — the Spark-side contract a real deployment keeps
-    is identical either way: binary in, smaller binary + typed metadata out.
+    Real path (BMP/PPM/PNG payloads, pure-stdlib codecs): decode →
+    nearest-neighbor resample → PNG re-encode; PIL (LANCZOS) when the codec
+    can't decode but PIL can. Stub path: the thumbnail is a deterministic
+    digest-derived byte string (the sha256 of payload + target geometry), so
+    schema, batch shape, AND values are oracle-reproducible — the Spark-side
+    contract a real deployment keeps is identical either way: binary in,
+    smaller binary + typed metadata out.
     """
-    use_stub = decode_stub if decode_stub is not None else not HAVE_PIL
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -176,16 +197,30 @@ def resize_images(
                     rows.append((media_id, width, height, None, None))
                     continue
                 payload = bytes(payload)
-                if use_stub:
+                if decode_stub is True:
                     thumb = hashlib.sha256(
                         payload + f":{width}x{height}".encode()
                     ).hexdigest().encode("ascii")
-                else:  # pragma: no cover - needs PIL + real images
+                elif media_codecs.sniff(payload) in _IMAGE_FORMATS:
+                    px = media_codecs.decode_image_pixels(payload)
+                    thumb = media_codecs.encode_png(
+                        media_codecs.resize_nearest(px, width, height)
+                    )
+                elif HAVE_PIL:  # pragma: no cover - needs PIL + real images
                     img = PIL.Image.open(io.BytesIO(payload))
                     img = img.resize((width, height), PIL.Image.LANCZOS)
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     thumb = buf.getvalue()
+                elif decode_stub is False:
+                    raise ValueError(
+                        "un-decodable image payload in strict mode "
+                        f"(media_id={media_id})"
+                    )
+                else:
+                    thumb = hashlib.sha256(
+                        payload + f":{width}x{height}".encode()
+                    ).hexdigest().encode("ascii")
                 digest = hashlib.sha256(thumb).hexdigest()
                 rows.append((media_id, width, height, thumb, digest))
             yield pd.DataFrame(
@@ -225,10 +260,9 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction (sample rate, length, duration, RMS energy)
     over an opaque payload column — same Arrow-batched mapInPandas contract as
-    the image path; the soundfile-backed branch activates when the library is
-    present, otherwise the deterministic stub keeps the pipeline end-to-end
-    testable."""
-    use_stub = decode_stub if decode_stub is not None else not HAVE_SOUNDFILE
+    the image path. RIFF/WAVE payloads are REALLY decoded by the pure-stdlib
+    PCM parser (``media_codecs.decode_wav``); other formats fall through to
+    soundfile, then the deterministic stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -240,13 +274,22 @@ def extract_audio_features(
                     rows.append((media_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                if use_stub:
+                if decode_stub is True:
                     sr, n, dur, rms = _decode_audio_stub(payload)
-                else:  # pragma: no cover - needs soundfile + real audio
+                elif media_codecs.sniff(payload) == "wav":
+                    sr, n, dur, rms = media_codecs.decode_wav(payload)
+                elif HAVE_SOUNDFILE:  # pragma: no cover - needs soundfile
                     data, sr = soundfile.read(io.BytesIO(payload))
                     n = int(data.shape[0])
                     dur = n / sr
                     rms = round(float((data**2).mean() ** 0.5), 4)
+                elif decode_stub is False:
+                    raise ValueError(
+                        "un-decodable audio payload in strict mode "
+                        f"(media_id={media_id})"
+                    )
+                else:
+                    sr, n, dur, rms = _decode_audio_stub(payload)
                 rows.append((media_id, sr, n, dur, rms))
             yield pd.DataFrame(
                 rows,
@@ -264,10 +307,14 @@ FRAME_STRIDE_S = 0.5
 def sample_video_frames(media: DataFrame, decode_stub: bool | None = None) -> DataFrame:
     """Frame sampling: one video payload → N frame rows (UDTF-shaped fan-out
     inside mapInPandas, so output batches are decoupled from input batches —
-    the same contract a real ffmpeg/PyAV keyframe sampler needs). The stub
-    samples ``1 + digest[3] % 4`` frames at a fixed stride; each frame carries
-    a content-derived digest standing in for the decoded frame tensor."""
-    use_stub = decode_stub if decode_stub is not None else True
+    the same contract a real ffmpeg/PyAV keyframe sampler needs).
+
+    YUV4MPEG2 payloads are REALLY demuxed (``media_codecs.decode_y4m``):
+    one row per frame, timestamp from the container frame rate, digest of the
+    actual Y-plane bytes. Other codecs (H.264/VP9/…) need PyAV/ffmpeg, absent
+    here — they raise in strict mode (``decode_stub=False``), otherwise fall
+    to the stub (``1 + digest[3] % 4`` frames at a fixed stride, each with a
+    content-derived digest standing in for the decoded frame tensor)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -276,9 +323,22 @@ def sample_video_frames(media: DataFrame, decode_stub: bool | None = None) -> Da
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                if not use_stub:  # pragma: no cover - needs a video decoder
+                if decode_stub is not True and media_codecs.sniff(payload) == "y4m":
+                    _w, _h, fps, frames = media_codecs.decode_y4m(payload)
+                    for i, fr in enumerate(frames):
+                        rows.append(
+                            (
+                                media_id,
+                                i,
+                                round(i / fps, 4),
+                                hashlib.sha256(fr).hexdigest(),
+                            )
+                        )
+                    continue
+                if decode_stub is False:  # pragma: no cover - needs PyAV
                     raise NotImplementedError(
-                        "real video decoding requires PyAV/ffmpeg, absent here"
+                        "real video decoding beyond YUV4MPEG2 requires "
+                        "PyAV/ffmpeg, absent here"
                     )
                 digest = hashlib.sha256(payload).digest()
                 n_frames = 1 + digest[3] % 4

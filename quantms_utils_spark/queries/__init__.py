@@ -13,12 +13,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quantms_utils_spark.queries import core, dedup, relational, similarity, textops
+from quantms_utils_spark.queries import (
+    core,
+    dedup,
+    media,
+    relational,
+    similarity,
+    textops,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops):
+for _mod in (core, dedup, relational, similarity, textops, media):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
