@@ -13,8 +13,10 @@ a validated broadcast dimension. Plan shape:
 
 The peptidoform normalization step (reference :75-83) calls pyopenms
 ``AASequence.fromString(...).toString()``; pyopenms is environment-gated —
-when absent the sequence passes through unchanged (the sanitize step still
-applies).
+when absent, the pure-Python Unimod normalizer
+(`functions/peptidoform.py`) reproduces the round-trip's visible rewrites
+(accession → canonical name, N-terminal dot notation) for standard
+accessions.
 """
 
 from __future__ import annotations
@@ -22,7 +24,9 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType
 from pyspark.sql.functions import broadcast
 
 from quantms_utils_spark.functions import sanitize_sequence
@@ -51,24 +55,32 @@ RENAME = {
 
 def _normalize_peptidoform(col):
     """AASequence round-trip normalization (reference :75-83) as an
-    Arrow-batched pandas_udf when pyopenms is present; identity otherwise."""
-    if not HAVE_PYOPENMS:
-        return col
-    import pandas as pd
-    from pyspark.sql.types import StringType
+    Arrow-batched pandas_udf when pyopenms is present; otherwise the
+    pure-Python Unimod-name normalizer (`functions/peptidoform.py`), which
+    reproduces the round-trip's two visible rewrites (accession → canonical
+    name, leading mod → N-terminal dot notation) for the standard Unimod
+    accessions and passes unknown accessions through unchanged."""
+    if HAVE_PYOPENMS:
 
-    @F.pandas_udf(StringType())
-    def norm(seqs: pd.Series) -> pd.Series:  # pragma: no cover - needs pyopenms
-        from pyopenms import AASequence
+        @F.pandas_udf(StringType())
+        def norm(seqs: pd.Series) -> pd.Series:  # pragma: no cover - needs pyopenms
+            from pyopenms import AASequence
 
-        def one(s):
-            if s is None:
-                return None
-            if "^" in s:
-                return "^" + AASequence.fromString(s.replace("^", "")).toString()
-            return AASequence.fromString(s).toString()
+            def one(s):
+                if s is None:
+                    return None
+                if "^" in s:
+                    return "^" + AASequence.fromString(s.replace("^", "")).toString()
+                return AASequence.fromString(s).toString()
 
-        return seqs.map(one)
+            return seqs.map(one)
+
+    else:
+        from quantms_utils_spark.functions.peptidoform import normalize_peptidoform
+
+        @F.pandas_udf(StringType())
+        def norm(seqs: pd.Series) -> pd.Series:
+            return seqs.map(normalize_peptidoform)
 
     return norm(col)
 
@@ -85,9 +97,10 @@ def diann_to_msstats(
 
     if not HAVE_PYOPENMS:
         logger.warning(
-            "pyopenms is not importable: PeptideSequence values will NOT be "
-            "AASequence-normalized (sequences pass through sanitization only "
-            "and may diverge from reference output)."
+            "pyopenms is not importable: PeptideSequence values use the "
+            "pure-Python Unimod-name normalizer (accession -> canonical name, "
+            "N-terminal dot notation); accessions outside the embedded table "
+            "pass through unresolved and may diverge from reference output."
         )
 
     multiplexed = (

@@ -69,3 +69,29 @@ def test_sanitize_and_label(spark):
     assert _eval(spark, label_code(F.col("v")), [
         "SILAC light", "SILAC medium", "SILAC heavy", "other"
     ]) == ["L", "M", "H", "L"]
+
+
+def test_normalize_peptidoform_pure_python():
+    from quantms_utils_spark.functions.peptidoform import normalize_peptidoform
+
+    # accession -> canonical Unimod title
+    assert normalize_peptidoform("PEPC(UniMod:4)TIDE") == "PEPC(Carbamidomethyl)TIDE"
+    assert normalize_peptidoform("M(UniMod:35)KVR") == "M(Oxidation)KVR"
+    # case-insensitive accession match (DIA-NN emits both spellings)
+    assert normalize_peptidoform("M(unimod:35)K") == "M(Oxidation)K"
+    # leading group = N-terminal mod -> OpenMS dot notation
+    assert normalize_peptidoform("(UniMod:1)MKV") == ".(Acetyl)MKV"
+    # multiple mods in one sequence
+    assert (
+        normalize_peptidoform("(UniMod:737)KC(UniMod:4)M(UniMod:35)R")
+        == ".(TMT6plex)KC(Carbamidomethyl)M(Oxidation)R"
+    )
+    # unknown accession passes through unchanged (best-effort, not lossy)
+    assert normalize_peptidoform("PEC(UniMod:99999)K") == "PEC(UniMod:99999)K"
+    # unmodified sequences and None are identity
+    assert normalize_peptidoform("PEPTIDE") == "PEPTIDE"
+    assert normalize_peptidoform(None) is None
+    # caret marker held aside and re-attached (reference :78-80 parity)
+    assert normalize_peptidoform("^(UniMod:1)MK") == "^.(Acetyl)MK"
+    # already-dotted N-term stays single-dotted
+    assert normalize_peptidoform(".(UniMod:1)MK") == ".(Acetyl)MK"

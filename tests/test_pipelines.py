@@ -56,7 +56,7 @@ REPORT_TSV = textwrap.dedent(
     run_A\tP3\tAAAA\t2\t500.0\t0.5\t0
     run_B\tP4\tCCCC\t2\t0.0\t0.002\t0
     run_B\tP5\tDDDD\t2\t300.0\t0.003\t1
-    run_B\tP6\tEEEE\t2\t400.0\t0.004\t0
+    run_B\tP6\t(UniMod:1)EM(UniMod:35)EC(UniMod:4)E\t2\t400.0\t0.004\t0
     run_MISSING\tP7\tFFFF\t2\t700.0\t0.001\t0
     """
 )
@@ -86,6 +86,12 @@ class TestDiann2MSstats:
         # unmatched run drops P7
         assert set(rows) == {"P1", "P2", "P6"}
         assert rows["P2"]["PeptideSequence"] == "PEPTIDE"  # (SILAC) stripped
+        # pure-Python fallback of the AASequence round-trip: accession ->
+        # canonical Unimod name, leading group -> N-terminal dot notation
+        assert (
+            rows["P6"]["PeptideSequence"]
+            == ".(Acetyl)EM(Oxidation)EC(Carbamidomethyl)E"
+        )
         assert rows["P1"]["Condition"] == "control"
         assert rows["P6"]["BioReplicate"] == "2"
         assert rows["P1"]["IsotopeLabelType"] == "L"
