@@ -170,3 +170,123 @@ def ann_bruteforce(
         .limit(k)
         .select(id_col, F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + nprobe search
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centroids(
+    vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id as a Catalyst expression: per-centroid squared
+    distances folded into ``array_min`` over (distance, cid) structs — struct
+    ordering gives the argmin with a deterministic cid tiebreak, all inside
+    whole-stage codegen (no Python, no shuffle)."""
+    vec = _to_double(F.col(vec_col))
+    cands = F.array(
+        *[
+            F.struct(_sq_dist(vec, c).alias("d"), F.lit(cid).alias("cid"))
+            for cid, c in centroids
+        ]
+    )
+    return F.array_min(cands)["cid"]
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str,
+    init: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    round_decimals: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means, Spark-ML-shaped: centroids live on the driver
+    (k × dim doubles — trivially small at any corpus scale) and are broadcast
+    into each iteration's assignment expression; the two distributed steps
+    per iteration are a map-only argmin assignment and one partial-aggregated
+    shuffle of (cluster, dim, value) for the centroid update. Nothing
+    per-row ever returns to the driver.
+
+    Centroid coordinates are rounded to ``round_decimals`` after each update:
+    quantization makes the trained centroids bit-reproducible across engines
+    (an unrolled-SQL oracle recomputes them exactly), at a recall cost that is
+    negligible next to the coarse-quantizer granularity itself. Clusters left
+    empty by an iteration are dropped (never re-seeded), matching the SQL
+    formulation.
+    """
+    centroids = init
+    vec = _to_double(F.col(vec_col))
+    for _ in range(n_iter):
+        # two projections: mixing the argmin struct fold and a generator
+        # (posexplode) in ONE select makes the analyzer rename the struct
+        # fields to col1/col2 before the field access resolves
+        with_cid = df.select(
+            assign_to_centroids(vec_col, centroids).alias("cid"),
+            F.col(vec_col).alias("_v"),
+        )
+        assigned = with_cid.select(
+            "cid", F.posexplode(_to_double(F.col("_v"))).alias("dim", "val")
+        )
+        rows = (
+            assigned.groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = round(
+                r["m"], round_decimals
+            )
+        centroids = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return centroids
+
+
+def ivf_search(
+    vectors: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe: score only vectors assigned to the ``nprobe`` centroids
+    nearest the query. At 100 TB the assignment is a stored partition/cluster
+    key (computed once at ingest with ``assign_to_centroids``), so the probe
+    is partition pruning at scan time; here it is computed inline. The probe
+    set is resolved driver-side from the driver-held centroids (k distances
+    to one vector), then folded into the filter as literals."""
+    import numpy as np
+
+    qv = np.asarray(
+        query.select(F.col("q_emb")).first()[0], dtype=np.float64
+    )
+    order = sorted(
+        centroids,
+        key=lambda c: (float(((np.asarray(c[1]) - qv) ** 2).sum()), c[0]),
+    )
+    probe_ids = [cid for cid, _ in order[:nprobe]]
+    assigned = vectors.withColumn(
+        "_cid", assign_to_centroids(vec_col, centroids)
+    ).filter(F.col("_cid").isin(probe_ids))
+    scored = assigned.crossJoin(broadcast(query)).select(
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("q_emb")).alias("cos_raw"),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -195,10 +195,142 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a REAL k-means coarse quantizer (Lloyd's iterations)
+
+IVF_K = 8
+IVF_ITER = 2
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Train the coarse quantizer: seeds = vec_id < k (deterministic), two
+    Lloyd iterations, centroids quantized to 2 decimals per update (see
+    operators.similarity.kmeans_train for why quantization makes the training
+    loop itself oracle-reproducible)."""
+    from quantms_utils_spark.operators.similarity import kmeans_train
+
+    e = load(spark, sf_dir, "embeddings")
+    init_rows = (
+        e.filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    init = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(init_rows, key=lambda r: r["vec_id"])
+    ]
+    return e, kmeans_train(
+        e, "embedding", init, n_iter=IVF_ITER, round_decimals=2
+    )
+
+
+def ann_ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF centroids themselves, exploded to (cid, dim, coord)
+    rows — value-checks the distributed Lloyd loop (argmin assignment +
+    partial-aggregated mean) against an unrolled-SQL twin, independent of any
+    search that uses it."""
+    spark_e, centroids = _ivf_centroids(spark, sf_dir)
+    rows = [
+        (cid, dim, float(v))
+        for cid, vec in centroids
+        for dim, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cid int, dim int, coord double")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign every vector to its nearest trained centroid,
+    probe the nprobe=2 centroids nearest the query, exact cosine top-10
+    within the probed cells. At 100 TB the assignment is the table's
+    partition key (written once at ingest), so the probe prunes ~(1 -
+    nprobe/k) of the corpus at scan time."""
+    from quantms_utils_spark.operators.similarity import ivf_search
+
+    e, centroids = _ivf_centroids(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return ivf_search(
+        e.filter(F.col("vec_id") != 0),
+        q,
+        centroids,
+        id_col="vec_id",
+        vec_col="embedding",
+        nprobe=IVF_NPROBE,
+        k=10,
+    )
+
+
+def _kmeans_iter_sql(prev_assign: str, prev_cent: str, a: str, c: str) -> str:
+    """One unrolled Lloyd iteration: argmin assignment vs {prev_cent}, then
+    per-(cid, dim) mean rounded to 2 decimals, re-packed into an array."""
+    return f"""
+{a} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, {prev_cent}.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, {prev_cent}.c), {prev_cent}.cid
+           ) AS rn
+    FROM e, {prev_cent}
+  ) WHERE rn = 1
+),
+{c} AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT cid, i, round(avg(v[i]), 2) AS m
+    FROM {a}, UNNEST(generate_series(1, 64)) t(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+
+_KMEANS_PRELUDE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {IVF_K}),
+{_kmeans_iter_sql('e', 'c0', 'a1', 'c1')},
+{_kmeans_iter_sql('e', 'c1', 'a2', 'c2')}
+"""
+
+
+ANN_IVF_KMEANS_CENTROIDS_SQL = f"""
+{_KMEANS_PRELUDE}
+SELECT CAST(cid AS INT) AS cid, CAST(i - 1 AS INT) AS dim, c[i] AS coord
+FROM c2, UNNEST(generate_series(1, 64)) t(i)
+"""
+
+
+ANN_IVF_TOPK_SQL = f"""
+{_KMEANS_PRELUDE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM c2, q ORDER BY list_distance(qv, c), cid LIMIT {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c2.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c2.c), c2.cid
+           ) AS rn
+    FROM e, c2
+  ) WHERE rn = 1
+)
+SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+FROM assign, q
+WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
+ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "ann_ivf_kmeans_centroids": (
+        ann_ivf_kmeans_centroids,
+        ANN_IVF_KMEANS_CENTROIDS_SQL,
+    ),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
 }
