@@ -101,3 +101,19 @@ def normalize_ws(col: Column | str) -> Column:
     canonicalization step shared by fingerprinting and dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def let_once(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable so ``body``'s references evaluate
+    it exactly once per row: ``transform(array(value), body)[1]``.
+
+    Catalyst inlines sub-expressions into higher-order-function lambda bodies
+    (CollapseProject has no lambda barrier), where they are re-evaluated PER
+    ARRAY ELEMENT — and HOFs run interpreted (CodegenFallback), with no
+    common-subexpression elimination. A lambda that references an expensive
+    expression (a regex split, an array build, an aggregate) therefore goes
+    quadratic: the expression is recomputed for every element. Passing it as
+    the one-element *argument* array of a ``transform`` forces one evaluation
+    per row; the lambda variable is a cheap bound reference thereafter.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
 
+from quantms_utils_spark.functions.core import let_once
+
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Shingling is CPU-bound; a small-file scan (one parquet row group)
@@ -47,10 +49,18 @@ def _words_expr(text_col: str):
 def _grams_expr(text_col: str, n: int):
     """Word n-gram array (with duplicates) — the ONE tokenizer shared by the
     signature path and the exact-jaccard verify path; they must agree for
-    the LSH pipeline to be sound."""
-    words = _words_expr(text_col)
-    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    the LSH pipeline to be sound.
+
+    The word array is let-bound (``let_once``) so the regex split runs once
+    per row — referenced directly inside the transform lambda it would be
+    re-split per gram, O(words²) regex work per document (HOF lambdas are
+    interpreted and re-evaluate captured sub-expressions per element)."""
+
+    def _grams(words: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+        return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+    return let_once(_words_expr(text_col), _grams)
 
 
 def word_shingles(

@@ -18,9 +18,26 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.types import DoubleType
 
+from quantms_utils_spark.functions.core import let_once
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+def unit_vector(vec: Column) -> Column:
+    """L2-normalize ``vec`` with the vector and its norm each let-bound
+    (``let_once``) so they evaluate once per row. Materializing the norm as a
+    separate projection column does NOT achieve this — CollapseProject inlines
+    a once-referenced alias into the consuming lambda, where the norm fold is
+    then re-evaluated per element, O(d²) per vector (verified in the
+    optimized plan)."""
+    return let_once(
+        vec,
+        lambda v: let_once(
+            l2_norm(v), lambda nr: F.transform(v, lambda x: x / nr)
+        ),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -34,8 +51,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    ad, bd = _to_double(a), _to_double(b)
-    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    # Let-bind each cast array: referenced three times (dot + two norms), an
+    # unbound expression would cast-transform the array three times per row.
+    return let_once(
+        _to_double(a),
+        lambda ad: let_once(
+            _to_double(b),
+            lambda bd: dot(ad, bd) / (l2_norm(ad) * l2_norm(bd)),
+        ),
+    )
 
 
 def cosine_pairs_blocked(
@@ -54,9 +78,10 @@ def cosine_pairs_blocked(
 
     Execution shape (chosen over a pair-expanding self-join deliberately):
 
-    1. L2-normalize each vector ONCE (norm materialized as a column first —
-       referencing the norm fold inside the divide lambda would re-evaluate
-       it per element, O(d²) per vector).
+    1. L2-normalize each vector ONCE (vector and norm let-bound via
+       ``unit_vector`` — a norm referenced inside the divide lambda, even
+       through an aliased column, gets inlined by CollapseProject and
+       re-evaluated per element, O(d²) per vector).
     2. Hash each row into one of ``n_buckets`` deterministic sub-buckets and
        explode it to the ``n_buckets`` unordered tiles (min(t,b), max(t,b))
        its bucket participates in. Every unordered pair of rows meets in
@@ -77,18 +102,11 @@ def cosine_pairs_blocked(
 
     from pyspark.sql.types import StructField, StructType
 
-    vec_d = _to_double(F.col(vec_col))
-    with_norm = df.select(
+    normed = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
-        vec_d.alias("v"),
-        l2_norm(vec_d).alias("nrm"),
-    )
-    normed = with_norm.select(
-        "block",
-        "id",
-        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
-        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int").alias("bkt"),
+        unit_vector(_to_double(F.col(vec_col))).alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bkt"),
     )
     # Tiles this row participates in: pairing its bucket with every bucket t
     # as an unordered (ti, tj). Row in bucket b appears once per t — the pair
@@ -192,14 +210,18 @@ def assign_to_centroids(
     distances folded into ``array_min`` over (distance, cid) structs — struct
     ordering gives the argmin with a deterministic cid tiebreak, all inside
     whole-stage codegen (no Python, no shuffle)."""
-    vec = _to_double(F.col(vec_col))
-    cands = F.array(
-        *[
-            F.struct(_sq_dist(vec, c).alias("d"), F.lit(cid).alias("cid"))
-            for cid, c in centroids
-        ]
-    )
-    return F.array_min(cands)["cid"]
+    def _argmin(vec: Column) -> Column:
+        cands = F.array(
+            *[
+                F.struct(_sq_dist(vec, c).alias("d"), F.lit(cid).alias("cid"))
+                for cid, c in centroids
+            ]
+        )
+        return F.array_min(cands)["cid"]
+
+    # let-bound: the cast array is referenced by every centroid's distance
+    # fold — unbound it would be re-cast k times per row
+    return let_once(_to_double(F.col(vec_col)), _argmin)
 
 
 def kmeans_train(

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from quantms_utils_spark.functions.core import let_once as _let
+
 # Marker-word inventories for the n-gram/stopword language heuristic. Order is
 # the deterministic tie-break priority.
 LANG_MARKERS: dict[str, str] = {
@@ -98,3 +100,53 @@ def content_fingerprint(col: Column) -> Column:
     dedup key."""
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(normalized)
+
+
+WINNOW_K = 5  # k-gram length (characters)
+WINNOW_W = 4  # window: guarantee-threshold t = w + k - 1 = 8 chars
+
+
+def winnow_fingerprints(col: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): rolling hash over character k-grams, minimum per sliding
+    window of ``w`` hashes, distinct minima = the document's fingerprint set.
+    Any shared substring of length ≥ w + k - 1 between two documents is
+    guaranteed to share a fingerprint — position-robust near-dup evidence,
+    unlike a whole-content hash.
+
+    Pure Catalyst: ``sequence`` positions → ``substring`` k-grams → md5-window
+    32-bit hashes → ``slice``/``array_min`` window minima → ``array_distinct``.
+    The normalized string and the hash array are each let-bound (see
+    :func:`_let`) so they are computed once per row — without the binding the
+    nested ``transform`` re-evaluates the full hash array per window position,
+    O(n²) md5/regex per document. The hash is md5-derived (not xxhash) so any
+    engine with md5/substr reproduces the values — a DuckDB oracle checks the
+    whole pipeline. Returns ``array<long>`` (empty for texts shorter than
+    k + w - 1 characters).
+    """
+
+    def _mins(s: Column) -> Column:
+        n = F.length(s)
+        grams_idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+        hashes = F.transform(
+            grams_idx,
+            lambda i: F.conv(
+                F.substr(F.md5(F.substring(s, i, F.lit(k))), F.lit(1), F.lit(8)),
+                16,
+                10,
+            ).cast("long"),
+        )
+        return F.when(
+            n >= k + w - 1,
+            _let(
+                hashes,
+                lambda h: F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
+                        lambda j: F.array_min(F.slice(h, j, w)),
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return _let(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), _mins)

@@ -105,17 +105,23 @@ def _bucket_expr(emb: F.Column) -> F.Column:
     """Sign-bit bucket id from the fixed hyperplanes (random-hyperplane LSH:
     nearby vectors agree on most sign bits, so same-bucket is a high-recall
     candidate filter)."""
-    emb_d = F.transform(emb, lambda x: x.cast("double"))
-    bucket = F.lit(0)
-    for j, plane in enumerate(_PLANES):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        dot_j = F.aggregate(
-            F.zip_with(emb_d, lit_plane, lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot_j > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bucket
+    from quantms_utils_spark.functions.core import let_once
+
+    def _sign_bits(emb_d: F.Column) -> F.Column:
+        bucket = F.lit(0)
+        for j, plane in enumerate(_PLANES):
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            dot_j = F.aggregate(
+                F.zip_with(emb_d, lit_plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_j > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return bucket
+
+    # let-bound: every plane's dot references the cast array; unbound it
+    # would be re-cast once per plane per row
+    return let_once(F.transform(emb, lambda x: x.cast("double")), _sign_bits)
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

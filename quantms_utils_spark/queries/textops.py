@@ -278,12 +278,47 @@ FROM (
 """
 
 
+def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints as (doc_id, fingerprint) rows:
+    rolling k-gram hash, window-min selection, distinct minima — the
+    position-robust fingerprint set (any shared substring ≥ k + w - 1 chars
+    guarantees a shared fingerprint). Pure Catalyst; md5-derived hashes so
+    the oracle recomputes every value."""
+    from quantms_utils_spark.operators.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint"),
+    ).distinct()
+
+
+WINNOW_FPS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+), g AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 8))::BIGINT AS h,
+         len(s) AS n
+  FROM d, UNNEST(generate_series(1, len(s) - 4)) AS t(i)
+  WHERE len(s) >= 8
+)
+SELECT DISTINCT a.doc_id, min(b.h) AS fingerprint
+FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+WHERE a.i <= a.n - 7
+GROUP BY a.doc_id, a.i
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_lang_id": (lang_id_predict, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_image_features": (
         multimodal_image_features,

@@ -145,3 +145,55 @@ def test_whole_stage_codegen_active(spark):
         assert "Found 0 WholeStageCodegen" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _optimized_plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestLetBindingPinsSingleEvaluation:
+    """Catalyst inlines sub-expressions into HOF lambda bodies, where they are
+    re-evaluated PER ELEMENT (interpreted, no CSE) — a nested transform whose
+    lambda captures an expensive expression goes quadratic per row. These pin
+    the `let_once` bindings that force one-evaluation-per-row: the expensive
+    sub-expression must appear exactly ONCE in the optimized plan."""
+
+    def test_winnow_hashes_array_built_once(self, spark):
+        from quantms_utils_spark.queries.textops import winnow_fps
+
+        plan = _optimized_plan(winnow_fps(spark, SF))
+        # one normalization regex and one k-gram md5 site — inlining into the
+        # window-min lambda would duplicate them per window position
+        assert plan.count("regexp_replace") == 1, plan
+        assert plan.count("md5") == 1, plan
+
+    def test_shingle_split_runs_once_per_row(self, spark):
+        import pyspark.sql.functions as F
+
+        from quantms_utils_spark.operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        sigs = minhash_signatures(docs, "doc_id", "text", 4, 3)
+        plan = _optimized_plan(sigs)
+        # filter(size >= n) legitimately re-splits once; the shingle build
+        # must contribute exactly one more — per-gram re-splitting would put
+        # split() inside the array_join lambda
+        assert plan.count("split(") <= 2, plan
+
+    def test_unit_vector_norm_computed_once(self, spark):
+        import pyspark.sql.functions as F
+
+        from quantms_utils_spark.operators.similarity import (
+            _to_double,
+            unit_vector,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        normed = emb.select(
+            "vec_id", unit_vector(_to_double(F.col("embedding"))).alias("u")
+        )
+        plan = _optimized_plan(normed)
+        # the norm fold: exactly one aggregate(), as a let-bound argument —
+        # CollapseProject would otherwise inline it into the divide lambda,
+        # re-evaluating O(d) work per vector element
+        assert plan.count("aggregate(") == 1, plan
