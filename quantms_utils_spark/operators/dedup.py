@@ -252,6 +252,63 @@ def lsh_candidate_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from winnowing (MOSS) fingerprints:
+    documents sharing ≥ ``min_shared`` window-min fingerprints, with the
+    shared count per pair.
+
+    Positional complement to MinHash-LSH: winnowing guarantees any shared
+    substring of length ≥ w + k - 1 characters yields a shared fingerprint,
+    so contained/partial overlaps (quote plagiarism, boilerplate injection)
+    surface even when whole-document Jaccard is low.
+
+    Same single-shuffle shape as ``lsh_candidate_pairs``: one
+    groupBy(fingerprint) + in-bucket pair explosion, then a pair-count
+    aggregate — never a fingerprint self-join. Fingerprints whose document
+    frequency exceeds ``max_df`` are dropped before pairing (the stop-shingle
+    cut): a corpus-wide boilerplate fingerprint would otherwise emit
+    O(df²) pairs from one bucket — the cap bounds the worst bucket at
+    ``max_df``² and loses only evidence that is, by construction, shared by
+    *everything* (no dedup signal).
+    """
+    from quantms_utils_spark.operators.text import winnow_fingerprints
+
+    df = _fan_out(df)
+    # winnow_fingerprints is array_distinct per doc, so explode is already
+    # one row per (doc, fingerprint) — no extra distinct needed
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

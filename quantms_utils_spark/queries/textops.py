@@ -282,19 +282,23 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints as (doc_id, fingerprint) rows:
     rolling k-gram hash, window-min selection, distinct minima — the
     position-robust fingerprint set (any shared substring ≥ k + w - 1 chars
-    guarantees a shared fingerprint). Pure Catalyst; md5-derived hashes so
-    the oracle recomputes every value."""
+    guarantees a shared fingerprint). Pure Catalyst, map-only: the per-doc
+    array is already distinct (``array_distinct`` inside the operator), so
+    exploding needs NO distinct shuffle. md5-derived hashes so the oracle
+    recomputes every value."""
     from quantms_utils_spark.operators.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint"),
-    ).distinct()
+    )
 
 
-WINNOW_FPS_SQL = """
-WITH d AS (
+# the (doc, position-window) → min-hash fingerprint derivation, shared by the
+# fingerprint listing and the candidate-pair oracle
+_WINNOW_FP_CTE = """
+d AS (
   SELECT doc_id,
          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
   FROM documents
@@ -304,11 +308,44 @@ WITH d AS (
          len(s) AS n
   FROM d, UNNEST(generate_series(1, len(s) - 4)) AS t(i)
   WHERE len(s) >= 8
+), fp AS (
+  SELECT DISTINCT a.doc_id, min(b.h) AS fingerprint
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+  WHERE a.i <= a.n - 7
+  GROUP BY a.doc_id, a.i
 )
-SELECT DISTINCT a.doc_id, min(b.h) AS fingerprint
-FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
-WHERE a.i <= a.n - 7
-GROUP BY a.doc_id, a.i
+"""
+
+WINNOW_FPS_SQL = f"""
+WITH {_WINNOW_FP_CTE}
+SELECT doc_id, fingerprint FROM fp
+"""
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints (≥2 shared,
+    document-frequency cap 50) — the positional complement to MinHash-LSH:
+    catches contained/partial overlaps that whole-document Jaccard misses.
+    One groupBy(fingerprint) shuffle + in-bucket pair explosion, never a
+    fingerprint self-join."""
+    from quantms_utils_spark.operators.dedup import winnow_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(d, "doc_id", "text", min_shared=2, max_df=50)
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_FP_CTE},
+keep AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING count(*) BETWEEN 2 AND 50
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a
+JOIN keep k ON k.fingerprint = a.fingerprint
+JOIN fp b ON b.fingerprint = a.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """
 
 
@@ -319,6 +356,7 @@ QUERIES = {
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
+    "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_image_features": (
         multimodal_image_features,
