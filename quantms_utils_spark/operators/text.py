@@ -8,7 +8,7 @@ aggregate if summarized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from quantms_utils_spark.functions.core import let_once as _let
 
@@ -100,6 +100,226 @@ def content_fingerprint(col: Column) -> Column:
     dedup key."""
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(normalized)
+
+
+def normalized_tokens(col: Column) -> Column:
+    """Whitespace-split tokens of lowercased, whitespace-normalized text;
+    empty array for blank text."""
+    trimmed = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, " ")
+    )
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (array<string>, empty when the
+    document has fewer than ``n`` tokens). Pure Catalyst: sequence over start
+    positions + slice + concat_ws — no explode, no Python."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1
+    repetition filters, re-expressed relationally): for each document, the
+    fraction of duplicate words, the fraction of occurrences claimed by the
+    single most frequent word, and the duplicate fraction of word n-grams.
+    High values mean degenerate/boilerplate text a pretraining pipeline drops.
+
+    Shape: explode tokens → two-level aggregate (count per (doc, word), then
+    merge per doc). Both aggregates are map-side combinable; the second
+    shuffle moves one already-reduced row per distinct (doc, word), a small
+    fraction of the token stream. The n-gram branch is the same plan over
+    :func:`word_ngrams`. Deliberately NOT the map-only
+    ``transform(array_distinct(...), t -> size(filter(...)))`` form: that is
+    O(n × distinct) per document and blows up on whale documents, while this
+    shape is O(n) regardless of document length — the property that matters
+    at 100 TB. No window, no self-join, nothing driver-side.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    word_stats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("cnt").alias("top_word_cnt"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(toks, ngram_n)).alias("g")
+    )
+    gram_stats = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+    )
+    safe_words = F.greatest(F.col("n_words"), F.lit(1))
+    safe_grams = F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1))
+    return (
+        word_stats.join(gram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words"),
+            F.round(
+                (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+                / safe_words,
+                4,
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_word_cnt").cast("double") / safe_words, 4).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                (
+                    F.coalesce(F.col("n_grams"), F.lit(0))
+                    - F.coalesce(F.col("n_distinct_grams"), F.lit(0))
+                ).cast("double")
+                / safe_grams,
+                4,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+# --- PII detection / redaction -------------------------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (emails, NANP-style phone numbers, IPv4
+    addresses) as codegen'd regexp_extract_all sizes."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)).cast(
+            "long"
+        ),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)).cast(
+            "long"
+        ),
+        "n_ipv4": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), 0)).cast("long"),
+    }
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace PII spans with typed placeholder tags. Email first so the
+    host part of an address is never half-rewritten as an IP."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the GPT-3/Llama
+    recipe: a training document is contaminated when it shares any length-n
+    word n-gram with an evaluation document). Returns every ``train`` row's id
+    with ``n_overlap`` (distinct shared n-grams) and a ``contaminated`` flag.
+
+    Scale shape: the benchmark side is small by construction (eval sets are
+    thousands of docs, not billions), so its distinct n-gram set is built
+    once and **broadcast**; the train side is a map-only explode of per-doc
+    distinct n-grams followed by a broadcast-hash semi-count and one aggregate
+    on ``id_col``. No shuffle ever touches the 100 TB side except the final
+    per-doc count, which AQE coalesces. Never a sort-merge join against the
+    corpus.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(normalized_tokens(F.col(text_col)), ngram_n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(normalized_tokens(F.col(text_col)), ngram_n))
+        ).alias("g"),
+    )
+    overlap = (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    tokens_per_group: int,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: compute each group's total
+    whitespace-token count, derive a keep-rate ``min(1, budget / total)``,
+    and keep the documents whose content-stable hash bucket falls under the
+    rate — the way a pretraining mixture hits a per-domain token target
+    without an RNG (reproducible across runs, engines, and repartitioning).
+
+    Scale shape: one map-side-combinable aggregate over ``group_col`` (tiny
+    result — one row per domain), **broadcast** back onto the corpus, then a
+    map-only filter. The kept set is decided per-row with no global sort or
+    sampling pass. The hash bucket is md5-derived so any engine reproduces
+    the exact kept set.
+    """
+    tokens = ws_token_count(F.col(text_col))
+    totals = df.groupBy(group_col).agg(F.sum(tokens).alias("group_tokens"))
+    rates = totals.select(
+        group_col,
+        F.col("group_tokens"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(tokens_per_group)) / F.greatest("group_tokens", F.lit(1)),
+        ).alias("keep_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        % 10_000
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("keep_rate") * 10_000)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            tokens.alias("doc_tokens"),
+            F.col("group_tokens"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )
 
 
 WINNOW_K = 5  # k-gram length (characters)

@@ -349,8 +349,187 @@ HAVING count(*) >= 2
 """
 
 
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction, top-word
+    fraction, duplicate word-2-gram fraction per document (operators.text.
+    repetition_signals — two map-side-combinable aggregates, no self-join)."""
+    from quantms_utils_spark.operators.text import repetition_signals
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text", ngram_n=2)
+
+
+REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(str_split(s, ' ')) AS w FROM d WHERE length(s) > 0
+), wc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, max(cnt) AS top_word_cnt
+  FROM wc GROUP BY 1
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+  FROM (SELECT doc_id, str_split(s, ' ') AS toks FROM d WHERE length(s) > 0),
+       UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+), gc AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2
+), gs AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct_grams
+  FROM gc GROUP BY 1
+)
+SELECT ws.doc_id, n_words,
+  round((n_words - n_distinct_words)::DOUBLE / greatest(n_words, 1), 4)
+    AS dup_word_frac,
+  round(top_word_cnt::DOUBLE / greatest(n_words, 1), 4) AS top_word_frac,
+  round((coalesce(n_grams, 0) - coalesce(n_distinct_grams, 0))::DOUBLE
+        / greatest(coalesce(n_grams, 0), 1), 4) AS dup_ngram_frac
+FROM ws LEFT JOIN gs USING (doc_id)
+"""
+
+
+def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any word
+    5-gram with a test-split ('benchmark') document. The split reuses the
+    deterministic md5 bucket of text_train_split; the benchmark n-gram set is
+    broadcast (operators.text.decontaminate), so the corpus side never
+    shuffles except the final per-doc count."""
+    from quantms_utils_spark.operators.text import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+    pct = F.pmod(h.cast("long"), F.lit(100))
+    train = d.where(pct < 80)
+    bench = d.where(pct >= 90)
+    return decontaminate(train, bench, "doc_id", "text", ngram_n=5)
+
+
+DECONTAMINATE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS pct
+  FROM documents
+), tg AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+  FROM (SELECT doc_id, str_split(s, ' ') AS toks FROM d
+        WHERE pct < 80 AND length(s) > 0),
+       UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
+), bg AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+  FROM (SELECT str_split(s, ' ') AS toks FROM d
+        WHERE pct >= 90 AND length(s) > 0),
+       UNNEST(generate_series(1, len(toks) - 4)) AS t(i)
+), ov AS (
+  SELECT doc_id, count(*) AS n_overlap FROM tg JOIN bg USING (g) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(ov.n_overlap, 0) > 0 AS contaminated
+FROM d LEFT JOIN ov USING (doc_id)
+WHERE d.pct < 80
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction. The synthetic corpus contains no PII, so a
+    deterministic doc_id-derived contact line (email, phone, IPv4) is appended
+    first — making every count non-trivial and the redacted output
+    value-checkable (by md5 digest) in both engines. Counting and redaction
+    are codegen'd regexp expressions (operators.text.pii_counts/pii_redact):
+    a 100 TB scrub is a single map-only scan."""
+    from quantms_utils_spark.operators.text import pii_counts, pii_redact
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(F.pmod(did, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(did * 7, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        F.pmod(did, F.lit(256)).cast("string"),
+        F.lit(".0.1"),
+    )
+    c = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ipv4"].alias("n_ipv4"),
+        F.md5(pii_redact(aug)).alias("redacted_md5"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH a AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or call 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(aug,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM a
+"""
+
+
+def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling to a 500-token-per-source budget:
+    per-source totals → broadcast keep-rates → deterministic md5-bucket keep
+    decision (operators.text.mixture_sample). Map-only on the corpus side."""
+    from quantms_utils_spark.operators.text import mixture_sample
+
+    d = load(spark, sf_dir, "documents")
+    return mixture_sample(d, "source", "doc_id", "text", tokens_per_group=500)
+
+
+MIXTURE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      AS doc_tokens
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(doc_tokens) AS BIGINT) AS group_tokens
+  FROM tok GROUP BY 1
+), r AS (
+  SELECT source, group_tokens,
+         least(1.0, 500.0 / greatest(group_tokens, 1)) AS keep_rate
+  FROM tot
+)
+SELECT t.doc_id, t.source, t.doc_tokens, r.group_tokens,
+       round(r.keep_rate, 6) AS keep_rate
+FROM tok t JOIN r USING (source)
+WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+      < r.keep_rate * 10000
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
+    "text_repetition_signals": (repetition, REPETITION_SQL),
+    "text_decontaminate": (decontaminate_split, DECONTAMINATE_SQL),
+    "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "text_mixture_sample": (mixture, MIXTURE_SQL),
     "text_lang_id": (lang_id_predict, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),

@@ -1,0 +1,125 @@
+"""Unit tests for the training-data hygiene operators: repetition signals,
+decontamination, PII scrub, mixture sampling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quantms_utils_spark.operators.text import (
+    decontaminate,
+    mixture_sample,
+    pii_counts,
+    pii_redact,
+    repetition_signals,
+    word_ngrams,
+    normalized_tokens,
+)
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "x"),                # single word: no 2-grams
+            (4, "  "),               # blank: no tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {1, 2, 3}  # blank doc has no words
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["dup_word_frac"] == 0.75
+    assert rows[1]["top_word_frac"] == 1.0
+    # "a a" 2-gram occurs 3 times, 1 distinct -> (3-1)/3
+    assert rows[1]["dup_ngram_frac"] == round(2 / 3, 4)
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.25
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    # single-token doc: gram side is null -> 0.0, not null/NaN
+    assert rows[3]["dup_ngram_frac"] == 0.0
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "t string")
+    out = df.select(
+        word_ngrams(normalized_tokens(F.col("t")), 3).alias("g")
+    ).collect()[0]["g"]
+    assert out == []
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "hi"),  # shorter than n tokens -> zero overlap, still output
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "doc_id", "text", ngram_n=5).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    plan = decontaminate(train, bench, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail bob@x.org or 555-123-4567 at 10.0.0.1 end",)], "t string"
+    )
+    c = pii_counts(F.col("t"))
+    row = df.select(
+        c["n_emails"].alias("e"),
+        c["n_phones"].alias("p"),
+        c["n_ipv4"].alias("i"),
+        pii_redact(F.col("t")).alias("red"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["red"] == "mail <EMAIL> or <PHONE> at <IP> end"
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([("no pii here at all",)], "t string")
+    row = df.select(pii_redact(F.col("t")).alias("red")).collect()[0]
+    assert row["red"] == "no pii here at all"
+
+
+def test_mixture_sample_respects_budget_and_determinism(spark):
+    rows = [(i, f"g{i % 2}", "w " * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(df, "source", "doc_id", "text", tokens_per_group=200)
+    pdf = out.toPandas()
+    # rate = 200 / (100 docs * 10 tokens) = 0.2 -> roughly 20 docs per group
+    assert set(pdf["keep_rate"].round(6)) == {0.2}
+    per_group = pdf.groupby("source").size()
+    assert all(5 <= n <= 40 for n in per_group)
+    # deterministic: second run keeps the identical doc set
+    pdf2 = out.toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(pdf2["doc_id"])
+
+
+def test_mixture_sample_keeps_all_under_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "g", "a b c"), (2, "g", "d e")], "doc_id long, source string, text string"
+    )
+    out = mixture_sample(df, "source", "doc_id", "text", tokens_per_group=1000)
+    assert out.count() == 2
+    assert out.select("keep_rate").distinct().collect()[0][0] == 1.0
