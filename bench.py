@@ -51,6 +51,12 @@ HEADLINE = [
     ("q_lag_lead", "window_lag_lead"),
     ("q_funnel", "event_funnel"),
     ("q_percentiles", "value_percentiles"),
+    ("q_winnow_pairs", "dedup_winnow_pairs"),
+    ("q_repetition", "text_repetition_signals"),
+    ("q_decontaminate", "text_decontaminate"),
+    ("q_pii_scrub", "text_pii_scrub"),
+    ("q_quantize", "embedding_quantize_int8"),
+    ("q_pca_cov", "embedding_pca_covariance"),
 ]
 
 

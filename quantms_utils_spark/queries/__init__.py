@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from quantms_utils_spark.queries import (
     core,
+    curation,
     dedup,
     media,
     relational,
@@ -25,7 +26,7 @@ from quantms_utils_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media):
+for _mod in (core, dedup, relational, similarity, textops, media, curation):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -53,6 +54,7 @@ _FRONT = [
     "media_wav_features", "media_bmp_features", "media_y4m_frames",
     "text_repetition_signals", "text_decontaminate", "text_pii_scrub",
     "text_mixture_sample", "embedding_quantize_int8", "embedding_pca_covariance",
+    "curation_pipeline",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},
