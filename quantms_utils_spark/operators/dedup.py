@@ -188,7 +188,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash signatures.
 
@@ -205,7 +209,12 @@ def lsh_candidate_pairs(
     Skew: a pathological hot bucket (k documents) emits k·(k-1)/2 pairs from
     one group — the classic LSH hot-bucket problem. The fix at scale is more
     rows per band (smaller buckets), not a skew-join hint, because the blowup
-    is in the *output* cardinality, not the shuffle.
+    is in the *output* cardinality, not the shuffle. ``max_bucket`` is the
+    guard for the residual tail: buckets larger than it are dropped entirely
+    (standard practice — a bucket every document falls into is
+    non-discriminative hash noise, and near-identical members of a genuine
+    mega-cluster still pair up in their other, smaller band buckets).
+    ``None`` (the default) keeps every bucket, matching the SQL oracle.
     """
     n_bands = n_hashes // band_size
     string_sigs = dict(sigs.dtypes).get("sig_0") == "string"
@@ -235,6 +244,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(

@@ -466,3 +466,47 @@ def pca_project(df: DataFrame, vec_col: str, components) -> DataFrame:
         for ci, comp in enumerate(components)
     ]
     return df.select("*", *cols)
+
+
+def ann_batch_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors for a BATCH of query vectors at once — the
+    retrieval workload shape (many queries against one corpus), not the
+    single-probe demo. The query set is broadcast and the corpus is scored in
+    one map-only pass (|corpus| × |queries| scores, each inside whole-stage
+    codegen); per-query ranking is a window over the query id. At 100 TB the
+    broadcast bound is the query batch size (thousands of queries × d floats
+    — KBs to MBs), and the rank shuffle moves only (q_id, id, score) triples,
+    never vectors. Excludes self-matches when ids collide. Deterministic
+    tiebreak on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        vectors.join(broadcast(queries), F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col(query_vec_col)).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_raw").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("cos_raw", 4).alias("cos_sim"),
+            "rank",
+        )
+    )

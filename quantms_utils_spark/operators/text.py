@@ -322,6 +322,59 @@ def mixture_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Contiguous sequence packing: assign each document a (bin, offset) so
+    concatenating documents in id order fills fixed-length training examples
+    of ``seq_len`` tokens — the deterministic streaming form of example
+    packing (no bin-packing search, which is order-dependent and
+    unparallelizable). ``offset`` is the exclusive running token sum within
+    the group; ``bin`` is ``offset // seq_len``; ``spans_boundary`` marks
+    documents straddling two bins (the ones a loader must split or mask).
+
+    Scale shape: ONE window per group (partitionBy group, orderBy id) — the
+    sort is per-group, not global, so 1000 sources = 1000 independent sorted
+    partitions. A single global packing order would serialize the corpus
+    through one partition; per-group packing is what real pipelines do
+    (pack within a shard). Everything else is arithmetic on the cumsum —
+    map-only, oracle-reproducible.
+    """
+    from pyspark.sql import Window
+
+    tokens = ws_token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("doc_tokens").over(w), F.lit(0))
+    return (
+        df.select(F.col(id_col), F.col(group_col), tokens.alias("doc_tokens"))
+        .withColumn("offset", offset)
+        .select(
+            id_col,
+            group_col,
+            "doc_tokens",
+            "offset",
+            (F.col("offset") / seq_len).cast("long").alias("bin"),
+            (
+                (F.col("doc_tokens") > 0)
+                & (
+                    (F.col("offset") / seq_len).cast("long")
+                    != (
+                        (F.col("offset") + F.col("doc_tokens") - 1) / seq_len
+                    ).cast("long")
+                )
+            ).alias("spans_boundary"),
+        )
+    )
+
+
 WINNOW_K = 5  # k-gram length (characters)
 WINNOW_W = 4  # window: guarantee-threshold t = w + k - 1 = 8 chars
 

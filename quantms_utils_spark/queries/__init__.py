@@ -54,7 +54,7 @@ _FRONT = [
     "media_wav_features", "media_bmp_features", "media_y4m_frames",
     "text_repetition_signals", "text_decontaminate", "text_pii_scrub",
     "text_mixture_sample", "embedding_quantize_int8", "embedding_pca_covariance",
-    "curation_pipeline",
+    "curation_pipeline", "ann_batch_queries_topk", "text_pack_sequences",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

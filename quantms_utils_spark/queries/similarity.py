@@ -328,6 +328,37 @@ LIMIT 10
 """
 
 
+def ann_batch_queries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: top-10 cosine neighbors for five query vectors in
+    ONE pass (operators.similarity.ann_batch_topk — broadcast query batch,
+    map-only scoring, rank shuffle carries only id/score triples)."""
+    from quantms_utils_spark.operators.similarity import ann_batch_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_batch_topk(e, qs, k=10)
+
+
+ANN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS c
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+), r AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+  FROM s
+)
+SELECT q_id, vec_id, round(c, 4) AS cos_sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding
     (operators.similarity.quantize_int8 — pure Catalyst, map-only). The full
@@ -396,6 +427,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_batch_queries_topk": (ann_batch_queries_topk, ANN_BATCH_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
     "embedding_pca_covariance": (embedding_pca_covariance, EMBEDDING_PCA_COV_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),

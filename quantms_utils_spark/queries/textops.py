@@ -524,8 +524,41 @@ WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
 """
 
 
+def pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contiguous sequence packing into 128-token training bins
+    (operators.text.pack_sequences — one per-group window, never a global
+    sort)."""
+    from quantms_utils_spark.operators.text import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, "source", "doc_id", "text", seq_len=128)
+
+
+PACK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      AS doc_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, doc_tokens,
+    CAST(coalesce(sum(doc_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM tok
+)
+SELECT doc_id, source, doc_tokens, "offset",
+  "offset" // 128 AS bin,
+  doc_tokens > 0 AND ("offset" // 128) <> (("offset" + doc_tokens - 1) // 128)
+    AS spans_boundary
+FROM cum
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
+    "text_pack_sequences": (pack, PACK_SQL),
     "text_repetition_signals": (repetition, REPETITION_SQL),
     "text_decontaminate": (decontaminate_split, DECONTAMINATE_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),

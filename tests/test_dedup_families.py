@@ -117,3 +117,28 @@ def test_signatures_are_map_only(spark):
         # a repartition from _fan_out is allowed; a hash/range exchange from
         # an aggregation is not
         assert "hashpartitioning" not in plan.lower()
+
+
+def test_lsh_max_bucket_drops_hot_buckets(spark):
+    # 30 identical docs -> every band bucket holds all 30 ids (hot bucket);
+    # with max_bucket=10 those buckets are dropped and no pairs survive.
+    df = spark.createDataFrame(
+        [(i, "same words repeated over and over again here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(
+        df, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3, hash_family="xxhash64"
+    )
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE, max_bucket=10)
+    assert capped.count() == 0
+    # small genuine clusters are untouched by the cap
+    small = _corpus(spark)
+    sigs2 = minhash_signatures(
+        small, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3,
+        hash_family="xxhash64",
+    )
+    plain = lsh_candidate_pairs(sigs2, "doc_id", N_HASHES, BAND_SIZE)
+    guarded = lsh_candidate_pairs(sigs2, "doc_id", N_HASHES, BAND_SIZE, max_bucket=10)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, guarded.collect()))

@@ -84,3 +84,25 @@ def test_pca_project_is_map_only_and_correct(spark):
     # map-only: no exchange in the projection plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ann_batch_topk_matches_per_query_bruteforce(spark):
+    import numpy as np
+    from quantms_utils_spark.operators.similarity import ann_batch_topk
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(40, 8))
+    df = _vec_df(spark, vecs)
+    qs = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_batch_topk(df, qs, k=5).toPandas()
+    assert set(out["q_id"]) == {0, 1, 2}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf  # self excluded
+        want = list(np.argsort(-s, kind="stable")[:5])
+        got = list(out[out["q_id"] == q].sort_values("rank")["vec_id"])
+        assert got == want, (q, got, want)

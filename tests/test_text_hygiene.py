@@ -123,3 +123,20 @@ def test_mixture_sample_keeps_all_under_budget(spark):
     out = mixture_sample(df, "source", "doc_id", "text", tokens_per_group=1000)
     assert out.count() == 2
     assert out.select("keep_rate").distinct().collect()[0][0] == 1.0
+
+
+def test_pack_sequences_fills_bins_contiguously(spark):
+    from quantms_utils_spark.operators.text import pack_sequences
+
+    rows = [(i, "g", " ".join(["w"] * 10)) for i in range(10)]  # 10 tokens each
+    rows.append((99, "g", "   "))  # blank doc: 0 tokens, never spans
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, "source", "doc_id", "text", seq_len=32).collect()}
+    # doc i starts at offset 10*i; bins of 32 tokens
+    for i in range(10):
+        assert out[i]["offset"] == 10 * i
+        assert out[i]["bin"] == (10 * i) // 32
+    # doc 3 occupies tokens 30..39 -> crosses the 32-token boundary
+    assert out[3]["spans_boundary"] is True
+    assert out[0]["spans_boundary"] is False
+    assert out[99]["doc_tokens"] == 0 and out[99]["spans_boundary"] is False
