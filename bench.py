@@ -57,6 +57,8 @@ HEADLINE = [
     ("q_pii_scrub", "text_pii_scrub"),
     ("q_quantize", "embedding_quantize_int8"),
     ("q_pca_cov", "embedding_pca_covariance"),
+    ("q_ann_batch", "ann_batch_queries_topk"),
+    ("q_pack", "text_pack_sequences"),
 ]
 
 

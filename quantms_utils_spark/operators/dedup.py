@@ -187,6 +187,66 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band, bucket) rows from banded MinHash signatures — the shared
+    front half of self-pairing (``lsh_candidate_pairs``) and cross-set
+    pairing (``lsh_cross_pairs``). All bands are generated in ONE posexplode
+    pass; bucket hash family follows the signature dtype (md5 for hex string
+    signatures, xxhash64 for longs)."""
+    n_bands = n_hashes // band_size
+    string_sigs = dict(sigs.dtypes).get("sig_0") == "string"
+    if string_sigs:  # md5 family: bucket = md5 of the band's hex signatures
+        band_hashes = F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+    else:  # xxhash64 family: bucket = xxhash64 of the band's long signatures
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+                )
+                for b in range(n_bands)
+            ]
+        )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+
+def lsh_cross_pairs(
+    sigs_new: DataFrame,
+    sigs_corpus: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Cross-set LSH candidates: (new_id, corpus_id) pairs whose signatures
+    collide in any band — the incremental-ingestion shape (a new shard
+    against the standing corpus). Unlike self-banding this is an equi-JOIN on
+    (band, bucket) between the two banded sides, so the corpus side can be a
+    bucketed/pre-partitioned table written once and reused for every
+    incoming shard — at 100 TB the corpus bands never reshuffle per shard.
+    """
+    new_b = band_buckets(sigs_new, id_col, n_hashes, band_size).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    corp_b = band_buckets(sigs_corpus, id_col, n_hashes, band_size).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    return new_b.join(corp_b, ["band", "bucket"]).select(
+        "new_id", "corpus_id"
+    ).distinct()
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -216,30 +276,8 @@ def lsh_candidate_pairs(
     mega-cluster still pair up in their other, smaller band buckets).
     ``None`` (the default) keeps every bucket, matching the SQL oracle.
     """
-    n_bands = n_hashes // band_size
-    string_sigs = dict(sigs.dtypes).get("sig_0") == "string"
-    if string_sigs:  # md5 family: bucket = md5 of the band's hex signatures
-        band_hashes = F.array(
-            *[
-                F.md5(
-                    F.concat(
-                        *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
-                    )
-                )
-                for b in range(n_bands)
-            ]
-        )
-    else:  # xxhash64 family: bucket = xxhash64 of the band's long signatures
-        band_hashes = F.array(
-            *[
-                F.xxhash64(
-                    *[F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
-                )
-                for b in range(n_bands)
-            ]
-        )
     buckets = (
-        sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket"))
+        band_buckets(sigs, id_col, n_hashes, band_size)
         .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -586,3 +624,86 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keepers, id_col, "left_semi")
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Incremental-ingestion dedup: classify every ``incoming`` document
+    against the standing ``corpus`` as ``exact_dup`` (same normalized
+    fingerprint), ``near_dup`` (best LSH-candidate with verified Jaccard ≥
+    threshold), or ``new``. Returns (id, status, match_id, jaccard) with the
+    deterministic best match (highest rounded Jaccard, then smallest corpus
+    id); ``jaccard`` is null except for near-dups.
+
+    This is the daily-shard shape: the corpus fingerprint set and banded
+    signatures are computed once (in production: materialized and bucketed
+    at write time) and each shard joins against them — the corpus never
+    pays a self-join, and the per-shard cost is proportional to the shard,
+    not the corpus. Caller guarantees disjoint id spaces.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    corp_fp = (
+        corpus.select(F.md5(norm).alias("fp"), F.col(id_col).alias("cid"))
+        .groupBy("fp")
+        .agg(F.min("cid").alias("exact_match"))
+    )
+    inc = incoming.select(F.col(id_col), F.md5(norm).alias("fp"))
+    exact = inc.join(corp_fp, "fp", "left").select(id_col, "exact_match")
+
+    sig_kw = dict(
+        n_hashes=n_hashes, shingle_n=shingle_n, hash_family=hash_family
+    )
+    cand = lsh_cross_pairs(
+        minhash_signatures(incoming, id_col, text_col, **sig_kw),
+        minhash_signatures(corpus, id_col, text_col, **sig_kw),
+        id_col,
+        n_hashes=n_hashes,
+        band_size=band_size,
+    )
+    both = corpus.select(id_col, text_col).unionByName(
+        incoming.select(id_col, text_col)
+    )
+    ver = jaccard_for_pairs(
+        both,
+        cand.select(F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")),
+        id_col,
+        text_col,
+        n=shingle_n,
+        threshold=threshold,
+    )
+    best = (
+        ver.groupBy("doc_a")
+        .agg(
+            F.min(
+                F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_b").alias("mid"))
+            ).alias("b")
+        )
+        .select(
+            F.col("doc_a").alias(id_col),
+            F.col("b.mid").alias("near_match"),
+            (-F.col("b.nj")).alias("near_jaccard"),
+        )
+    )
+    return (
+        exact.join(best, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(F.col("exact_match").isNull(), F.col("near_jaccard")).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -293,8 +293,96 @@ FROM v
 """
 
 
+def incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-shard dedup: documents with doc_id ≥ 400 ('today's shard')
+    classified against the standing corpus (doc_id < 400) as exact_dup /
+    near_dup / new (operators.dedup.incremental_dedup — fingerprint
+    equi-join + cross-set LSH banding + candidate-only Jaccard verify; the
+    corpus side never self-joins)."""
+    from quantms_utils_spark.operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.where(F.col("doc_id") < 400),
+        d.where(F.col("doc_id") >= 400),
+        "doc_id",
+        "text",
+        n_hashes=N_HASHES,
+        band_size=BAND_SIZE,
+        shingle_n=3,
+        threshold=0.5,
+        hash_family="md5",
+    )
+
+
+INCREMENTAL_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
+), incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+), cfp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS exact_match
+  FROM corpus GROUP BY 1
+), ifp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM incoming
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sig AS (
+  SELECT doc_id,
+    {_minhash_sig_sql_columns()}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, CASE b {_BAND_CASE} END AS bucket
+  FROM sig,
+    UNNEST([{", ".join(str(b) for b in range(N_HASHES // BAND_SIZE))}]) AS t(b)
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.b = c.b AND n.bucket = c.bucket
+  WHERE n.doc_id >= 400 AND c.doc_id < 400
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT cand.new_id, cand.corpus_id, count(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.new_id
+  JOIN sh b ON b.doc_id = cand.corpus_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+), ver AS (
+  SELECT new_id, corpus_id,
+         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = new_id
+  JOIN sizes sb ON sb.doc_id = corpus_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+), best AS (
+  SELECT new_id, corpus_id, jaccard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY new_id ORDER BY jaccard DESC, corpus_id
+    ) AS rn FROM ver
+  ) WHERE rn = 1
+)
+SELECT i.doc_id,
+  CASE WHEN cfp.exact_match IS NOT NULL THEN 'exact_dup'
+       WHEN best.corpus_id IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS status,
+  coalesce(cfp.exact_match, best.corpus_id) AS match_id,
+  CASE WHEN cfp.exact_match IS NULL THEN best.jaccard END AS jaccard
+FROM ifp i
+LEFT JOIN cfp USING (fp)
+LEFT JOIN best ON best.new_id = i.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (incremental, INCREMENTAL_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_signatures": (minhash_sigs, MINHASH_SIGS_SQL),
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),

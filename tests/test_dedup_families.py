@@ -142,3 +142,38 @@ def test_lsh_max_bucket_drops_hot_buckets(spark):
     plain = lsh_candidate_pairs(sigs2, "doc_id", N_HASHES, BAND_SIZE)
     guarded = lsh_candidate_pairs(sigs2, "doc_id", N_HASHES, BAND_SIZE, max_bucket=10)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, guarded.collect()))
+
+
+def test_incremental_dedup_classifies_exact_near_new(spark):
+    from quantms_utils_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "unrelated corpus document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # exact dup of 1 (modulo case/whitespace normalization)
+            (10, "  Alpha beta   gamma delta epsilon zeta eta THETA "),
+            # near dup of 2: one word changed
+            (11, "one two three four five six seven eight nine zzz"),
+            # brand new vocabulary
+            (12, "totally fresh content nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            corpus, incoming, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert rows[10]["status"] == "exact_dup" and rows[10]["match_id"] == 1
+    assert rows[10]["jaccard"] is None
+    assert rows[11]["status"] == "near_dup" and rows[11]["match_id"] == 2
+    assert rows[11]["jaccard"] and rows[11]["jaccard"] >= 0.3
+    assert rows[12]["status"] == "new" and rows[12]["match_id"] is None

@@ -197,3 +197,40 @@ class TestLetBindingPinsSingleEvaluation:
         # CollapseProject would otherwise inline it into the divide lambda,
         # re-evaluating O(d) work per vector element
         assert plan.count("aggregate(") == 1, plan
+
+
+def test_mixture_sample_rates_broadcast(spark):
+    from quantms_utils_spark.queries.textops import mixture
+
+    plan = explain_str(mixture(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_batch_is_broadcast_nested_loop_not_cartesian(spark):
+    # The non-equi (id != q_id) join against a tiny broadcast query batch is
+    # MEANT to be a BroadcastNestedLoopJoin — the batch is the broadcast
+    # bound; what must never appear is a CartesianProduct or a shuffle of
+    # the corpus vectors for the join.
+    from quantms_utils_spark.queries.similarity import ann_batch_queries_topk
+
+    plan = explain_str(ann_batch_queries_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    from quantms_utils_spark.queries.textops import pack
+
+    plan = explain_str(pack(spark, SF))
+    # per-group window: hash partitioning by source, never a range
+    # (global-sort) exchange
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(source" in plan
+
+
+def test_quantize_is_map_only(spark):
+    from quantms_utils_spark.queries.similarity import embedding_quantize_int8
+
+    plan = explain_str(embedding_quantize_int8(spark, SF))
+    assert "Exchange" not in plan
