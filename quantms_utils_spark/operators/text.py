@@ -375,6 +375,27 @@ def pack_sequences(
     )
 
 
+def hash_sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank group members by the md5 of
+    their id (a uniform pseudo-order with no RNG state) and keep the first
+    ``k`` — how an eval/inspection subset is drawn reproducibly per domain.
+    Unlike ``df.sampleBy`` this is exact-k, engine-reproducible, and stable
+    under repartitioning. One window per group; the shuffle carries
+    (group, id, hash) only."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(F.col(group_col), F.col(id_col), h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )
+
+
 WINNOW_K = 5  # k-gram length (characters)
 WINNOW_W = 4  # window: guarantee-threshold t = w + k - 1 = 8 chars
 

@@ -402,6 +402,56 @@ FROM q
 """
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cosine retrieval over the int8-QUANTIZED corpus (dequantized
+    on the fly, full-precision query) — the memory-bound serving shape:
+    4× less scan IO than float32 at a small recall cost, and because
+    quantization is IEEE-deterministic the oracle reproduces the exact
+    dequantized scores. Compare against ann_bruteforce_topk to see the
+    rank drift quantization introduces."""
+    from quantms_utils_spark.operators.similarity import (
+        ann_bruteforce,
+        quantize_int8,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = quantize_int8(F.col("embedding"))
+    deq = e.withColumn("qs", qs).select(
+        "vec_id",
+        F.transform(
+            F.col("qs.q"), lambda x: x.cast("double") * F.col("qs.scale")
+        ).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return ann_bruteforce(
+        deq.filter(F.col("vec_id") != 0), q, id_col="vec_id",
+        vec_col="embedding", k=20,
+    )
+
+
+ANN_QUANTIZED_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+), dq AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         ELSE list_transform(v, x -> CAST(CAST(round(x / scale) AS INT)
+                                          AS DOUBLE) * scale) END AS emb
+  FROM v
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cos_sim
+FROM dq, q
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+LIMIT 20
+"""
+
+
 def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed population covariance of the embedding column as
     (i, j, cov) rows (operators.similarity.covariance_matrix): per-partition
@@ -428,6 +478,7 @@ GROUP BY 1, 2
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_batch_queries_topk": (ann_batch_queries_topk, ANN_BATCH_SQL),
+    "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),
     "embedding_pca_covariance": (embedding_pca_covariance, EMBEDDING_PCA_COV_SQL),
     "ann_partitioned_topk": (ann_partitioned_topk, ANN_PARTITIONED_SQL),

@@ -556,9 +556,29 @@ FROM cum
 """
 
 
+def group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source inspection sample
+    (operators.text.hash_sample_per_group — md5 pseudo-order, no RNG)."""
+    from quantms_utils_spark.operators.text import hash_sample_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample_per_group(d, "source", "doc_id", 3)
+
+
+GROUP_SAMPLE_SQL = """
+SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 3
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
+    "text_group_sample": (group_sample, GROUP_SAMPLE_SQL),
     "text_repetition_signals": (repetition, REPETITION_SQL),
     "text_decontaminate": (decontaminate_split, DECONTAMINATE_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
