@@ -259,3 +259,37 @@ def stream_quality_filter(events: DataFrame, min_value: float = 0.0) -> DataFram
         F.round("value", 2).alias("value"),
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+def stream_classify_against_corpus(
+    incoming: DataFrame, corpus: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream-STATIC join: classify a stream of arriving documents against
+    the standing corpus' exact-duplicate fingerprint set — the streaming
+    front half of ``operators.dedup.incremental_dedup`` (the LSH near-dup
+    tier stays in the batch compaction pass; exact-dup rejection is the part
+    worth doing at ingest latency). The static side is a tiny aggregated
+    fingerprint table, so Spark broadcasts it and re-plans it per
+    micro-batch; no streaming state is held at all (unlike stream-stream
+    joins) — this scales to any corpus whose FINGERPRINT aggregate fits the
+    broadcast budget, and degrades gracefully to a shuffled join beyond.
+    Works identically on a batch frame (the twin the oracle checks).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    corp_fp = (
+        corpus.select(F.md5(norm).alias("fp"), F.col(id_col).alias("cid"))
+        .groupBy("fp")
+        .agg(F.min("cid").alias("match_id"))
+    )
+    return (
+        incoming.withColumn("fp", F.md5(norm))
+        .join(corp_fp, "fp", "left")
+        .select(
+            id_col,
+            F.when(F.col("match_id").isNotNull(), F.lit("exact_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "match_id",
+        )
+    )

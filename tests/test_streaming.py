@@ -235,3 +235,53 @@ def test_stream_quality_filter(spark, event_files):
     expected_n = sum(1 for r in rows if r["value"] > 50.0)
     assert len(got) == expected_n
     assert all(r["k"] is not None for r in got)
+
+
+def test_stream_static_classify_matches_batch(spark, tmp_path):
+    """Stream-static join: arriving docs classified against the standing
+    corpus' fingerprint table; streaming result must equal the batch twin."""
+    import json
+
+    from quantms_utils_spark.streaming.events import stream_classify_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "known doc alpha beta"), (2, "known doc gamma delta")],
+        "doc_id long, text string",
+    )
+    arriving = [
+        {"doc_id": 10, "text": "  Known DOC alpha   beta "},  # exact dup of 1
+        {"doc_id": 11, "text": "entirely new content"},
+        {"doc_id": 12, "text": "known doc gamma delta"},      # exact dup of 2
+    ]
+    path = tmp_path / "landing"
+    path.mkdir()
+    (path / "b0.json").write_text("\n".join(json.dumps(r) for r in arriving))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(path))
+    )
+    out = stream_classify_against_corpus(stream, corpus)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("classified")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.sql("SELECT * FROM classified").collect()
+    }
+    batch = spark.read.schema("doc_id long, text string").json(str(path))
+    want = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in stream_classify_against_corpus(batch, corpus).collect()
+    }
+    assert got == want
+    assert got[10] == ("exact_dup", 1)
+    assert got[11] == ("new", None)
+    assert got[12] == ("exact_dup", 2)
