@@ -56,6 +56,7 @@ _FRONT = [
     "text_mixture_sample", "embedding_quantize_int8", "embedding_pca_covariance",
     "curation_pipeline", "ann_batch_queries_topk", "text_pack_sequences",
     "dedup_incremental", "ann_quantized_topk", "text_group_sample",
+    "table_profile",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

@@ -776,7 +776,52 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling of the orders table: per-column row/null/
+    distinct counts — the data-quality primitive every ingest pipeline runs
+    before trusting a new drop. ONE aggregate over the table (multiple exact
+    count-distincts share the pass via Expand), then the single result row
+    fans out to per-column rows with explode — no per-column scans, no
+    driver-side loop over columns. At 100 TB swap the exact distincts for
+    approx_count_distinct (same single-pass shape, fixed-size sketches); the
+    exact form here is what the oracle can reproduce."""
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    row = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+TABLE_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+)
+
 QUERIES = {
+    "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "star_join_revenue": (star_join_revenue, STAR_JOIN_REVENUE_SQL),
     "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
