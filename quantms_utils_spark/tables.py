@@ -8,6 +8,7 @@ is declared lazily; Catalyst prunes through it).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -27,12 +28,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to microseconds
+        # Some generations of events.parquet store TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; with nanosAsLong the column then
+        # surfaces as a long of nanoseconds that we truncate to microseconds
         # (integer div — double division would lose precision at 1e18 ns).
-        # DuckDB performs the same ns→µs truncation on read, so both engines
-        # see identical instants.
+        # Newer generations store TIMESTAMP(MICROS) directly, which Spark
+        # surfaces as TIMESTAMP_NTZ; normalize to TIMESTAMP_LTZ under the
+        # session's UTC zone so downstream numeric treatment (cast to
+        # double = epoch seconds) stays legal and matches DuckDB's
+        # naive-as-UTC `epoch()`. DuckDB performs the same ns→µs truncation
+        # on read, so both engines see identical instants either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
