@@ -1,0 +1,147 @@
+"""Lexical (BM25) retrieval and reciprocal-rank hybrid fusion.
+
+The reference engine has no keyword-search operator; these belong to the
+LLM-data-pipeline extension family: corpus-scale lexical retrieval with
+Okapi BM25 (Robertson et al., TREC-3) and reciprocal-rank fusion
+(Cormack, Clarke & Buettcher, SIGIR 2009) merging a lexical ranking with
+an embedding-cosine semantic ranking — the standard hybrid-search recipe
+for retrieval-based decontamination and targeted corpus slicing.
+
+100 TB design notes:
+
+- The posting build filters each document's token array down to the (tiny)
+  query-term set with a higher-order ``filter`` BEFORE any explode, so the
+  one shuffle carries only matching ``(doc, term)`` pairs — never a full
+  inverted index and never non-matching tokens. A document without query
+  terms contributes zero shuffle rows.
+- Corpus statistics (N, avgdl) ride along as a broadcast single-row dim
+  (BroadcastNestedLoopJoin over one row), not a driver-side collect — the
+  whole computation stays one lazy DAG that Catalyst schedules.
+- Per-term document frequency is a second aggregation over the already
+  query-filtered postings: O(matching docs × |query|), not O(vocabulary).
+- ``rrf_fuse`` is a full-outer equi-join of two ranked lists on the doc id;
+  at scale the inputs should already be per-system top-k lists (bounded),
+  so the join is trivially broadcastable from either side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from quantms_utils_spark.operators.text import normalized_tokens
+
+__all__ = ["bm25_scores", "bm25_rank", "rrf_fuse"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for a bag of query terms.
+
+    Returns ``(id_col, bm25)`` with one row per document that contains at
+    least one query term; non-matching documents are absent (score 0).
+
+    idf uses the non-negative BM25+ style ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    so common terms cannot produce negative contributions.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+
+    base = docs.select(
+        F.col(id_col),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    ).select(id_col, "_toks", F.size("_toks").alias("_dl"))
+
+    # single-row broadcast dim: corpus size and average doc length
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+
+    # keep only query-term occurrences before exploding: the shuffle input is
+    # O(matches), not O(tokens)
+    matched = base.select(
+        id_col,
+        "_dl",
+        F.explode(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(terms, x))
+        ).alias("_term"),
+    )
+    tf = matched.groupBy(id_col, "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+
+    scored = tf.join(F.broadcast(dfreq), "_term").join(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    contrib = idf * F.col("_tf") * (k1 + 1.0) / denom
+    return (
+        scored.withColumn("_contrib", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("_contrib").alias("bm25"))
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 scores plus a dense global rank (1 = best).
+
+    Scores are rounded before ranking so a last-ulp float divergence between
+    engines cannot flip adjacent ranks; ties break on the doc id. The rank
+    window is global (single-partition) — callers at scale should restrict
+    to per-partition top-k first; here the candidate set is already bounded
+    by the query-term filter.
+    """
+    s = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    ).withColumn("bm25", F.round("bm25", round_digits))
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return s.withColumn("rnk", F.row_number().over(w))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    id_col: str = "id",
+    rank_col: str = "rnk",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists.
+
+    ``rrf = Σ_systems 1/(k + rank)``; a document missing from one list
+    contributes 0 for that system (full-outer join). Returns
+    ``(id_col, rank_a, rank_b, rrf)``.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    bdf = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    fused = a.join(bdf, id_col, "full_outer")
+
+    def _part(c: Column) -> Column:
+        return F.coalesce(1.0 / (F.lit(float(k)) + c), F.lit(0.0))
+
+    return fused.select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        (_part(F.col("rank_a")) + _part(F.col("rank_b"))).alias("rrf"),
+    )

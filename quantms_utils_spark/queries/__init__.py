@@ -19,6 +19,7 @@ from quantms_utils_spark.queries import (
     dedup,
     media,
     relational,
+    retrieval,
     similarity,
     textops,
 )
@@ -26,7 +27,7 @@ from quantms_utils_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -56,7 +57,7 @@ _FRONT = [
     "text_mixture_sample", "embedding_quantize_int8", "embedding_pca_covariance",
     "curation_pipeline", "ann_batch_queries_topk", "text_pack_sequences",
     "dedup_incremental", "ann_quantized_topk", "text_group_sample",
-    "table_profile",
+    "table_profile", "text_bm25_topk", "hybrid_rrf_topk",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

@@ -1,0 +1,139 @@
+"""Lexical BM25 retrieval and hybrid (BM25 + cosine) rank-fusion queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from quantms_utils_spark.operators.retrieval import bm25_scores, rrf_fuse
+from quantms_utils_spark.operators.similarity import cosine_sim
+from quantms_utils_spark.tables import load
+
+# query terms drawn from the synthetic document vocabulary
+_QUERY_TERMS = ["spark", "merge", "window"]
+_TERMS_SQL = "['spark', 'merge', 'window']"
+
+# shared BM25 CTE chain (DuckDB): identical tokenization (lowercase,
+# whitespace-normalize, split) and identical score algebra to the Spark
+# operator, including the blank-text dl=0 guard.
+_BM25_CTES = f"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), dls AS (
+  SELECT doc_id, t, len(t) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+), matched AS (
+  SELECT doc_id, dl,
+         unnest(list_filter(t, x -> list_contains({_TERMS_SQL}, x))) AS term
+  FROM dls
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM matched GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+"""
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 for a fixed 3-term query. Scores are
+    rounded before the top-k cut (ties break on doc_id) so the selection is
+    engine-deterministic."""
+    d = load(spark, sf_dir, "documents")
+    s = bm25_scores(d, _QUERY_TERMS).withColumn("bm25", F.round("bm25", 4))
+    return s.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+BM25_TOPK_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, round(bm25, 4) AS bm25
+FROM bm25
+ORDER BY round(bm25, 4) DESC, doc_id
+LIMIT 20
+"""
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking of `documents` with
+    the cosine ranking of `embeddings` against query vector vec_id=0 via
+    reciprocal-rank fusion (k=60), treating doc_id == vec_id as the shared
+    id space. Both ranks are computed on scores rounded to 4 digits (ties
+    break on id) so rank assignment cannot diverge between engines on a
+    last-ulp float difference. Rank windows are global here because both
+    candidate lists are already bounded; at scale both sides would be
+    per-system top-k lists."""
+    d = load(spark, sf_dir, "documents")
+    lex_scores = bm25_scores(d, _QUERY_TERMS).select(
+        F.col("doc_id").alias("id"), F.round("bm25", 4).alias("s")
+    )
+    lex = lex_scores.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "id"))
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem_scores = e.join(broadcast(q)).select(
+        F.col("vec_id").alias("id"),
+        F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("s"),
+    )
+    sem = sem_scores.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "id"))
+    )
+
+    fused = rrf_fuse(lex, sem, id_col="id", rank_col="rnk", k=60)
+    return (
+        fused.select(
+            "id",
+            F.col("rank_a").alias("rank_lex"),
+            F.col("rank_b").alias("rank_sem"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(15)
+    )
+
+
+HYBRID_RRF_TOPK_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS rank_lex
+  FROM bm25
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), sem AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe), 4)
+                    DESC, vec_id) AS rank_sem
+  FROM embeddings CROSS JOIN q
+), fused AS (
+  SELECT coalesce(lex.id, sem.id) AS id, rank_lex, rank_sem,
+         coalesce(1.0 / (60 + rank_lex), 0) + coalesce(1.0 / (60 + rank_sem), 0)
+           AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+)
+SELECT id, rank_lex, rank_sem, round(rrf, 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, id
+LIMIT 15
+"""
+
+
+QUERIES = {
+    "text_bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_TOPK_SQL),
+}

@@ -1,0 +1,105 @@
+"""BM25 lexical retrieval + reciprocal-rank fusion unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from quantms_utils_spark.operators.retrieval import (
+    bm25_rank,
+    bm25_scores,
+    rrf_fuse,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="A a  c"),  # case + whitespace normalization
+            Row(doc_id=3, text="b c"),
+        ]
+    )
+
+
+def _bm25_expected(tf, df, dl, n_docs, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark, tiny_corpus):
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["a"]).collect()
+    }
+    # corpus: dl = 2, 3, 2 → avgdl = 7/3; 'a' appears in docs 1 and 2 (df=2)
+    assert set(out) == {1, 2}
+    avgdl = 7.0 / 3.0
+    assert out[1] == pytest.approx(_bm25_expected(1, 2, 2, 3, avgdl))
+    assert out[2] == pytest.approx(_bm25_expected(2, 2, 3, 3, avgdl))
+
+
+def test_bm25_multi_term_sums(spark, tiny_corpus):
+    single_a = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["a"]).collect()
+    }
+    single_b = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["b"]).collect()
+    }
+    both = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(tiny_corpus, ["a", "b"]).collect()
+    }
+    assert set(both) == {1, 2, 3}
+    for d in both:
+        assert both[d] == pytest.approx(
+            single_a.get(d, 0.0) + single_b.get(d, 0.0)
+        )
+
+
+def test_bm25_blank_and_nonmatching_absent(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y"), Row(doc_id=2, text="   ")]
+    )
+    assert bm25_scores(df, ["z"]).count() == 0
+
+
+def test_bm25_rank_deterministic_ties(spark):
+    # identical docs → identical scores → rank by doc_id
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b") for i in (3, 1, 2)]
+    )
+    ranked = {r["doc_id"]: r["rnk"] for r in bm25_rank(df, ["a"]).collect()}
+    assert ranked == {1: 1, 2: 2, 3: 3}
+
+
+def test_bm25_plan_no_cartesian(spark, tiny_corpus):
+    plan = bm25_rank(tiny_corpus, ["a"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame([Row(id=1, rnk=1), Row(id=2, rnk=2)])
+    b = spark.createDataFrame([Row(id=2, rnk=1), Row(id=3, rnk=2)])
+    out = {r["id"]: r for r in rrf_fuse(a, b, k=60).collect()}
+    assert out[1]["rrf"] == pytest.approx(1 / 61)
+    assert out[2]["rrf"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[3]["rrf"] == pytest.approx(1 / 62)
+    assert out[1]["rank_b"] is None and out[3]["rank_a"] is None
+
+
+def test_rrf_missing_side_contributes_zero(spark):
+    a = spark.createDataFrame([Row(id=7, rnk=1)])
+    b = a.filter("id < 0")  # empty
+    out = rrf_fuse(a, b, k=10).collect()
+    assert len(out) == 1 and out[0]["rrf"] == pytest.approx(1 / 11)
+
+
+def test_bm25_empty_terms_raises(spark, tiny_corpus):
+    with pytest.raises(ValueError):
+        bm25_scores(tiny_corpus, [])
