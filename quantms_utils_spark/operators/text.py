@@ -444,3 +444,145 @@ def winnow_fingerprints(col: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Co
         ).otherwise(F.array().cast("array<long>"))
 
     return _let(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), _mins)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    fixed-size chunks of ``chunk_tokens`` tokens with ``overlap`` tokens
+    shared between consecutive chunks (stride = chunk_tokens - overlap) —
+    the context-window preparation step for RAG indexing and long-document
+    training. The last chunk is the one whose window first covers the tail
+    (no trailing runt beyond it); documents at or under ``chunk_tokens``
+    yield exactly one chunk; blank documents yield none.
+
+    Scale shape: map-only — token split, chunk-count arithmetic, and an
+    in-row explode of start offsets; no shuffle at all. Output columns:
+    (id, chunk_id 1-based, start 1-based token offset, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    n = F.col("_n")
+    # number of windows: 1 for n <= chunk, else ceil((n - chunk)/stride) + 1
+    # (double-divide then truncate = floor for positive operands)
+    extra = ((n - chunk_tokens + stride - 1) / stride).cast("long")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk_tokens, F.lit(1)).otherwise(extra + 1)
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id"),
+    ).filter(F.col("_n") > 0)
+    start = (F.col("chunk_id") - 1) * stride + 1
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        start.cast("long").alias("start"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("_toks", start, chunk_tokens)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
+    """Apply one BPE merge (``left``+``right`` → concatenated symbol) to a
+    symbol array with a left-to-right non-overlapping fold — the same
+    semantics tokenizer trainers use. Pure Catalyst ``aggregate``; no
+    Python."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 3,
+) -> DataFrame:
+    """Distributed byte-pair-encoding merge induction (Sennrich et al. 2016):
+    learn the first ``n_merges`` merge rules from the corpus word-frequency
+    table. Returns one row per round: (round, left, right, merged, pair_freq).
+
+    Scale shape: the corpus collapses to the word-TYPE table (Heaps' law —
+    millions of types for a 100 TB corpus, tiny next to the corpus itself)
+    in one shuffle; every round after that is one aggregation over the type
+    table (adjacent-pair counts weighted by word frequency) plus a 1-row
+    driver collect of the argmax pair — the same driver-held-state shape as
+    the k-means centroid loop. Merge application is a map-only fold. Ties on
+    pair frequency break lexicographically for engine determinism.
+    """
+    words = (
+        df.select(F.explode(normalized_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .persist()
+    )
+    spark = df.sparkSession
+    out: list[tuple[int, str, str, str, int]] = []
+    try:
+        current = words
+        for rnd in range(1, n_merges + 1):
+            pairs = current.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", (i + 1).cast("int")).alias(
+                                    "r"
+                                ),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            out.append((rnd, l, r, l + r, cnt))
+            current = current.withColumn(
+                "syms", merge_pair_fold(F.col("syms"), F.lit(l), F.lit(r))
+            ).localCheckpoint(eager=False)
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        out, "round int, left string, right string, merged string, pair_freq long"
+    )

@@ -575,6 +575,106 @@ SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank FROM (
 """
 
 
+
+
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document (16-token windows, 4-token
+    overlap): the RAG/long-context preparation step. Chunk text is emitted
+    as an md5 digest so the value check covers the exact chunk bytes without
+    hauling full text through the compare."""
+    from quantms_utils_spark.operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    c = chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "start",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+CHUNK_SLIDING_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), counts AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 16 THEN 1 ELSE ((n - 16 + 11) // 12) + 1 END AS m
+  FROM sized
+), chunks AS (
+  SELECT doc_id, i AS chunk_id, (i - 1) * 12 + 1 AS start, n, t
+  FROM counts, UNNEST(generate_series(1, m)) AS u(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least(16, n - start + 1) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[start:start + 15], ' ')) AS chunk_digest
+FROM chunks
+"""
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three BPE merge rules learned from the corpus word-frequency
+    table (distributed tokenizer induction). The oracle unrolls the same
+    three rounds in DuckDB, replaying the left-to-right merge fold with
+    list_reduce, so the whole iterative loop is value-checked."""
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", n_merges=3)
+
+
+def _bpe_round(k: int) -> str:
+    prev = f"w{k - 1}"
+    return f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM {prev}, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+), m{k} AS (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+), w{k} AS (
+  SELECT freq,
+         list_reduce(list_transform(syms, c -> [c]),
+           (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+                            THEN acc[:-2] || [acc[-1] || x[1]]
+                            ELSE acc || x END) AS syms
+  FROM {prev} CROSS JOIN m{k}
+)"""
+
+
+BPE_MERGE_RULES_SQL = f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT unnest(CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split(nt, ' ') END) AS w
+  FROM norm
+), w0 AS (
+  SELECT count(*) AS freq, string_split(w, '') AS syms
+  FROM words GROUP BY w
+), {_bpe_round(1)}, {_bpe_round(2)}, {_bpe_round(3)}
+SELECT * FROM (
+  SELECT 1 AS round, l AS "left", r AS "right", l || r AS merged,
+         CAST(cnt AS BIGINT) AS pair_freq FROM m1
+  UNION ALL
+  SELECT 2, l, r, l || r, CAST(cnt AS BIGINT) FROM m2
+  UNION ALL
+  SELECT 3, l, r, l || r, CAST(cnt AS BIGINT) FROM m3
+) ORDER BY round
+"""
+
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
@@ -587,6 +687,8 @@ QUERIES = {
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "text_chunk_sliding": (chunk_sliding, CHUNK_SLIDING_SQL),
+    "text_bpe_merges": (bpe_merge_rules, BPE_MERGE_RULES_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),

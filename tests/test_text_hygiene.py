@@ -140,3 +140,99 @@ def test_pack_sequences_fills_bins_contiguously(spark):
     assert out[3]["spans_boundary"] is True
     assert out[0]["spans_boundary"] is False
     assert out[99]["doc_tokens"] == 0 and out[99]["spans_boundary"] is False
+
+
+# --- sliding-window chunking -------------------------------------------------
+
+
+def test_chunk_documents_windows(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="   "),
+        ]
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    # 10 tokens, stride 3 → starts 1, 4, 7; last window covers the tail
+    assert {k for k in rows} == {(1, 1), (1, 2), (1, 3), (2, 1)}
+    assert rows[(1, 1)]["chunk_text"] == "t1 t2 t3 t4"
+    assert rows[(1, 2)]["chunk_text"] == "t4 t5 t6 t7"
+    assert rows[(1, 3)]["chunk_text"] == "t7 t8 t9 t10"
+    assert rows[(1, 3)]["n_tokens"] == 4
+    assert rows[(2, 1)]["chunk_text"] == "a b c"
+    assert rows[(2, 1)]["n_tokens"] == 3
+
+
+def test_chunk_documents_exact_multiple_no_runt(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import chunk_documents
+
+    # n == chunk → exactly one window, no empty trailing chunk
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2)
+    assert out.count() == 1
+
+
+def test_chunk_documents_overlap_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+# --- BPE merge induction -----------------------------------------------------
+
+
+def test_bpe_merges_classic_corpus(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    # Sennrich et al. running example: es → est → lo → low
+    corpus = spark.createDataFrame(
+        [
+            Row(
+                text=" ".join(
+                    ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+                )
+            )
+        ]
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in bpe_merges(corpus, "text", n_merges=4).collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_merge_pair_fold_left_to_right_nonoverlapping(spark):
+    from pyspark.sql import functions as F
+    from quantms_utils_spark.operators.text import merge_pair_fold
+
+    def fold(word, l, r):
+        return spark.range(1).select(
+            merge_pair_fold(F.split(F.lit(word), ""), F.lit(l), F.lit(r)).alias(
+                "m"
+            )
+        ).collect()[0]["m"]
+
+    assert fold("aaa", "a", "a") == ["aa", "a"]
+    assert fold("aaaa", "a", "a") == ["aa", "aa"]
+    assert fold("aab", "a", "b") == ["a", "ab"]
+    assert fold("x", "a", "b") == ["x"]
