@@ -489,33 +489,45 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint()
     )
+    # Round 1 fused into initialization: with identity labels the first
+    # propagation is just an edge rename (label(v) = min(v, min neighbor)),
+    # so it needs a groupBy but no join. Every vertex appears on the `a`
+    # side of the symmetric edge frame, so the identity branch covers all.
     labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
+        sym.select(F.col("b").alias("v"), F.col("a").alias("label"))
+        .unionByName(sym.select(F.col("a").alias("v"), F.col("a").alias("label")))
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
+    # Convergence signal must work for ANY vertex id type (string/uuid
+    # ids are normal for a generic operator): sum the labels' xxhash64,
+    # not the labels themselves — summing strings casts to null and
+    # would terminate the loop after one iteration with split
+    # components. The hashes are summed as decimal so ANSI mode cannot
+    # overflow; hash-sum equality at a non-fixpoint requires a 64-bit
+    # collision across the whole label frame (negligible).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)  # materializes the fused first round
     for _ in range(max_iter):
+        # Lazy checkpoints: the convergence probe below is the action that
+        # materializes each round's label frame — one job per round instead
+        # of an eager-checkpoint job plus the probe.
         msgs = sym.join(labels, sym.a == labels.v).select(
             F.col("b").alias("v"), F.col("label")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # Convergence signal must work for ANY vertex id type (string/uuid
-        # ids are normal for a generic operator): sum the labels' xxhash64,
-        # not the labels themselves — summing strings casts to null and
-        # would terminate the loop after one iteration with split
-        # components. The hashes are summed as decimal so ANSI mode cannot
-        # overflow; hash-sum equality at a non-fixpoint requires a 64-bit
-        # collision across the whole label frame (negligible).
-        cur_sum = labels.agg(
-            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
-        ).first()[0]
+        cur_sum = _label_sum(new_labels)
+        labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
