@@ -719,3 +719,75 @@ def incremental_dedup(
             ),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact similarity self-join via frequency-ordered prefix filtering —
+    the AllPairs / PPJoin candidate-generation family (Bayardo et al.,
+    WWW 2007; Xiao et al., PPJoin). Third candidate strategy next to
+    MinHash-LSH (probabilistic) and winnowing (positional), and the only
+    EXACT one: when both documents' shingle lists are sorted by the same
+    global rarity order, any pair with shingle-set Jaccard >= threshold is
+    guaranteed to collide on at least one prefix token (prefix length
+    n - ceil(t*n) + 1), so the candidate set has no false negatives and the
+    verified output is exactly the set of qualifying pairs.
+
+    Scale shape: one shuffle to count global shingle document-frequency,
+    one shuffle to rebuild rarity-sorted shingle arrays per document, one
+    equi-join on prefix tokens (rarity ordering makes prefixes hit RARE
+    shingles, so join buckets stay small — the whole point of the
+    technique), then an O(candidates) verify with no re-tokenization
+    (shingle arrays travel with the pair). No all-pairs comparison at any
+    stage. Returns (doc_a, doc_b, jaccard) with jaccard rounded to 4.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("_toks")
+        )
+        .select(F.col(id_col).alias("_id"), "_toks", F.size("_toks").alias("_n"))
+    )
+    plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
+    pref = ordered.select(
+        "_id", F.explode(F.slice("_toks", F.lit(1), plen)).alias("_ptok")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa._ptok") == F.col("pb._ptok"))
+            & (F.col("pa._id") < F.col("pb._id")),
+        )
+        .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col("_id").alias("doc_a"), F.col("_toks").alias("_sa"), F.col("_n").alias("_na")
+    )
+    sb = ordered.select(
+        F.col("_id").alias("doc_b"), F.col("_toks").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -58,7 +58,7 @@ _FRONT = [
     "curation_pipeline", "ann_batch_queries_topk", "text_pack_sequences",
     "dedup_incremental", "ann_quantized_topk", "text_group_sample",
     "table_profile", "text_bm25_topk", "hybrid_rrf_topk",
-    "text_chunk_sliding", "text_bpe_merges",
+    "text_chunk_sliding", "text_bpe_merges", "dedup_prefix_pairs",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

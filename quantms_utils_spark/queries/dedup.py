@@ -380,6 +380,42 @@ LEFT JOIN best ON best.new_id = i.doc_id
 """
 
 
+def prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (word-3-gram-shingle Jaccard >= 0.6) by
+    frequency-ordered prefix filtering — no all-pairs stage on the Spark
+    side; the oracle IS the brute-force all-pairs join, which is exactly the
+    point: prefix filtering must reproduce it verbatim (no false negatives),
+    unlike the probabilistic LSH family."""
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, "doc_id", "text", threshold=0.6, shingle_n=3)
+
+
+PREFIX_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (incremental, INCREMENTAL_SQL),
@@ -389,4 +425,5 @@ QUERIES = {
     "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
     "dedup_lsh_verified": (lsh_verified, LSH_VERIFIED_SQL),
     "dedup_simhash": (simhash_fingerprints, SIMHASH_SQL),
+    "dedup_prefix_pairs": (prefix_pairs, PREFIX_PAIRS_SQL),
 }

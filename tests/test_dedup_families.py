@@ -177,3 +177,78 @@ def test_incremental_dedup_classifies_exact_near_new(spark):
     assert rows[11]["status"] == "near_dup" and rows[11]["match_id"] == 2
     assert rows[11]["jaccard"] and rows[11]["jaccard"] >= 0.3
     assert rows[12]["status"] == "new" and rows[12]["match_id"] is None
+
+
+# --- prefix filtering (AllPairs / PPJoin family) -----------------------------
+
+
+def _brute_force_pairs(rows, threshold, n=3):
+    """All-pairs shingle-set Jaccard — the oracle the exact method must
+    reproduce verbatim."""
+    import itertools
+    import re
+
+    sets = {}
+    for doc_id, text in rows:
+        words = re.split(r"\s+", text.strip().lower())
+        if len(words) < n:
+            continue
+        sets[doc_id] = {
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        }
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words appear in this one"),
+        (5, "totally unrelated content goes right here now"),
+        (6, "completely different words appear in this text"),  # near-dup of 4
+        (7, "ab"),  # under shingle size -> no shingles
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+    for t in (0.4, 0.6, 0.9):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        assert got == _brute_force_pairs(rows, t), f"threshold {t}"
+
+
+def test_prefix_filter_jaccard_values(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d e"),
+        ]
+    )
+    out = prefix_filter_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_prefix_filter_threshold_validation(spark):
+    import pytest
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(df, "doc_id", "text", threshold=0.0)
