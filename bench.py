@@ -94,9 +94,19 @@ def main() -> None:
     def _clusters_run(spark_, sf_):
         return connected_components(shared["pairs"], src="doc_a", dst="doc_b")
 
+    def _winnow_fast(spark_, sf_):
+        from quantms_utils_spark.operators.dedup import winnow_candidate_pairs
+        from quantms_utils_spark.tables import load
+
+        d = load(spark_, sf_, "documents")
+        # engine-default xxhash64 fingerprint family (the registry query pins
+        # md5 for DuckDB oracle parity; identical pipeline shape)
+        return winnow_candidate_pairs(d, "doc_id", "text", min_shared=2, max_df=50)
+
     OVERRIDES: dict[str, tuple] = {
         "q_minhash_lsh": (None, minhash_lsh_pairs_fast, True),
         "q_clusters": (_clusters_setup, _clusters_run, False),
+        "q_winnow_pairs": (None, _winnow_fast, True),
     }
 
     # Steady-state measurement: one untimed warmup execution per query (JVM

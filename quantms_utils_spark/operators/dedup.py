@@ -307,10 +307,13 @@ def winnow_candidate_pairs(
     text_col: str,
     min_shared: int = 2,
     max_df: int = 50,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs from winnowing (MOSS) fingerprints:
     documents sharing ≥ ``min_shared`` window-min fingerprints, with the
-    shared count per pair.
+    shared count per pair. ``hash_family`` mirrors ``minhash_signatures``:
+    xxhash64 is the performance default; the correctness query pins "md5"
+    so the DuckDB oracle can re-derive every fingerprint.
 
     Positional complement to MinHash-LSH: winnowing guarantees any shared
     substring of length ≥ w + k - 1 characters yields a shared fingerprint,
@@ -333,7 +336,9 @@ def winnow_candidate_pairs(
     # one row per (doc, fingerprint) — no extra distinct needed
     fps = df.select(
         F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), hash_family=hash_family)
+        ).alias("fp"),
     )
     buckets = (
         fps.groupBy("fp")

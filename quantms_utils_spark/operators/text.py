@@ -400,7 +400,12 @@ WINNOW_K = 5  # k-gram length (characters)
 WINNOW_W = 4  # window: guarantee-threshold t = w + k - 1 = 8 chars
 
 
-def winnow_fingerprints(col: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+def winnow_fingerprints(
+    col: Column,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    hash_family: str = "md5",
+) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): rolling hash over character k-grams, minimum per sliding
     window of ``w`` hashes, distinct minima = the document's fingerprint set.
@@ -408,28 +413,44 @@ def winnow_fingerprints(col: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Co
     guaranteed to share a fingerprint — position-robust near-dup evidence,
     unlike a whole-content hash.
 
-    Pure Catalyst: ``sequence`` positions → ``substring`` k-grams → md5-window
-    32-bit hashes → ``slice``/``array_min`` window minima → ``array_distinct``.
+    Pure Catalyst: ``sequence`` positions → ``substring`` k-grams → per-gram
+    hashes → ``slice``/``array_min`` window minima → ``array_distinct``.
     The normalized string and the hash array are each let-bound (see
     :func:`_let`) so they are computed once per row — without the binding the
     nested ``transform`` re-evaluates the full hash array per window position,
-    O(n²) md5/regex per document. The hash is md5-derived (not xxhash) so any
-    engine with md5/substr reproduces the values — a DuckDB oracle checks the
-    whole pipeline. Returns ``array<long>`` (empty for texts shorter than
-    k + w - 1 characters).
+    O(n²) hash/regex per document.
+
+    Hash families (same split as ``minhash_signatures``):
+    - ``"md5"`` (oracle-parity, the correctness-query pin): 32-bit window of
+      md5, reproducible in any engine with md5/substr so a DuckDB oracle
+      checks the whole pipeline.
+    - ``"xxhash64"`` (the performance default for engine callers): one
+      xxhash64 per k-gram — an order of magnitude cheaper per byte, same
+      fingerprint structure and guarantees.
+
+    Returns ``array<long>`` (empty for texts shorter than k + w - 1 chars).
     """
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     def _mins(s: Column) -> Column:
         n = F.length(s)
         grams_idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-        hashes = F.transform(
-            grams_idx,
-            lambda i: F.conv(
-                F.substr(F.md5(F.substring(s, i, F.lit(k))), F.lit(1), F.lit(8)),
-                16,
-                10,
-            ).cast("long"),
-        )
+        if hash_family == "xxhash64":
+            hashes = F.transform(
+                grams_idx, lambda i: F.xxhash64(F.substring(s, i, F.lit(k)))
+            )
+        else:
+            hashes = F.transform(
+                grams_idx,
+                lambda i: F.conv(
+                    F.substr(
+                        F.md5(F.substring(s, i, F.lit(k))), F.lit(1), F.lit(8)
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
         return F.when(
             n >= k + w - 1,
             _let(

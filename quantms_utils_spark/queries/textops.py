@@ -331,7 +331,9 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quantms_utils_spark.operators.dedup import winnow_candidate_pairs
 
     d = load(spark, sf_dir, "documents")
-    return winnow_candidate_pairs(d, "doc_id", "text", min_shared=2, max_df=50)
+    return winnow_candidate_pairs(
+        d, "doc_id", "text", min_shared=2, max_df=50, hash_family="md5"
+    )
 
 
 WINNOW_PAIRS_SQL = f"""
