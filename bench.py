@@ -59,6 +59,11 @@ HEADLINE = [
     ("q_pca_cov", "embedding_pca_covariance"),
     ("q_ann_batch", "ann_batch_queries_topk"),
     ("q_pack", "text_pack_sequences"),
+    ("q_bm25", "text_bm25_topk"),
+    ("q_hybrid_rrf", "hybrid_rrf_topk"),
+    ("q_chunk", "text_chunk_sliding"),
+    ("q_bpe", "text_bpe_merges"),
+    ("q_prefix_pairs", "dedup_prefix_pairs"),
 ]
 
 

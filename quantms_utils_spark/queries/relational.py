@@ -677,6 +677,61 @@ ORDER BY cohort_year, order_year
 """
 
 
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout quality report: Morton-interleave (l_partkey,
+    l_suppkey) at 10 bits/dim, split the curve into 16 equal-frequency
+    buckets, and report each bucket's envelope (min/max of the key AND of
+    both dimensions) — the zone-map tightness a Z-clustered rewrite buys.
+    The ntile here is a demo-scale global window; the production write path
+    is ``operators.layout.zorder_layout`` (range repartition by the key),
+    which needs no global window."""
+    from pyspark.sql import Window
+    from quantms_utils_spark.operators.layout import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=10).alias("z"),
+    )
+    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    return (
+        keyed.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ZORDER_BUCKET_STATS_SQL = """
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (((l_partkey & 1023) >> 0 & 1) << 0) | (((l_partkey & 1023) >> 1 & 1) << 2) | (((l_partkey & 1023) >> 2 & 1) << 4) | (((l_partkey & 1023) >> 3 & 1) << 6) | (((l_partkey & 1023) >> 4 & 1) << 8) | (((l_partkey & 1023) >> 5 & 1) << 10) | (((l_partkey & 1023) >> 6 & 1) << 12) | (((l_partkey & 1023) >> 7 & 1) << 14) | (((l_partkey & 1023) >> 8 & 1) << 16) | (((l_partkey & 1023) >> 9 & 1) << 18) | (((l_suppkey & 1023) >> 0 & 1) << 1) | (((l_suppkey & 1023) >> 1 & 1) << 3) | (((l_suppkey & 1023) >> 2 & 1) << 5) | (((l_suppkey & 1023) >> 3 & 1) << 7) | (((l_suppkey & 1023) >> 4 & 1) << 9) | (((l_suppkey & 1023) >> 5 & 1) << 11) | (((l_suppkey & 1023) >> 6 & 1) << 13) | (((l_suppkey & 1023) >> 7 & 1) << 15) | (((l_suppkey & 1023) >> 8 & 1) << 17) | (((l_suppkey & 1023) >> 9 & 1) << 19) AS z
+  FROM lineitem
+), bucketed AS (
+  SELECT *, ntile(16) OVER (ORDER BY z, l_orderkey, l_linenumber) AS bucket
+  FROM keyed
+)
+SELECT bucket, count(*) AS n_rows,
+       min(z) AS z_min, max(z) AS z_max,
+       min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+       min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -699,4 +754,5 @@ QUERIES = {
     "big_orders_having": (big_orders_having, BIG_ORDERS_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "moving_avg_range": (moving_avg_range, MOVING_AVG_RANGE_SQL),
+    "layout_zorder_stats": (zorder_bucket_stats, ZORDER_BUCKET_STATS_SQL),
 }

@@ -1,0 +1,65 @@
+"""Z-order (Morton) layout operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from quantms_utils_spark.operators.layout import zorder_key, zorder_layout
+
+
+def _z(spark, x, y, bits=4):
+    return (
+        spark.range(1)
+        .select(zorder_key([F.lit(x), F.lit(y)], bits=bits).alias("z"))
+        .collect()[0]["z"]
+    )
+
+
+def test_zorder_key_goldens(spark):
+    # bit i of dim d lands at position i*ndims + d
+    assert _z(spark, 0, 0) == 0
+    assert _z(spark, 1, 0) == 1
+    assert _z(spark, 0, 1) == 2
+    assert _z(spark, 1, 1) == 3
+    assert _z(spark, 3, 2) == 13  # x bits -> pos 0,2; y bit1 -> pos 3
+    assert _z(spark, 2, 3) == 14
+
+
+def test_zorder_key_masks_to_bits(spark):
+    # values above 2^bits wrap via masking, not overflow
+    assert _z(spark, 16 + 3, 2, bits=4) == _z(spark, 3, 2, bits=4)
+
+
+def test_zorder_key_validation(spark):
+    with pytest.raises(ValueError):
+        zorder_key([])
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2)], bits=32)  # 64 bits > signed range
+
+
+def test_zorder_layout_tightens_envelopes(spark):
+    # a 32x32 grid clustered into 16 range buckets: every bucket's 2-D
+    # envelope must be far smaller than the global domain (that's the whole
+    # point of the curve)
+    grid = spark.createDataFrame(
+        [Row(x=i, y=j) for i in range(32) for j in range(32)]
+    )
+    laid = zorder_layout(grid, ["x", "y"], n_buckets=16, bits=5)
+    parts = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert sum(p["n"] for p in parts) == 1024
+    # global envelope is 31x31; each of 16 Z-range buckets must stay within
+    # a quarter of the domain edge in both dims (Z gives ~8x8 tiles here)
+    for p in parts:
+        if p["n"] == 0:
+            continue
+        assert p["dx"] <= 15 and p["dy"] <= 15, p
