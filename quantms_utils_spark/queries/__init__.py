@@ -59,7 +59,7 @@ _FRONT = [
     "dedup_incremental", "ann_quantized_topk", "text_group_sample",
     "table_profile", "text_bm25_topk", "hybrid_rrf_topk",
     "text_chunk_sliding", "text_bpe_merges", "dedup_prefix_pairs",
-    "layout_zorder_stats",
+    "layout_zorder_stats", "text_quality_percentile_band", "text_source_overlap",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

@@ -677,6 +677,129 @@ SELECT * FROM (
 
 
 
+def quality_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile banding of document length: percent_rank of
+    n_tokens WITHIN each source (deterministic tie-break on doc_id) and the
+    keep decision for the middle [0.1, 0.9] band — per-domain outlier
+    trimming, the distribution-aware cousin of the absolute thresholds in
+    `text_quality_scores`. One window per source partition — no global
+    sort."""
+    from pyspark.sql import Window
+
+    from quantms_utils_spark.operators.text import ws_token_count
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    pr = F.percent_rank().over(w)
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(pr, 4).alias("pr"),
+        ((pr >= 0.1) & (pr <= 0.9)).alias("kept"),
+    )
+
+
+QUALITY_PERCENTILE_BAND_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_tokens,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_tokens, doc_id) AS pr
+  FROM base
+)
+SELECT doc_id, source, n_tokens, round(pr, 4) AS pr,
+       (pr >= 0.1 AND pr <= 0.9) AS kept
+FROM ranked
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of distinct word-3-gram shingle TYPES they share and the overlap
+    coefficient (shared / smaller source's type count). The between-corpora
+    twin of within-corpus dedup — the first report run before mixing
+    crawl snapshots. One distinct (source, shingle) aggregation, then an
+    equi-join on the shingle (never a doc-level cross join)."""
+    from quantms_utils_spark.operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        word_shingles(d, "doc_id", "text", n=3)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_types"))
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_types"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_types").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_types").alias("_nb")
+    )
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_types",
+            F.round(
+                F.col("shared_types") / F.least("_na", "_nb"), 4
+            ).alias("overlap_coef"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT d.source, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks t
+  JOIN documents d USING (doc_id),
+       UNNEST(generate_series(1, len(words) - 2)) AS u(i)
+  WHERE len(words) >= 3
+), sizes AS (
+  SELECT source, count(*) AS n_types FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_types
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_types,
+       round(CAST(shared_types AS DOUBLE) / least(sa.n_types, sb.n_types), 4)
+         AS overlap_coef
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
@@ -689,6 +812,8 @@ QUERIES = {
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),
+    "text_quality_percentile_band": (quality_percentile_band, QUALITY_PERCENTILE_BAND_SQL),
+    "text_source_overlap": (source_overlap_matrix, SOURCE_OVERLAP_MATRIX_SQL),
     "text_chunk_sliding": (chunk_sliding, CHUNK_SLIDING_SQL),
     "text_bpe_merges": (bpe_merge_rules, BPE_MERGE_RULES_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
