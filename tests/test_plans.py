@@ -234,3 +234,41 @@ def test_quantize_is_map_only(spark):
 
     plan = explain_str(embedding_quantize_int8(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_prefix_filter_plan_no_cartesian(spark):
+    """Prefix filtering must candidate-generate via the prefix-token
+    equi-join — never a cartesian/BNLJ all-pairs stage."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} common tokens here now") for i in range(6)]
+    )
+    plan = (
+        prefix_filter_pairs(df, "doc_id", "text", threshold=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """The layout rewrite is exactly one range repartition (plus its sort):
+    no extra shuffles sneak in around the key computation."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.layout import zorder_layout
+
+    df = spark.createDataFrame(
+        [Row(x=i % 8, y=i // 8) for i in range(64)]
+    )
+    plan = (
+        zorder_layout(df, ["x", "y"], n_buckets=4, bits=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
