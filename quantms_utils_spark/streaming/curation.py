@@ -1,0 +1,128 @@
+"""Continuous corpus curation: a foreachBatch ingest loop that classifies
+arriving documents against the standing fingerprint corpus AND grows that
+corpus with each micro-batch — the stateful-across-batches half that
+``stream_classify_against_corpus`` (stateless stream-static join) leaves to
+the batch layer.
+
+Design for scale / exactly-once:
+
+- The standing state is a plain parquet directory of (fp, match_id)
+  fingerprint aggregates, re-read per micro-batch (Spark re-plans the static
+  side of a stream-static join every batch, so growth is visible to the next
+  batch without restarting the query).
+- Every write inside the callback goes to an ``epoch=N`` subdirectory in
+  ``overwrite`` mode: foreachBatch is at-least-once on failure/retry, and
+  per-epoch overwrite makes a replayed epoch idempotent (the poor man's
+  transactional sink — a table format with commits would subsume this).
+- Within a batch, documents deduplicate against the batch itself first
+  (min-id per fingerprint) and then against the standing corpus, so two
+  copies landing together classify one as the keeper and one as the dup.
+- Nothing is collected to the driver; every step is a join or aggregation
+  on the (tiny) fingerprint frames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["classify_and_grow", "start_continuous_ingest"]
+
+_FP_SCHEMA = "fp string, match_id long"
+
+
+def _norm_fp(text_col: str):
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+
+
+def _read_standing(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    if os.path.isdir(corpus_dir) and any(
+        name.startswith("epoch=") for name in os.listdir(corpus_dir)
+    ):
+        return spark.read.schema(_FP_SCHEMA).parquet(
+            os.path.join(corpus_dir, "epoch=*")
+        )
+    return spark.createDataFrame([], _FP_SCHEMA)
+
+
+def classify_and_grow(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    corpus_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch callback: classify ``batch_df`` against the standing
+    fingerprint corpus, append the keepers' fingerprints to it, and write
+    per-document classifications. Idempotent per epoch (overwrite into
+    ``epoch=N`` subdirs)."""
+    spark = batch_df.sparkSession
+    standing = _read_standing(spark, corpus_dir)
+
+    fps = batch_df.select(
+        F.col(id_col).cast("long").alias("bid"), _norm_fp(text_col).alias("fp")
+    )
+    # in-batch keeper per fingerprint (min id), then standing-corpus lookup
+    keepers = fps.groupBy("fp").agg(F.min("bid").alias("keeper_id"))
+    classified = (
+        fps.join(keepers, "fp")
+        .join(F.broadcast(standing), "fp", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.when(F.col("match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("bid") != F.col("keeper_id"), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(
+                F.col("match_id"),
+                F.when(F.col("bid") != F.col("keeper_id"), F.col("keeper_id")),
+            ).alias("match_id"),
+        )
+    )
+    classified.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    )
+    # grow the standing corpus with genuinely-new fingerprints only
+    new_fps = (
+        keepers.join(standing.select("fp"), "fp", "left_anti")
+        .select("fp", F.col("keeper_id").alias("match_id"))
+    )
+    new_fps.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, f"epoch={int(epoch_id)}")
+    )
+
+
+def start_continuous_ingest(
+    incoming: DataFrame,
+    *,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a streaming document frame into the classify-and-grow loop with
+    availableNow semantics (drain everything landed, then stop) — the shape
+    of a scheduled incremental ingest run. Returns the StreamingQuery."""
+
+    def _batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        classify_and_grow(
+            batch_df,
+            epoch_id,
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -285,3 +285,75 @@ def test_stream_static_classify_matches_batch(spark, tmp_path):
     assert got[10] == ("exact_dup", 1)
     assert got[11] == ("new", None)
     assert got[12] == ("exact_dup", 2)
+
+
+# --- continuous ingest: foreachBatch classify-and-grow -----------------------
+
+
+def test_continuous_ingest_grows_corpus_across_runs(spark, tmp_path):
+    """Two availableNow drains with a shared checkpoint: batch-2 duplicates
+    of batch-1 documents must classify as exact_dup against the corpus the
+    first run grew."""
+    import json
+
+    from quantms_utils_spark.streaming.curation import start_continuous_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(in_dir))
+        )
+        q = start_continuous_ingest(
+            stream,
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    land(
+        "batch1.json",
+        [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "delta epsilon zeta"},
+            {"doc_id": 3, "text": "Alpha  beta   GAMMA"},  # in-batch dup of 1
+        ],
+    )
+    drain()
+    first = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+    }
+    assert first[1] == ("new", None)
+    assert first[2] == ("new", None)
+    assert first[3] == ("batch_dup", 1)
+
+    land(
+        "batch2.json",
+        [
+            {"doc_id": 10, "text": "alpha beta gamma"},   # dup of standing 1
+            {"doc_id": 11, "text": "eta theta iota"},     # genuinely new
+        ],
+    )
+    drain()
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11] == ("new", None)
+    # the standing corpus now holds exactly the three distinct fingerprints
+    fps = spark.read.parquet(corpus_dir + "/epoch=*")
+    assert fps.count() == 3
+    assert {r["match_id"] for r in fps.collect()} == {1, 2, 11}
