@@ -769,14 +769,19 @@ def prefix_filter_pairs(
     )
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
     pref = ordered.select(
-        "_id", F.explode(F.slice("_toks", F.lit(1), plen)).alias("_ptok")
+        "_id", "_n", F.explode(F.slice("_toks", F.lit(1), plen)).alias("_ptok")
     )
+    # AllPairs length filter: J(a,b) >= t forces t*max(na,nb) <= min(na,nb),
+    # so size-incompatible collisions are dropped IN the join condition,
+    # before the candidate distinct — exact, no false negatives.
     cand = (
         pref.alias("pa")
         .join(
             pref.alias("pb"),
             (F.col("pa._ptok") == F.col("pb._ptok"))
-            & (F.col("pa._id") < F.col("pb._id")),
+            & (F.col("pa._id") < F.col("pb._id"))
+            & (F.col("pa._n") * threshold <= F.col("pb._n"))
+            & (F.col("pb._n") * threshold <= F.col("pa._n")),
         )
         .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
         .distinct()
