@@ -607,3 +607,24 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "round int, left string, right string, merged string, pair_freq long"
     )
+
+
+def bpe_apply(
+    text_col: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Encode text with a learned BPE merge list: split each word into
+    characters, then apply every merge rule in learned order with the same
+    left-to-right non-overlapping fold used during training
+    (:func:`merge_pair_fold`). Returns ``array<array<string>>`` — the symbol
+    sequence per word. Map-only pure Catalyst: the merge list is baked into
+    the expression as literals (it is vocabulary metadata, KBs at most —
+    the broadcast-literal pattern), so encoding a 100 TB corpus is one scan
+    with zero shuffles and zero Python."""
+
+    def _encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for left, right in merges:
+            syms = merge_pair_fold(syms, F.lit(left), F.lit(right))
+        return syms
+
+    return F.transform(normalized_tokens(text_col), _encode_word)

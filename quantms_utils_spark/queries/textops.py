@@ -800,6 +800,68 @@ ORDER BY source_a, source_b
 """
 
 
+def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE: learn 3 merge rules from the corpus
+    (`bpe_merges`, driver-held merge table — vocabulary metadata), bake them
+    into a pure-Catalyst encode expression (`bpe_apply`, map-only, zero
+    shuffles), and report per-document symbol counts. n_chars_total is
+    invariant under merging (a sanity column the oracle recomputes from raw
+    text); n_bpe_symbols shrinks where learned pairs fire."""
+    from quantms_utils_spark.operators.text import bpe_apply, bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, "text", n_merges=3).collect()
+    ]
+    enc = bpe_apply(F.col("text"), merges)
+    n_syms = F.aggregate(enc, F.lit(0), lambda acc, w: acc + F.size(w))
+    n_chars = F.aggregate(
+        enc,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.aggregate(w, F.lit(0), lambda a2, s: a2 + F.length(s)),
+    )
+    return d.select(
+        "doc_id",
+        n_syms.cast("long").alias("n_bpe_symbols"),
+        n_chars.cast("long").alias("n_chars_total"),
+    )
+
+
+BPE_ENCODE_COUNTS_SQL = f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT unnest(CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split(nt, ' ') END) AS w
+  FROM norm
+), w0 AS (
+  SELECT count(*) AS freq, string_split(w, '') AS syms
+  FROM words GROUP BY w
+), {_bpe_round(1)}, {_bpe_round(2)}, {_bpe_round(3)},
+rules AS (
+  SELECT m1.l AS l1, m1.r AS r1, m2.l AS l2, m2.r AS r2, m3.l AS l3, m3.r AS r3
+  FROM m1, m2, m3
+), docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), dtoks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS ws,
+         length(replace(nt, ' ', '')) AS n_chars
+  FROM docs
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(ws, w -> len(list_reduce(list_transform(list_reduce(list_transform(list_reduce(list_transform(string_split(w, ''), _ca1 -> [_ca1]), (a1, x1) -> CASE WHEN a1[-1] = l1 AND x1[1] = r1 THEN a1[:-2] || [a1[-1] || x1[1]] ELSE a1 || x1 END), _ca2 -> [_ca2]), (a2, x2) -> CASE WHEN a2[-1] = l2 AND x2[1] = r2 THEN a2[:-2] || [a2[-1] || x2[1]] ELSE a2 || x2 END), _ca3 -> [_ca3]), (a3, x3) -> CASE WHEN a3[-1] = l3 AND x3[1] = r3 THEN a3[:-2] || [a3[-1] || x3[1]] ELSE a3 || x3 END)))), 0) AS BIGINT)
+         AS n_bpe_symbols,
+       CAST(n_chars AS BIGINT) AS n_chars_total
+FROM dtoks CROSS JOIN rules
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
@@ -816,6 +878,7 @@ QUERIES = {
     "text_source_overlap": (source_overlap_matrix, SOURCE_OVERLAP_MATRIX_SQL),
     "text_chunk_sliding": (chunk_sliding, CHUNK_SLIDING_SQL),
     "text_bpe_merges": (bpe_merge_rules, BPE_MERGE_RULES_SQL),
+    "text_bpe_encode": (bpe_encode_counts, BPE_ENCODE_COUNTS_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),

@@ -236,3 +236,35 @@ def test_merge_pair_fold_left_to_right_nonoverlapping(spark):
     assert fold("aaaa", "a", "a") == ["aa", "aa"]
     assert fold("aab", "a", "b") == ["a", "ab"]
     assert fold("x", "a", "b") == ["x"]
+
+
+def test_bpe_apply_known_merges(spark):
+    from pyspark.sql import Row, functions as F
+    from quantms_utils_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([Row(text="newest widest low")])
+    out = df.select(
+        bpe_apply(F.col("text"), [("e", "s"), ("es", "t")]).alias("enc")
+    ).collect()[0]["enc"]
+    assert out == [
+        ["n", "e", "w", "est"],
+        ["w", "i", "d", "est"],
+        ["l", "o", "w"],
+    ]
+
+
+def test_bpe_apply_char_count_invariant(spark):
+    from pyspark.sql import Row, functions as F
+    from quantms_utils_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame(
+        [Row(text="low lower newest"), Row(text="   "), Row(text="a")]
+    )
+    enc = bpe_apply(F.col("text"), [("l", "o"), ("lo", "w")])
+    chars = F.aggregate(
+        enc,
+        F.lit(0),
+        lambda acc, w: acc + F.aggregate(w, F.lit(0), lambda a, s: a + F.length(s)),
+    )
+    got = [r[0] for r in df.select(chars).collect()]
+    assert got == [len("lowlowernewest"), 0, 1]
