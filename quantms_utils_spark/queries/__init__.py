@@ -60,7 +60,7 @@ _FRONT = [
     "table_profile", "text_bm25_topk", "hybrid_rrf_topk",
     "text_chunk_sliding", "text_bpe_merges", "dedup_prefix_pairs",
     "layout_zorder_stats", "text_quality_percentile_band", "text_source_overlap",
-    "text_bpe_encode",
+    "text_bpe_encode", "snapshot_diff",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

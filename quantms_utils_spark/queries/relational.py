@@ -732,6 +732,61 @@ ORDER BY bucket
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation on orders: snapshot A = orders
+    through 1995-01-01; snapshot B = orders through 1996-01-01 minus every
+    97th key (deletions) with urgent orders repriced (updates). table_diff
+    classifies every key in one full-outer key join with map-side row
+    hashes; the oracle reproduces the statuses with direct IS DISTINCT FROM
+    column comparison — the hash is an implementation detail, the status
+    semantics are the contract."""
+    from quantms_utils_spark.operators.diff import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") <= "1995-01-01")
+    snap_b = (
+        o.filter(
+            (F.col("o_orderdate") <= "1996-01-01")
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + 10.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return table_diff(snap_a, snap_b, keys=["o_orderkey"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH snap_a AS (
+  SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1995-01-01'
+), snap_b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate <= TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
+), joined AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+              WHEN b.o_orderkey IS NULL THEN 'deleted'
+              WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                THEN 'updated'
+              ELSE 'unchanged' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+)
+SELECT o_orderkey, status FROM joined WHERE status <> 'unchanged'
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, None),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -755,4 +810,5 @@ QUERIES = {
     "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "moving_avg_range": (moving_avg_range, MOVING_AVG_RANGE_SQL),
     "layout_zorder_stats": (zorder_bucket_stats, ZORDER_BUCKET_STATS_SQL),
+    "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

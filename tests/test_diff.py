@@ -1,0 +1,66 @@
+"""Snapshot diff (CDC table comparison) tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from quantms_utils_spark.operators.diff import table_diff
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v="a", n=1.0),
+            Row(k=2, v="b", n=2.0),
+            Row(k=3, v="c", n=None),
+            Row(k=4, v=None, n=4.0),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v="a", n=1.0),      # unchanged
+            Row(k=2, v="B", n=2.0),      # updated (string)
+            Row(k=3, v="c", n=3.0),      # updated (null -> value)
+            Row(k=5, v="e", n=5.0),      # inserted; k=4 deleted
+        ]
+    )
+    return old, new
+
+
+def test_table_diff_statuses(spark, snaps):
+    old, new = snaps
+    got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "updated", 3: "updated", 4: "deleted", 5: "inserted"}
+
+
+def test_table_diff_include_unchanged(spark, snaps):
+    old, new = snaps
+    got = {
+        r["k"]: r["status"]
+        for r in table_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert got[1] == "unchanged" and len(got) == 5
+
+
+def test_table_diff_null_vs_null_is_unchanged(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None)], "k long, v string")
+    assert table_diff(old, new, ["k"]).count() == 0
+
+
+def test_table_diff_validation(spark, snaps):
+    old, new = snaps
+    with pytest.raises(ValueError):
+        table_diff(old, new, [])
+    with pytest.raises(ValueError):
+        table_diff(old, new.drop("n"), ["k"])
+
+
+def test_table_diff_keys_only_table(spark):
+    # degenerate: no non-key columns -> presence/absence only
+    old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "deleted", 3: "inserted"}
