@@ -33,6 +33,9 @@ SCALE_SENSITIVE = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "dedup_lsh_verified",
+    "dedup_prefix_pairs",
+    "text_bm25_topk",
+    "snapshot_diff",
 ]
 
 pytestmark = pytest.mark.skipif(
