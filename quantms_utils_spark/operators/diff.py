@@ -6,16 +6,17 @@ behind incremental loads, backfill audits, and replication checks.
 
 Scale shape: ONE full-outer equi-join on the key columns (co-partitioned by
 the shuffle on the key — at 100 TB, bucket both snapshots by the key and the
-join goes exchange-free), with change detection via a single xxhash64 over
-the canonicalized non-key columns computed map-side on each side before the
-join. No column-by-column comparison expression blow-up, no driver work;
-emitting only changed rows keeps the output proportional to the drift, not
-the table.
+join goes exchange-free). In the default hash mode, change detection is a
+single xxhash64 over the canonicalized non-key columns computed map-side on
+each side before the join, so only (keys, 8-byte digest) rows shuffle. No
+column-by-column comparison expression blow-up, no driver work; emitting
+only changed rows keeps the output proportional to the drift, not the table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import MapType
 
 __all__ = ["table_diff"]
 
@@ -26,36 +27,77 @@ def table_diff(
     keys: list[str],
     *,
     include_unchanged: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """Diff two snapshots sharing a schema on ``keys``.
 
     Returns the key columns plus ``status`` in {'inserted', 'deleted',
-    'updated'} (plus 'unchanged' when ``include_unchanged``). Non-key
-    columns are compared by a null-safe xxhash64 over their canonical
-    string forms (every value cast to string, nulls sentineled), so two
-    snapshots disagree iff any non-key value differs.
+    'updated'} (plus 'unchanged' when ``include_unchanged``).
+
+    Change-detection contract (``exact=False``, the default): non-key
+    columns are compared by a null-safe ``xxhash64`` over their canonical
+    string forms (every value cast to string, nulls replaced by a
+    ``"\\x00null"`` sentinel). This is probabilistic and canonicalizing:
+
+    - a 64-bit hash collision reports an updated row as unchanged with
+      probability ~2**-64 per key;
+    - a real string value equal to the sentinel is indistinguishable from
+      NULL;
+    - values whose *string rendering* coincides (e.g. date vs its ISO
+      string) compare equal.
+
+    Pass ``exact=True`` for exact semantics: the non-key columns are packed
+    into a struct on each side (map-side, still just one shuffled column)
+    and compared with null-safe struct equality — no sentinels, no
+    collisions, at the cost of shuffling the full row payload instead of an
+    8-byte digest.
+
+    Map-typed non-key columns are rejected in both modes (their rendering
+    and equality are unordered/nondeterministic); explode them to rows or
+    ``map_entries`` + ``array_sort`` them first.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
     if set(old.columns) != set(new.columns):
         raise ValueError("snapshots must share a schema")
     non_keys = [c for c in old.columns if c not in keys]
+    for c in non_keys:
+        if isinstance(old.schema[c].dataType, MapType) or isinstance(
+            new.schema[c].dataType, MapType
+        ):
+            raise ValueError(
+                f"map-typed column {c!r} is not diffable (unordered "
+                "rendering); explode it or sort its entries first"
+            )
 
-    def _hashed(df: DataFrame, alias: str) -> DataFrame:
-        cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c)
-            for c in non_keys
-        ]
+    def _digest(df: DataFrame, alias: str) -> DataFrame:
+        if not non_keys:
+            payload = F.lit(0)
+        elif exact:
+            payload = F.struct(*[F.col(c) for c in non_keys])
+        else:
+            payload = F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in non_keys
+                ]
+            )
         return df.select(
-            *keys, F.xxhash64(*cols).alias(f"_h_{alias}") if non_keys
-            else F.lit(0).alias(f"_h_{alias}")
+            *keys,
+            payload.alias(f"_v_{alias}"),
+            F.lit(True).alias(f"_p_{alias}"),
         )
 
-    joined = _hashed(old, "old").join(_hashed(new, "new"), keys, "full_outer")
+    joined = _digest(old, "old").join(_digest(new, "new"), keys, "full_outer")
+    changed = (
+        ~F.col("_v_old").eqNullSafe(F.col("_v_new"))
+        if exact
+        else F.col("_v_old") != F.col("_v_new")
+    )
     status = (
-        F.when(F.col("_h_old").isNull(), F.lit("inserted"))
-        .when(F.col("_h_new").isNull(), F.lit("deleted"))
-        .when(F.col("_h_old") != F.col("_h_new"), F.lit("updated"))
+        F.when(F.col("_p_old").isNull(), F.lit("inserted"))
+        .when(F.col("_p_new").isNull(), F.lit("deleted"))
+        .when(changed, F.lit("updated"))
         .otherwise(F.lit("unchanged"))
     )
     out = joined.select(*keys, status.alias("status"))

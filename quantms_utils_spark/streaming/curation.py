@@ -11,9 +11,20 @@ Design for scale / exactly-once:
   side of a stream-static join every batch, so growth is visible to the next
   batch without restarting the query).
 - Every write inside the callback goes to an ``epoch=N`` subdirectory in
-  ``overwrite`` mode: foreachBatch is at-least-once on failure/retry, and
-  per-epoch overwrite makes a replayed epoch idempotent (the poor man's
-  transactional sink — a table format with commits would subsume this).
+  ``overwrite`` mode, and the standing-corpus read for epoch N only loads
+  epochs **strictly below N**: foreachBatch is at-least-once on
+  failure/retry, and a replayed epoch must see exactly the pre-epoch state —
+  otherwise the epoch's own (already-written) fingerprints would classify
+  every document in the replay as a duplicate of itself and the epoch's
+  corpus shard would be overwritten empty. Epoch-scoped reads + per-epoch
+  overwrite make the replay a true no-op (the poor man's transactional
+  sink — a table format with commits would subsume this).
+- Corpus discovery goes through the Hadoop FileSystem API, not driver-local
+  ``os`` calls, so an object-store / HDFS ``corpus_dir`` behaves the same as
+  a local one.
+- Document ids keep their native column type end to end (the min-id keeper
+  and all joins work on strings and uuids as well as longs); nothing is
+  silently cast.
 - Within a batch, documents deduplicate against the batch itself first
   (min-id per fingerprint) and then against the standing corpus, so two
   copies landing together classify one as the keeper and one as the dup.
@@ -23,13 +34,9 @@ Design for scale / exactly-once:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["classify_and_grow", "start_continuous_ingest"]
-
-_FP_SCHEMA = "fp string, match_id long"
 
 
 def _norm_fp(text_col: str):
@@ -38,14 +45,38 @@ def _norm_fp(text_col: str):
     )
 
 
-def _read_standing(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    if os.path.isdir(corpus_dir) and any(
-        name.startswith("epoch=") for name in os.listdir(corpus_dir)
-    ):
-        return spark.read.schema(_FP_SCHEMA).parquet(
-            os.path.join(corpus_dir, "epoch=*")
-        )
-    return spark.createDataFrame([], _FP_SCHEMA)
+def _list_epoch_dirs(
+    spark: SparkSession, corpus_dir: str, before_epoch: int
+) -> list[str]:
+    """Epoch subdirectories of ``corpus_dir`` with epoch number strictly
+    below ``before_epoch``, via the Hadoop FileSystem API (works for local,
+    HDFS, and object-store paths alike)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        try:
+            n = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if n < before_epoch:
+            out.append(status.getPath().toString())
+    return out
+
+
+def _read_standing(
+    spark: SparkSession, corpus_dir: str, before_epoch: int, fp_schema: str
+) -> DataFrame:
+    dirs = _list_epoch_dirs(spark, corpus_dir, before_epoch)
+    if not dirs:
+        return spark.createDataFrame([], fp_schema)
+    return spark.read.schema(fp_schema).parquet(*dirs)
 
 
 def classify_and_grow(
@@ -58,14 +89,16 @@ def classify_and_grow(
     text_col: str = "text",
 ) -> None:
     """foreachBatch callback: classify ``batch_df`` against the standing
-    fingerprint corpus, append the keepers' fingerprints to it, and write
-    per-document classifications. Idempotent per epoch (overwrite into
-    ``epoch=N`` subdirs)."""
+    fingerprint corpus (epochs < ``epoch_id`` only, so a retried epoch is
+    idempotent), append the keepers' fingerprints to it, and write
+    per-document classifications."""
     spark = batch_df.sparkSession
-    standing = _read_standing(spark, corpus_dir)
+    id_type = batch_df.schema[id_col].dataType.simpleString()
+    fp_schema = f"fp string, match_id {id_type}"
+    standing = _read_standing(spark, corpus_dir, int(epoch_id), fp_schema)
 
     fps = batch_df.select(
-        F.col(id_col).cast("long").alias("bid"), _norm_fp(text_col).alias("fp")
+        F.col(id_col).alias("bid"), _norm_fp(text_col).alias("fp")
     )
     # in-batch keeper per fingerprint (min id), then standing-corpus lookup
     keepers = fps.groupBy("fp").agg(F.min("bid").alias("keeper_id"))
@@ -85,7 +118,7 @@ def classify_and_grow(
         )
     )
     classified.write.mode("overwrite").parquet(
-        os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        f"{out_dir}/epoch={int(epoch_id)}"
     )
     # grow the standing corpus with genuinely-new fingerprints only
     new_fps = (
@@ -93,7 +126,7 @@ def classify_and_grow(
         .select("fp", F.col("keeper_id").alias("match_id"))
     )
     new_fps.write.mode("overwrite").parquet(
-        os.path.join(corpus_dir, f"epoch={int(epoch_id)}")
+        f"{corpus_dir}/epoch={int(epoch_id)}"
     )
 
 

@@ -64,3 +64,31 @@ def test_table_diff_keys_only_table(spark):
     new = spark.createDataFrame([Row(k=2), Row(k=3)])
     got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
     assert got == {1: "deleted", 3: "inserted"}
+
+
+def test_table_diff_exact_mode(spark, snaps):
+    old, new = snaps
+    got = {
+        r["k"]: r["status"]
+        for r in table_diff(old, new, ["k"], exact=True).collect()
+    }
+    assert got == {2: "updated", 3: "updated", 4: "deleted", 5: "inserted"}
+
+
+def test_table_diff_exact_sentinel_not_confusable(spark):
+    # a real value equal to the hash mode's null sentinel: exact mode must
+    # still see the NULL -> "\x00null" transition as an update
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "\x00null")], "k long, v string")
+    assert table_diff(old, new, ["k"], exact=True).collect()[0][
+        "status"
+    ] == "updated"
+
+
+def test_table_diff_rejects_map_columns(spark):
+    old = spark.createDataFrame([(1, {"a": 1})], "k long, m map<string,int>")
+    new = spark.createDataFrame([(1, {"a": 2})], "k long, m map<string,int>")
+    with pytest.raises(ValueError, match="map-typed"):
+        table_diff(old, new, ["k"])
+    with pytest.raises(ValueError, match="map-typed"):
+        table_diff(old, new, ["k"], exact=True)

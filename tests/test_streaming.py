@@ -357,3 +357,64 @@ def test_continuous_ingest_grows_corpus_across_runs(spark, tmp_path):
     fps = spark.read.parquet(corpus_dir + "/epoch=*")
     assert fps.count() == 3
     assert {r["match_id"] for r in fps.collect()} == {1, 2, 11}
+
+
+def test_classify_and_grow_replay_is_idempotent(spark, tmp_path):
+    """At-least-once retry of an epoch AFTER its corpus write landed must
+    reproduce the original classifications and leave the standing corpus
+    intact (the epoch's own fingerprints are invisible to its replay)."""
+    from quantms_utils_spark.streaming.curation import classify_and_grow
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")], "doc_id long, text string"
+    )
+    classify_and_grow(b0, 0, corpus_dir=corpus_dir, out_dir=out_dir)
+    classify_and_grow(b1, 1, corpus_dir=corpus_dir, out_dir=out_dir)
+
+    def state():
+        out = sorted(
+            (r["doc_id"], r["status"], r["match_id"])
+            for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+        )
+        corpus = sorted(
+            r["match_id"]
+            for r in spark.read.parquet(corpus_dir + "/epoch=*").collect()
+        )
+        return out, corpus
+
+    before = state()
+    # replay epoch 1 (both its writes already succeeded)
+    classify_and_grow(b1, 1, corpus_dir=corpus_dir, out_dir=out_dir)
+    assert state() == before
+    out, corpus = state()
+    assert (10, "exact_dup", 1) in out
+    assert corpus == [1, 2, 11]
+
+
+def test_classify_and_grow_string_ids(spark, tmp_path):
+    """Non-numeric document ids keep their native type (no silent cast)."""
+    from quantms_utils_spark.streaming.curation import classify_and_grow
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [
+            ("doc-a", "alpha beta"),
+            ("doc-b", "gamma delta"),
+            ("doc-c", "ALPHA   beta"),  # in-batch dup of doc-a
+        ],
+        "doc_id string, text string",
+    )
+    classify_and_grow(batch, 0, corpus_dir=corpus_dir, out_dir=out_dir)
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(out_dir + "/epoch=0").collect()
+    }
+    assert got["doc-a"] == ("new", None)
+    assert got["doc-b"] == ("new", None)
+    assert got["doc-c"] == ("batch_dup", "doc-a")
