@@ -33,15 +33,13 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
             raise ValueError(f"duplicate query name {_name!r}")
         REGISTRY[_name] = _pair
 
-# The round-1 driver recorded check rows for exactly the first 50 registry
-# entries, leaving the tail (ANN / text / multimodal / four relational
-# queries) unverified. Front-load every query that has never produced a
-# fully-green driver row — the 19 round-1 tail queries, plus the round-2
-# additions (IVF, winnowing, media codecs), dedup_simhash (oracle added in
-# round 2; its r01 row was rows-only), and approx_event_stats (output shape
-# fixed in round 2) — so a capped or time-budgeted checker covers them
-# first; relative order is otherwise preserved.
+# Front-load the queries that most need a fresh driver row, so a capped or
+# time-budgeted checker covers them first. Round-3 priorities lead:
+# snapshot_diff (added after the r02 run — the only registry query never
+# driver-checked) and approx_event_stats (reworked in round 3 from rows-only
+# to a hash-checkable tolerance oracle). The rest keep their round-2 order.
 _FRONT = [
+    "snapshot_diff", "approx_event_stats",
     "returned_items_topk", "big_orders_having", "rollup_revenue",
     "moving_avg_range", "ann_bruteforce_topk", "ann_partitioned_topk",
     "ann_lsh_bucketed", "embedding_norms", "dedup_embedding_cosine",
@@ -49,7 +47,7 @@ _FRONT = [
     "text_token_counts", "text_fingerprints", "multimodal_metadata",
     "multimodal_image_features", "multimodal_audio_features",
     "multimodal_video_frames", "multimodal_image_resize",
-    "dedup_simhash", "approx_event_stats",
+    "dedup_simhash",
     "ann_ivf_kmeans_centroids", "ann_ivf_topk",
     "text_winnow_fingerprints", "dedup_winnow_pairs",
     "media_wav_features", "media_bmp_features", "media_y4m_frames",
@@ -60,7 +58,7 @@ _FRONT = [
     "table_profile", "text_bm25_topk", "hybrid_rrf_topk",
     "text_chunk_sliding", "text_bpe_merges", "dedup_prefix_pairs",
     "layout_zorder_stats", "text_quality_percentile_band", "text_source_overlap",
-    "text_bpe_encode", "snapshot_diff",
+    "text_bpe_encode",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT},

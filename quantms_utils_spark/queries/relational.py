@@ -333,20 +333,61 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based statistics per event_type: HyperLogLog++ distinct users
     and t-digest-style approximate p50/p95. These are the 100 TB forms of
     `distinct_count` / `value_percentiles` — mergeable, fixed-size state,
-    map-side combinable, one shuffle of sketches instead of values. Results
-    are approximate by construction, so this registers WITHOUT a value oracle
-    (rows-only check); the exact twins above are the correctness anchors."""
+    map-side combinable, one shuffle of sketches instead of values.
+
+    Tolerance-oracle design: approximate values can never hash-match an
+    exact SQL twin, so the query ALSO computes the exact statistics in the
+    same aggregation and emits booleans asserting each sketch landed within
+    its documented error bound (HLL++ |approx−exact| ≤ 3·rsd·exact;
+    percentile_approx inside the exact [p−ε, p+ε] rank band, far looser
+    than the accuracy=10000 guarantee of ε = n/10000). The DuckDB oracle
+    emits the exact columns plus constant TRUE flags — the hash matches iff
+    every sketch honored its bound, turning the approximation contract
+    itself into the checked value."""
     e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("ap95"),
+        F.countDistinct("user_id").alias("eu"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.90)").alias("lo95"),
+        F.expr("percentile(value, 0.99)").alias("hi95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-            F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
-            F.count(F.lit(1)).alias("n_events"),
+        agg.select(
+            "event_type",
+            "n_events",
+            F.col("eu").alias("exact_users"),
+            (F.abs(F.col("au") - F.col("eu")) <= F.col("eu") * 0.06).alias(
+                "approx_users_ok"
+            ),
+            (
+                (F.col("ap50") >= F.col("lo50"))
+                & (F.col("ap50") <= F.col("hi50"))
+            ).alias("approx_p50_ok"),
+            (
+                (F.col("ap95") >= F.col("lo95"))
+                & (F.col("ap95") <= F.col("hi95"))
+            ).alias("approx_p95_ok"),
         )
         .orderBy("event_type")
     )
+
+
+APPROX_EVENT_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_p50_ok,
+       TRUE AS approx_p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def event_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,7 +829,7 @@ SELECT o_orderkey, status FROM joined WHERE status <> 'unchanged'
 
 
 QUERIES = {
-    "approx_event_stats": (approx_event_stats, None),
+    "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "hourly_gap_fill": (hourly_gap_fill, HOURLY_GAP_FILL_SQL),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
