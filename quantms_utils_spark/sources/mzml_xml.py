@@ -16,8 +16,10 @@ Design notes:
   the dominant cost, so pushdown saves real work, exactly like
   PeakFileOptions.setMSLevels in the C++ reader.
 - Binary arrays: base64 → optional zlib → IEEE float32/float64 little-endian
-  per the cvParams. MS-Numpress compression is not implemented (raises with
-  a clear message).
+  per the cvParams, or MS-Numpress (linear / pic / slof, plus the
+  "followed by zlib" combinations) via the pure-Python codecs in
+  ``sources.numpress`` — vendor-converted real-world mzML commonly ships
+  numpress-compressed arrays.
 - ``.gz`` runs stream through ``gzip.open``.
 
 CV accessions used (PSI-MS controlled vocabulary):
@@ -41,7 +43,15 @@ from xml.etree.ElementTree import iterparse
 import numpy as np
 import pandas as pd
 
-_NUMPRESS_ACCESSIONS = {"MS:1002312", "MS:1002313", "MS:1002314"}
+# numpress scheme by accession: plain, and "followed by zlib" combos
+_NUMPRESS_ACCESSIONS = {
+    "MS:1002312": ("linear", False),
+    "MS:1002313": ("pic", False),
+    "MS:1002314": ("slof", False),
+    "MS:1002746": ("linear", True),
+    "MS:1002747": ("pic", True),
+    "MS:1002748": ("slof", True),
+}
 
 
 def _local(tag: str) -> str:
@@ -86,13 +96,20 @@ def _decode_binary(bda_elem) -> tuple[str | None, np.ndarray]:
     if kind is None:
         return None, np.empty(0)
 
-    numpress = _NUMPRESS_ACCESSIONS & params.keys()
-    if numpress:
-        raise NotImplementedError(
-            f"MS-Numpress compression ({sorted(numpress)}) is not supported by "
-            "the pure-Python mzML backend; use parser='pyopenms'."
-        )
     raw = base64.b64decode(b64_text.encode("ascii")) if b64_text else b""
+    numpress = sorted(_NUMPRESS_ACCESSIONS.keys() & params.keys())
+    if numpress:
+        from quantms_utils_spark.sources import numpress as np_codec
+
+        scheme, zlib_after = _NUMPRESS_ACCESSIONS[numpress[0]]
+        if zlib_after or "MS:1000574" in params:
+            raw = zlib.decompress(raw)
+        decode = {
+            "linear": np_codec.decode_linear,
+            "pic": np_codec.decode_pic,
+            "slof": np_codec.decode_slof,
+        }[scheme]
+        return kind, decode(raw)
     if "MS:1000574" in params:  # zlib
         raw = zlib.decompress(raw)
     dtype = np.float32 if "MS:1000521" in params else np.float64
@@ -194,29 +211,63 @@ def parse_mzml_xml(
 # golden-file creation). Not a general-purpose exporter.
 # ---------------------------------------------------------------------------
 
+_NUMPRESS_PLAIN = {
+    "linear": ("MS:1002312", "MS-Numpress linear prediction compression"),
+    "pic": ("MS:1002313", "MS-Numpress positive integer compression"),
+    "slof": ("MS:1002314", "MS-Numpress short logged float compression"),
+}
+_NUMPRESS_ZLIB = {
+    "linear": ("MS:1002746", "MS-Numpress linear prediction compression followed by zlib compression"),
+    "pic": ("MS:1002747", "MS-Numpress positive integer compression followed by zlib compression"),
+    "slof": ("MS:1002748", "MS-Numpress short logged float compression followed by zlib compression"),
+}
+
+
 def write_mzml(
     path: str,
     spectra: pd.DataFrame,
     compress: bool = True,
     dtype: str = "f8",
     start_time_stamp: str | None = None,
+    numpress_mz: str | None = None,
+    numpress_intensity: str | None = None,
 ) -> str:
-    """Write SPECTRUM_SCHEMA-shaped rows as a standards-shaped mzML file."""
+    """Write SPECTRUM_SCHEMA-shaped rows as a standards-shaped mzML file.
+
+    ``numpress_mz`` / ``numpress_intensity`` select an MS-Numpress scheme
+    ('linear' / 'pic' / 'slof') for the respective array; with ``compress``
+    the "followed by zlib" combined accession is emitted."""
     import io
 
-    def encode(arr, accession_name):
+    from quantms_utils_spark.sources import numpress as np_codec
+
+    def encode(arr, accession_name, numpress=None):
         a = np.asarray(arr, dtype=np.float64)
-        if dtype == "f4":
+        if numpress:
+            payload = {
+                "linear": np_codec.encode_linear,
+                "pic": np_codec.encode_pic,
+                "slof": np_codec.encode_slof,
+            }[numpress](a)
+            if compress:
+                payload = zlib.compress(payload)
+                acc, name = _NUMPRESS_ZLIB[numpress]
+            else:
+                acc, name = _NUMPRESS_PLAIN[numpress]
+            fmt = f'<cvParam cvRef="MS" accession="{acc}" name="{name}"/>'
+            comp = ""
+        elif dtype == "f4":
             payload = a.astype("<f4").tobytes()
             fmt = '<cvParam cvRef="MS" accession="MS:1000521" name="32-bit float"/>'
         else:
             payload = a.astype("<f8").tobytes()
             fmt = '<cvParam cvRef="MS" accession="MS:1000523" name="64-bit float"/>'
-        if compress:
-            payload = zlib.compress(payload)
-            comp = '<cvParam cvRef="MS" accession="MS:1000574" name="zlib compression"/>'
-        else:
-            comp = '<cvParam cvRef="MS" accession="MS:1000576" name="no compression"/>'
+        if not numpress:
+            if compress:
+                payload = zlib.compress(payload)
+                comp = '<cvParam cvRef="MS" accession="MS:1000574" name="zlib compression"/>'
+            else:
+                comp = '<cvParam cvRef="MS" accession="MS:1000576" name="no compression"/>'
         b64 = base64.b64encode(payload).decode("ascii")
         return (
             f'<binaryDataArray encodedLength="{len(b64)}">{fmt}{comp}'
@@ -281,12 +332,14 @@ def write_mzml(
             encode(
                 r["mz_array"],
                 '<cvParam cvRef="MS" accession="MS:1000514" name="m/z array"/>',
+                numpress=numpress_mz,
             )
         )
         buf.write(
             encode(
                 r["intensity_array"],
                 '<cvParam cvRef="MS" accession="MS:1000515" name="intensity array"/>',
+                numpress=numpress_intensity,
             )
         )
         buf.write("</binaryDataArrayList>\n</spectrum>\n")

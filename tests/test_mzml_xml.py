@@ -65,15 +65,40 @@ class TestGoldenMzml:
         ms2 = parse_mzml_xml(TINY_MZML, ms_levels=[2])
         assert list(ms2["scan"]) == ["102"]
 
-    def test_numpress_rejected(self, tmp_path):
-        content = Path(TINY_MZML).read_text().replace(
-            'accession="MS:1000574" name="zlib compression"',
-            'accession="MS:1002312" name="MS-Numpress linear prediction compression"',
-        )
-        bad = tmp_path / "numpress.mzML"
-        bad.write_text(content)
-        with pytest.raises(NotImplementedError, match="Numpress"):
-            parse_mzml_xml(str(bad))
+    def test_numpress_file_roundtrip(self, tmp_path):
+        """Numpress-compressed arrays (linear m/z + slof intensity, the
+        common vendor-converter pairing) ingest through the XML backend
+        within the schemes' documented precision."""
+        src = synthetic_spectra("runNP", 20)
+        path = str(tmp_path / "runNP.mzML")
+        write_mzml(path, src, compress=False, dtype="f8",
+                   numpress_mz="linear", numpress_intensity="slof")
+        out = parse_mzml_xml(path)
+        assert len(out) == len(src)
+        for i in range(len(src)):
+            assert out["mz_array"][i] == pytest.approx(
+                src["mz_array"][i], abs=1e-4
+            )
+            for got, want in zip(out["intensity_array"][i],
+                                 src["intensity_array"][i]):
+                assert got == pytest.approx(want, rel=5e-4, abs=1e-3)
+
+    def test_numpress_zlib_combo_roundtrip(self, tmp_path):
+        """The 'numpress followed by zlib' combined accessions decode too
+        (pic intensities survive exactly — they are integral counts)."""
+        src = synthetic_spectra("runNPZ", 10)
+        src["intensity_array"] = [
+            [float(int(v)) for v in arr] for arr in src["intensity_array"]
+        ]
+        path = str(tmp_path / "runNPZ.mzML")
+        write_mzml(path, src, compress=True, dtype="f8",
+                   numpress_mz="linear", numpress_intensity="pic")
+        out = parse_mzml_xml(path)
+        assert len(out) == len(src)
+        for i in range(len(src)):
+            assert list(out["intensity_array"][i]) == list(
+                src["intensity_array"][i]
+            )
 
 
 def pd_isna(v):

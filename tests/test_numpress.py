@@ -1,0 +1,130 @@
+"""MS-Numpress codec unit tests (pure-Python linear / pic / slof).
+
+The schemes are public (Teleman et al., MCP 2014); these tests pin the wire
+format (big-endian fixed point, little-endian initial ints, nibble stream)
+and the documented precision of each scheme via encode→decode round trips,
+including the negative-residual and wide-residual paths of the int codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from quantms_utils_spark.sources.numpress import (
+    decode_linear,
+    decode_pic,
+    decode_slof,
+    encode_linear,
+    encode_pic,
+    encode_slof,
+    optimal_linear_fixed_point,
+    optimal_slof_fixed_point,
+)
+
+
+class TestLinear:
+    def test_roundtrip_mz_like(self):
+        # smooth ascending m/z with varying spacing -> mixed-sign residuals
+        mz = np.cumsum(np.linspace(0.01, 0.5, 2000)) + 200.0
+        fp = optimal_linear_fixed_point(mz)
+        out = decode_linear(encode_linear(mz))
+        assert len(out) == len(mz)
+        # quantization error bound: half a fixed-point unit
+        assert np.max(np.abs(out - mz)) <= 0.5 / fp + 1e-12
+
+    def test_roundtrip_irregular(self):
+        rng = np.random.RandomState(7)
+        mz = np.sort(rng.uniform(100.0, 2000.0, 5000))
+        out = decode_linear(encode_linear(mz))
+        fp = optimal_linear_fixed_point(mz)
+        assert np.max(np.abs(out - mz)) <= 0.5 / fp + 1e-12
+
+    def test_short_arrays(self):
+        assert decode_linear(encode_linear([])).tolist() == []
+        one = decode_linear(encode_linear([412.5], fixed_point=10000.0))
+        assert one == pytest.approx([412.5], abs=1e-4)
+        two = decode_linear(encode_linear([412.5, 413.0], fixed_point=10000.0))
+        assert two == pytest.approx([412.5, 413.0], abs=1e-4)
+
+    def test_header_is_big_endian_fixed_point(self):
+        data = encode_linear([1.0, 2.0, 3.0], fixed_point=100000.0)
+        assert struct.unpack(">d", data[:8])[0] == 100000.0
+        # first two values as little-endian u32 of value*fp
+        assert struct.unpack("<I", data[8:12])[0] == 100000
+        assert struct.unpack("<I", data[12:16])[0] == 200000
+
+    def test_perfect_linear_sequence_compresses_to_zero_diffs(self):
+        # residuals are exactly 0 -> one head nibble (8) per extra value
+        mz = np.arange(100.0, 200.0, 1.0)
+        data = encode_linear(mz, fixed_point=1000.0)
+        n_extra = len(mz) - 2
+        assert len(data) == 16 + (n_extra + 1) // 2
+        assert decode_linear(data) == pytest.approx(mz, abs=1e-3)
+
+    def test_truncated_stream_raises(self):
+        data = encode_linear(np.sort(np.random.RandomState(1).uniform(
+            100, 1000, 50)))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_linear(data[:-1] + b"\x07")  # head promising 8 nibbles
+
+
+class TestPic:
+    def test_roundtrip_counts(self):
+        rng = np.random.RandomState(11)
+        counts = rng.randint(0, 2**31, 3000).astype(np.float64)
+        assert decode_pic(encode_pic(counts)).tolist() == counts.tolist()
+
+    def test_rounds_to_nearest(self):
+        assert decode_pic(encode_pic([0.4, 0.6, 10.5])).tolist() == [
+            0.0, 1.0, 11.0,
+        ]
+
+    def test_zero_and_max(self):
+        vals = [0.0, 1.0, float(0xFFFFFFFE)]
+        assert decode_pic(encode_pic(vals)).tolist() == vals
+
+    def test_negative_rejected(self):
+        with pytest.raises(ValueError, match="out of unsigned"):
+            encode_pic([-5.0])
+
+
+class TestSlof:
+    def test_roundtrip_intensities(self):
+        rng = np.random.RandomState(3)
+        inten = rng.uniform(0.0, 1e6, 4000)
+        out = decode_slof(encode_slof(inten))
+        # documented bound: relative error ~ exp(1/fp) - 1 on x+1
+        fp = optimal_slof_fixed_point(inten)
+        rel = np.exp(0.5 / fp) - 1.0
+        assert np.all(np.abs(out - inten) <= (inten + 1.0) * rel + 1e-9)
+
+    def test_zero_maps_to_zero(self):
+        assert decode_slof(encode_slof([0.0, 0.0]))== pytest.approx(
+            [0.0, 0.0], abs=1e-9
+        )
+
+    def test_header_is_big_endian_fixed_point(self):
+        data = encode_slof([5.0, 10.0], fixed_point=3000.0)
+        assert struct.unpack(">d", data[:8])[0] == 3000.0
+        assert len(data) == 8 + 2 * 2
+
+
+class TestIntCodecEdges:
+    def test_wide_negative_and_positive_residuals(self):
+        # sawtooth m/z violates linearity hard -> residuals span both signs
+        # and many nibble widths, including the full-width (head 0) path
+        base = np.arange(0.0, 50.0)
+        mz = base + np.where(base % 2 == 0, 0.0, 4000.0)
+        out = decode_linear(encode_linear(mz, fixed_point=500000.0))
+        assert out == pytest.approx(mz, abs=1e-5)
+
+    def test_minus_one_residual(self):
+        # value exactly one fixed-point unit below extrapolation: diff = -1
+        # (0xFFFFFFFF -> head 15 + single 0xF nibble)
+        fp = 1000.0
+        mz = [1.0, 2.0, 2.999]
+        out = decode_linear(encode_linear(mz, fixed_point=fp))
+        assert out == pytest.approx(mz, abs=0.5 / fp)
