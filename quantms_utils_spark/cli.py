@@ -95,7 +95,13 @@ def dianncfg_cmd(enzyme, fix_mod, var_mod, out_dir):
 @click.option("--ms_path", required=True, multiple=True)
 @click.option("--ms2_file", is_flag=True, default=False)
 @click.option("--feature_detection", is_flag=True, default=False)
-@click.option("--feature_method", default="seed", type=click.Choice(["seed", "masstrace"]))
+@click.option(
+    "--feature_method",
+    default="masstrace",
+    type=click.Choice(["masstrace", "seed"]),
+    help="masstrace = the real mass-trace/isotope feature finder (reference "
+    "semantics, ms1_feature_finder.py); seed = diagnostic top-N stand-in.",
+)
 @click.option("--out_dir", default=".", type=click.Path())
 @click.option("--parser", default="auto", type=click.Choice(["auto", "pyopenms", "xml", "synthetic"]))
 @click.option("--master", default=None)

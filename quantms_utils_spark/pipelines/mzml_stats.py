@@ -235,7 +235,8 @@ def write_tables(
     stem: str,
     ms2_file: bool = False,
     feature_detection: bool = False,
-    feature_method: str = "seed",
+    feature_method: str = "masstrace",
+    feature_options: dict | None = None,
     compression: str = "zstd",
     partition_by_run: bool = False,
 ) -> dict[str, str]:
@@ -270,8 +271,11 @@ def write_tables(
                 detect_features_masstrace,
             )
 
-            _write(detect_features_masstrace(spectra), target)
+            _write(
+                detect_features_masstrace(spectra, **(feature_options or {})),
+                target,
+            )
         else:
-            _write(detect_features(spectra), target)
+            _write(detect_features(spectra, **(feature_options or {})), target)
         outputs["ms1_features"] = target
     return outputs

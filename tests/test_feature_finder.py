@@ -127,3 +127,70 @@ class TestIsotopeFeatures:
             assert r["feature_min_rt"] <= r["feature_rt"] <= r["feature_max_rt"]
             assert r["feature_min_mz"] <= r["feature_mz"] + 1e-9
             assert r["feature_num_scans"] >= 2
+
+
+def _mk_stress_run(spark):
+    """Overlapping-isotope / charge-ambiguity stress run. 12 MS1 scans at
+    rt = 10*i; all traces span scans 2..8 (co-eluting):
+
+    - X: z=3 ladder 700.000, +ISO/3, +2*ISO/3
+    - Y: z=2 pair 700.100, +ISO/2 — INTERLEAVED with X's m/z range; the
+      only edges within iso_tol are the intra-ladder ones, so the grouper
+      must keep X and Y as separate features despite the overlap
+    - P: two traces spaced 1.00340 — consistent with z=1 ONLY (no
+      intermediate), the detector must not invent a z=2 chain
+    - L: full z=2 ladder 810.000, +ISO/2, +1.00340 — the outer pair alone
+      is ambiguous (also ~z=1), and the intermediate trace must resolve the
+      component to z=2 via the per-trace best-charge filter
+    """
+    groups = [
+        (700.000, [0.0, ISO / 3, 2 * ISO / 3]),
+        (700.100, [0.0, ISO / 2]),
+        (800.000, [0.0, 1.00340]),
+        (810.000, [0.0, ISO / 2, 1.00340]),
+    ]
+    rows = []
+    for i in range(N_SCANS):
+        mz, it = [], []
+        if 2 <= i <= 8:
+            for base, offsets in groups:
+                for k, off in enumerate(offsets):
+                    mz.append(base + off)
+                    it.append(100.0 + 40.0 * (5 - abs(i - 5)) + 10.0 * k)
+        order = sorted(range(len(mz)), key=lambda k: mz[k])
+        rows.append(
+            (
+                "runS", i, str(i), 1, 10.0 * i,
+                [mz[k] for k in order], [it[k] for k in order],
+                None, None, None, None,
+            )
+        )
+    return spark.createDataFrame(rows, SPECTRUM_SCHEMA)
+
+
+class TestStressGoldens:
+    def test_overlapping_ladders_and_charge_ambiguity(self, spark):
+        feats = detect_features_masstrace(_mk_stress_run(spark), min_scans=3)
+        rows = sorted(feats.collect(), key=lambda r: r["feature_mz"])
+        assert [round(r["feature_mz"], 3) for r in rows] == [
+            700.0, 700.1, 800.0, 810.0,
+        ]
+        x, y, p, l = rows
+
+        assert x["feature_charge"] == 3
+        assert x["feature_max_mz"] == pytest.approx(700.0 + 2 * ISO / 3, abs=0.005)
+        assert y["feature_charge"] == 2
+        assert y["feature_max_mz"] == pytest.approx(700.1 + ISO / 2, abs=0.005)
+
+        # outer spacing 1.0034 with no intermediate: z=1, not a z=2 guess
+        assert p["feature_charge"] == 1
+        assert p["feature_max_mz"] == pytest.approx(801.0034, abs=0.005)
+
+        # same outer spacing WITH the intermediate: resolved to z=2
+        assert l["feature_charge"] == 2
+        assert l["feature_max_mz"] == pytest.approx(811.0034, abs=0.005)
+
+        for r in rows:
+            assert r["feature_rt"] == pytest.approx(50.0)  # shared apex
+            assert r["feature_num_scans"] == 7
+            assert r["feature_quality"] == pytest.approx(1.0)

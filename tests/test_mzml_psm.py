@@ -155,8 +155,25 @@ class TestMs2InfoAndSinks:
         }
 
     def test_write_tables(self, spectra, tmp_path):
+        # masstrace is the default (reference semantics). The synthetic
+        # fixture's peaks wander and never form traces, so implant a
+        # 4-scan trace run to give the real finder something to find.
+        from quantms_utils_spark.sources.mzml import SPECTRUM_SCHEMA
+
+        spark = spectra.sparkSession
+        trace_run = spark.createDataFrame(
+            [
+                ("traceRun", i, str(i), 1, 5.0 * i,
+                 [500.0 + 0.001 * i, 700.0], [1000.0 + 10 * i, 50.0],
+                 None, None, None, None)
+                for i in range(4)
+            ],
+            SPECTRUM_SCHEMA,
+        )
         outputs = write_tables(
-            spectra, str(tmp_path), "combined", ms2_file=True, feature_detection=True
+            spectra.unionByName(trace_run), str(tmp_path), "combined",
+            ms2_file=True, feature_detection=True,
+            feature_options=dict(min_scans=3),
         )
         assert set(outputs) == {"ms_info", "ms2_info", "ms1_features"}
         spark = spectra.sparkSession
