@@ -544,18 +544,39 @@ def bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 3,
+    batch_size: int = 1,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
     """Distributed byte-pair-encoding merge induction (Sennrich et al. 2016):
     learn the first ``n_merges`` merge rules from the corpus word-frequency
-    table. Returns one row per round: (round, left, right, merged, pair_freq).
+    table. Returns one row per learned merge, in application order:
+    (round, left, right, merged, pair_freq) — ``round`` is the 1-based merge
+    rank.
 
     Scale shape: the corpus collapses to the word-TYPE table (Heaps' law —
     millions of types for a 100 TB corpus, tiny next to the corpus itself)
     in one shuffle; every round after that is one aggregation over the type
-    table (adjacent-pair counts weighted by word frequency) plus a 1-row
-    driver collect of the argmax pair — the same driver-held-state shape as
-    the k-means centroid loop. Merge application is a map-only fold. Ties on
-    pair frequency break lexicographically for engine determinism.
+    table (adjacent-pair counts weighted by word frequency) plus a bounded
+    driver collect — and with ``batch_size=M`` each round accepts up to M
+    merges, so a real 30k-merge vocabulary costs O(vocab/M) Spark jobs, not
+    O(vocab) (the round-1..-2 serial-loop scale wall). Merge application is
+    a map-only fold. Ties on pair frequency break lexicographically for
+    engine determinism.
+
+    Batching contract (standard batched BPE): within a round, candidates
+    are taken in descending-count order and a candidate is skipped if
+    either of its symbols was already consumed this round (as a side of an
+    earlier pick or as its merged token). Symbol-disjoint merges commute
+    and their pre-round counts stay exact, so every emitted (pair, freq)
+    row is a true BPE merge with its true frequency; only the global order
+    may differ from strictly-sequential induction when a round's picks
+    interleave. ``batch_size=1`` IS strictly-sequential BPE — the
+    oracle-parity default (the DuckDB twin replays sequential rounds),
+    while the scale path runs ``batch_size≈16`` — the same
+    oracle/performance family split as the md5/xxhash64 MinHash families.
+
+    ``_rounds_out``: test seam — when a list is passed, the number of
+    aggregation rounds actually executed is appended to it.
     """
     words = (
         df.select(F.explode(normalized_tokens(F.col(text_col))).alias("w"))
@@ -566,9 +587,13 @@ def bpe_merges(
     )
     spark = df.sparkSession
     out: list[tuple[int, str, str, str, int]] = []
+    n_rounds = 0
+    # over-collect candidates so conflict skips rarely starve a round;
+    # bounded (<= 4*M rows of two short strings + a long) driver collect
+    top_k = 1 if batch_size <= 1 else max(16, 4 * batch_size)
     try:
         current = words
-        for rnd in range(1, n_merges + 1):
+        while len(out) < n_merges:
             pairs = current.select(
                 "freq",
                 F.explode(
@@ -592,21 +617,50 @@ def bpe_merges(
                 pairs.groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(1)
+                .limit(top_k)
                 .collect()
             )
+            n_rounds += 1
             if not top:
                 break
-            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            out.append((rnd, l, r, l + r, cnt))
-            current = current.withColumn(
-                "syms", merge_pair_fold(F.col("syms"), F.lit(l), F.lit(r))
-            ).localCheckpoint(eager=False)
+            used: set[str] = set()
+            picks = []
+            for row in top:
+                if len(picks) >= min(batch_size, n_merges - len(out)):
+                    break
+                if batch_size > 1 and ({row["l"], row["r"]} & used):
+                    continue
+                picks.append((row["l"], row["r"], int(row["cnt"])))
+                used |= {row["l"], row["r"], row["l"] + row["r"]}
+            for l, r, cnt in picks:
+                out.append((len(out) + 1, l, r, l + r, cnt))
+            syms = F.col("syms")
+            for l, r, _ in picks:
+                syms = merge_pair_fold(syms, F.lit(l), F.lit(r))
+            current = current.withColumn("syms", syms).localCheckpoint(
+                eager=False
+            )
     finally:
         words.unpersist()
+    if _rounds_out is not None:
+        _rounds_out.append(n_rounds)
     return spark.createDataFrame(
         out, "round int, left string, right string, merged string, pair_freq long"
     )
+
+
+def bpe_vocabulary(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Vocabulary table for a learned merge list: one row per surviving
+    symbol (single characters plus merged tokens) with its corpus
+    occurrence count. One map-only encode pass (:func:`bpe_apply`, merges
+    baked as literals) + one count shuffle — the artifact a tokenizer
+    trainer exports after induction."""
+    syms = df.select(
+        F.explode(F.flatten(bpe_apply(F.col(text_col), merges))).alias("symbol")
+    )
+    return syms.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
 def bpe_apply(

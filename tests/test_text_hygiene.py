@@ -268,3 +268,98 @@ def test_bpe_apply_char_count_invariant(spark):
     )
     got = [r[0] for r in df.select(chars).collect()]
     assert got == [len("lowlowernewest"), 0, 1]
+
+
+def test_bpe_batched_matches_sequential_on_disjoint_corpus(spark):
+    """When the frequent pairs are symbol-disjoint, batched induction must
+    reproduce sequential BPE exactly — same merges, same frequencies —
+    in a fraction of the aggregation rounds."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    corpus = spark.createDataFrame(
+        [Row(text=" ".join(["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7 + ["gh"] * 6))]
+    )
+    seq = [tuple(r) for r in bpe_merges(corpus, "text", n_merges=4).collect()]
+    rounds: list[int] = []
+    bat = [
+        tuple(r)
+        for r in bpe_merges(
+            corpus, "text", n_merges=4, batch_size=4, _rounds_out=rounds
+        ).collect()
+    ]
+    assert bat == seq
+    assert rounds[0] <= 2  # one accepting round (+ one empty probe at most)
+
+
+def test_bpe_batched_skips_conflicting_pairs(spark):
+    """Sennrich corpus: (e,s) and (s,t) share a symbol, so one round must
+    not take both — (es,t) only appears after the round that merged es.
+    The sequential merges all emerge (with exact frequencies), interleaved
+    with extra disjoint picks, in far fewer rounds than merges."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    corpus = spark.createDataFrame(
+        [Row(text=" ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        ))]
+    )
+    rounds: list[int] = []
+    got = [
+        (r["left"], r["right"], r["pair_freq"])
+        for r in bpe_merges(
+            corpus, "text", n_merges=6, batch_size=4, _rounds_out=rounds
+        ).collect()
+    ]
+    # the four sequential merges are all present with their true counts
+    assert {("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)} <= set(got)
+    # round 1 cannot contain both halves of a chain: es must precede est
+    assert got.index(("e", "s", 9)) < got.index(("es", "t", 9))
+    assert got.index(("l", "o", 7)) < got.index(("lo", "w", 7))
+    assert rounds[0] == 2  # 6 merges in 2 aggregation rounds
+
+
+def test_bpe_100_merges_in_few_rounds(spark):
+    """The scale contract from the round-2 review: 100 merges in ~10
+    aggregation rounds, not 100."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    # 120 two-character words over disjoint CJK symbols (case-stable, no
+    # shared characters), frequencies descending -> every round fills its
+    # full batch of 16 disjoint merges
+    words = []
+    for i in range(120):
+        w = chr(0x4E00 + 2 * i) + chr(0x4E01 + 2 * i)
+        words.extend([w] * (200 - i))
+    corpus = spark.createDataFrame([Row(text=" ".join(words))])
+    rounds: list[int] = []
+    got = bpe_merges(
+        corpus, "text", n_merges=100, batch_size=16, _rounds_out=rounds
+    ).collect()
+    assert len(got) == 100
+    assert rounds[0] <= 10  # ceil(100/16) = 7 accepting rounds
+    assert [r["round"] for r in got] == list(range(1, 101))
+
+
+def test_bpe_vocabulary_table(spark):
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bpe_merges, bpe_vocabulary
+
+    corpus = spark.createDataFrame(
+        [Row(text=" ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        ))]
+    )
+    merges = [(r["left"], r["right"])
+              for r in bpe_merges(corpus, "text", n_merges=4).collect()]
+    vocab = {r["symbol"]: r["n_occurrences"]
+             for r in bpe_vocabulary(corpus, "text", merges).collect()}
+    # after es→est→lo→low: "low"→[low], "lower"→[low,e,r],
+    # "newest"→[n,e,w,est], "widest"→[w,i,d,est]
+    assert vocab["low"] == 7   # 5 + 2
+    assert vocab["est"] == 9   # 6 + 3
+    assert vocab["e"] == 8     # lower(2) + newest(6)
+    assert vocab["w"] == 9     # newest(6) + widest(3)
+    assert "es" not in vocab   # fully absorbed into est
