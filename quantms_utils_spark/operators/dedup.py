@@ -18,7 +18,7 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from quantms_utils_spark.functions.core import let_once
@@ -749,15 +749,31 @@ def prefix_filter_pairs(
     equi-join on prefix tokens (rarity ordering makes prefixes hit RARE
     shingles, so join buckets stay small — the whole point of the
     technique), then an O(candidates) verify with no re-tokenization
-    (shingle arrays travel with the pair). No all-pairs comparison at any
-    stage. Returns (doc_a, doc_b, jaccard) with jaccard rounded to 4.
+    (shingle arrays travel with the pair). Candidates are cut twice IN the
+    join condition, before the distinct: the AllPairs length filter and the
+    PPJoin positional filter (a collision at 1-based prefix positions i, j
+    can witness at most ``1 + min(na-i, nb-j)`` overlapping shingles, which
+    must reach the Jaccard-equivalent overlap floor
+    ``ceil(t/(1+t)·(na+nb))`` — for a truly-qualifying pair its FIRST
+    common token in rarity order always passes, so the filter drops only
+    false candidates). No all-pairs comparison at any stage. Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 4.
+
+    Known failure mode at scale (round-2 review): near-threshold corpora
+    with low-rarity shared prefixes inflate candidate volume — keep
+    ``threshold >= ~0.5`` on 100 TB corpora or sample-estimate the
+    candidate count first.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency via a window count instead of groupBy+self-join:
+    # the expensive shingling runs ONCE, and the plan is two shuffles
+    # (by shingle for the count, by id for the array rebuild) instead of
+    # three with the tokenize/explode chain evaluated twice
+    w_df = Window.partitionBy("shingle")
     ordered = (
-        sh.join(freq, "shingle")
+        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -769,11 +785,23 @@ def prefix_filter_pairs(
     )
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
     pref = ordered.select(
-        "_id", "_n", F.explode(F.slice("_toks", F.lit(1), plen)).alias("_ptok")
+        "_id",
+        "_n",
+        F.posexplode(F.slice("_toks", F.lit(1), plen)).alias("_pos", "_ptok"),
     )
-    # AllPairs length filter: J(a,b) >= t forces t*max(na,nb) <= min(na,nb),
-    # so size-incompatible collisions are dropped IN the join condition,
-    # before the candidate distinct — exact, no false negatives.
+    # overlap floor: J(a,b) >= t  <=>  |a∩b| >= t/(1+t) * (na+nb)
+    # (tiny epsilon so FP noise cannot push an exact integer over its ceil)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("pa._n") + F.col("pb._n"))
+        - F.lit(1e-9)
+    )
+    # positional upper bound on overlap from this collision (positions are
+    # 0-based from posexplode, so remaining-suffix length is _n - _pos - 1)
+    ubound = F.lit(1) + F.least(
+        F.col("pa._n") - F.col("pa._pos") - 1,
+        F.col("pb._n") - F.col("pb._pos") - 1,
+    )
     cand = (
         pref.alias("pa")
         .join(
@@ -781,7 +809,8 @@ def prefix_filter_pairs(
             (F.col("pa._ptok") == F.col("pb._ptok"))
             & (F.col("pa._id") < F.col("pb._id"))
             & (F.col("pa._n") * threshold <= F.col("pb._n"))
-            & (F.col("pb._n") * threshold <= F.col("pa._n")),
+            & (F.col("pb._n") * threshold <= F.col("pa._n"))
+            & (ubound >= alpha),
         )
         .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
         .distinct()
