@@ -632,6 +632,62 @@ def connected_components_star(
     return labels.unionByName(roots)
 
 
+def cluster_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    method: str = "auto",
+    star_avg_degree: float = 4.0,
+    max_iter: int = 50,
+    _decision_out: list | None = None,
+) -> DataFrame:
+    """Connected components with automatic algorithm selection — the single
+    entry point the dedup cluster queries use.
+
+    ``method='auto'`` inspects the candidate graph with one cheap aggregate
+    (edge count + approximate vertex count over the checkpointed edge list)
+    and routes:
+
+    - average degree ``2E/V >= star_avg_degree`` → large-star/small-star
+      (``connected_components_star``): dense graphs are whale-component
+      suspects (a web-scale dup graph's giant near-clique), where per-round
+      min-label message volume is Θ(E) with E ~ V² and round count is
+      unbounded by any local property; star rounds shrink degrees
+      geometrically and converge in O(log² n) regardless of diameter.
+    - sparser graphs → min-label propagation
+      (``connected_components``): unions of small cliques/paths converge in
+      2-3 rounds with lighter per-round plans.
+
+    Both produce the identical (v, label = min reachable id) contract, so
+    the choice is invisible to callers and oracles. ``method`` may pin
+    ``'minlabel'`` or ``'star'``; ``_decision_out`` is a test seam that
+    records the routed method.
+    """
+    if method not in ("auto", "minlabel", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    chosen = method
+    if method == "auto":
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint()
+        stats = e.select(F.explode(F.array("u", "v")).alias("n")).agg(
+            F.count(F.lit(1)).alias("deg_sum"),
+            F.approx_count_distinct("n").alias("n_vertices"),
+        ).first()
+        avg_degree = (
+            stats["deg_sum"] / stats["n_vertices"] if stats["n_vertices"] else 0.0
+        )
+        chosen = "star" if avg_degree >= star_avg_degree else "minlabel"
+        edges = e  # reuse the materialized edge list downstream
+        src, dst = "u", "v"
+    if _decision_out is not None:
+        _decision_out.append(chosen)
+    if chosen == "star":
+        return connected_components_star(edges, src, dst, max_iter=max_iter)
+    return connected_components(edges, src, dst, max_iter=max_iter)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the minimum-id row per exact content fingerprint."""
     fp = F.md5(F.col(text_col))

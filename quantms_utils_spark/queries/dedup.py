@@ -162,11 +162,16 @@ FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id <
 
 def minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: LSH candidate pairs → connected components
-    (iterative min-label propagation) → (doc_id, cluster) where cluster is
-    the minimum member id, i.e. the keeper. The oracle reproduces the
-    transitive closure with a recursive CTE over the identical pair set."""
+    → (doc_id, cluster) where cluster is the minimum member id, i.e. the
+    keeper. Components route through :func:`cluster_components`, which picks
+    min-label propagation for sparse graphs and large-star/small-star for
+    dense (whale-suspect) ones — same (v, min-id) contract either way. The
+    oracle reproduces the transitive closure with a recursive CTE over the
+    identical pair set."""
+    from quantms_utils_spark.operators.dedup import cluster_components
+
     pairs = minhash_lsh_pairs(spark, sf_dir)
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    cc = cluster_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster"))
 
 

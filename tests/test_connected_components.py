@@ -111,3 +111,78 @@ class TestStarRoundComplexity:
             for r in connected_components_star(e, "doc_a", "doc_b").collect()
         }
         assert star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+class TestClusterDispatch:
+    def test_auto_routes_star_on_dense_graph(self, spark):
+        """A 30-clique has avg degree ~29 — auto must route the star path,
+        and the labels must equal min-label's."""
+        from quantms_utils_spark.operators.dedup import (
+            cluster_components,
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, j) for i in range(30) for j in range(i + 1, 30)],
+            "doc_a long, doc_b long",
+        )
+        decided: list[str] = []
+        got = {
+            r["v"]: r["label"]
+            for r in cluster_components(
+                edges, "doc_a", "doc_b", _decision_out=decided
+            ).collect()
+        }
+        assert decided == ["star"]
+        want = {
+            r["v"]: r["label"]
+            for r in connected_components(edges, "doc_a", "doc_b").collect()
+        }
+        assert got == want
+        assert set(got.values()) == {0}
+
+    def test_auto_routes_minlabel_on_sparse_graph(self, spark):
+        from quantms_utils_spark.operators.dedup import cluster_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "doc_a long, doc_b long"
+        )
+        decided: list[str] = []
+        got = {
+            r["v"]: r["label"]
+            for r in cluster_components(
+                edges, "doc_a", "doc_b", _decision_out=decided
+            ).collect()
+        }
+        assert decided == ["minlabel"]
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+    def test_forced_star_matches_minlabel_on_lsh_pairs(self, spark):
+        """The cluster query's graph with the star path FORCED must produce
+        the same clusters the min-label path does (the 100 TB path is
+        oracle-equivalent, per the round-2 review item #10)."""
+        from quantms_utils_spark.operators.dedup import cluster_components
+        from quantms_utils_spark.queries.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(spark.sparkSession if hasattr(spark, "sparkSession") else spark, "/root/testdata/sf0.001")
+        a = {
+            (r["v"], r["label"])
+            for r in cluster_components(
+                pairs, "doc_a", "doc_b", method="star"
+            ).collect()
+        }
+        b = {
+            (r["v"], r["label"])
+            for r in cluster_components(
+                pairs, "doc_a", "doc_b", method="minlabel"
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_unknown_method_rejected(self, spark):
+        import pytest
+        from quantms_utils_spark.operators.dedup import cluster_components
+
+        edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with pytest.raises(ValueError, match="unknown method"):
+            cluster_components(edges, "doc_a", "doc_b", method="bogus")
