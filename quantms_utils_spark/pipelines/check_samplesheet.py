@@ -81,6 +81,42 @@ VALID_LABELS = frozenset(
 # placeholder cell values the SDRF spec allows in any column
 _PLACEHOLDERS = ("not available", "not applicable")
 
+# --- column-format rules (sdrf-pipelines parity, sans live OLS) -------------
+# Ontology-term columns carry structured values like
+# ``NT=Trypsin;AC=MS:1001251`` (NT = name, AC = accession, TA/CS/PP/MT/TS =
+# scheme-specific keys). Structural checks: a cell containing '=' must parse
+# as a ';'-separated KEY=value list, must name the term (NT=), and an AC=
+# value must be accession-shaped (PREFIX:LOCALID, e.g. MS:1001251,
+# UNIMOD:4, NCIT:C16358). Free-text cells (no '=') need the OLS service to
+# validate and pass the structural tier.
+ONTOLOGY_TERM_COLUMNS = (
+    "comment[cleavage agent details]",
+    "comment[instrument]",
+    "comment[dissociation method]",
+    "comment[proteomics data acquisition method]",
+)
+ONTOLOGY_TERM_PREFIXES = ("comment[modification parameters",)
+
+_TERM_LIST_RE = r"^[A-Za-z]{1,3}=[^;=]*(\s*;\s*[A-Za-z]{1,3}=[^;=]*)*;?\s*$"
+_NT_PRESENT_RE = r"(?i)(^|;)\s*NT="
+_AC_PRESENT_RE = r"(?i)(^|;)\s*AC="
+_AC_EXTRACT_RE = r"(?i)(?:^|;)\s*AC=\s*([^;]*)"
+_AC_VALUE_RE = r"^[A-Za-z][A-Za-z0-9_]*:[A-Za-z0-9:_.-]+\s*$"
+
+# controlled vocabularies (SDRF-Proteomics spec)
+TECHNOLOGY_TYPES = frozenset(
+    {
+        "proteomic profiling by mass spectrometry",
+        "metabolomic profiling by mass spectrometry",
+    }
+)
+ACQUISITION_METHODS = frozenset(
+    {
+        "data-dependent acquisition",
+        "data-independent acquisition",
+    }
+)
+
 
 def check_samplesheet(
     spark: SparkSession,
@@ -229,6 +265,97 @@ def _validate_template(
                 f"ERROR: Column '{name}' must contain positive integers "
                 "({n} invalid value(s))."
             )
+
+    # --- ontology-term column format (NT=...;AC=... syntax) ----------------
+    term_cols = [
+        orig
+        for orig in cols
+        if orig.lower() in ONTOLOGY_TERM_COLUMNS
+        or any(orig.lower().startswith(p) for p in ONTOLOGY_TERM_PREFIXES)
+    ]
+    for orig in term_cols:
+        cell = F.trim(F.col(f"`{orig}`"))
+        filled = cell.isNotNull() & (cell != "") & (
+            ~F.lower(cell).isin(*_PLACEHOLDERS)
+        )
+        structured = filled & cell.contains("=")
+        aggs.append(
+            F.sum((structured & ~cell.rlike(_TERM_LIST_RE)).cast("long")).alias(
+                f"syn_{len(aggs)}"
+            )
+        )
+        agg_err.append(
+            f"ERROR: Column '{orig.lower()}' contains {{n}} cell(s) that are "
+            "not a valid 'KEY=value;KEY=value' ontology-term list."
+        )
+        aggs.append(
+            F.sum(
+                (structured & ~cell.rlike(_NT_PRESENT_RE)).cast("long")
+            ).alias(f"nt_{len(aggs)}")
+        )
+        agg_err.append(
+            f"ERROR: Column '{orig.lower()}' contains {{n}} structured "
+            "cell(s) without the required NT= (term name) key."
+        )
+        ac_value = F.regexp_extract(cell, _AC_EXTRACT_RE, 1)
+        aggs.append(
+            F.sum(
+                (
+                    structured
+                    & cell.rlike(_AC_PRESENT_RE)
+                    & ~ac_value.rlike(_AC_VALUE_RE)
+                ).cast("long")
+            ).alias(f"ac_{len(aggs)}")
+        )
+        agg_err.append(
+            f"ERROR: Column '{orig.lower()}' contains {{n}} AC= value(s) "
+            "that are not ontology accessions (expected PREFIX:ID, e.g. "
+            "MS:1001251, UNIMOD:4)."
+        )
+
+    # --- controlled vocabularies -------------------------------------------
+    tech = _col("technology type")
+    if tech is not None:
+        cell = F.lower(F.trim(tech))
+        bad = F.sum(
+            (
+                cell.isNotNull()
+                & (cell != "")
+                & ~cell.isin(*(TECHNOLOGY_TYPES | set(_PLACEHOLDERS)))
+            ).cast("long")
+        )
+        aggs.append(bad.alias(f"tech_{len(aggs)}"))
+        agg_err.append(
+            "ERROR: 'technology type' contains {n} value(s) outside the SDRF "
+            "vocabulary (e.g. 'proteomic profiling by mass spectrometry')."
+        )
+
+    acq = _col("comment[proteomics data acquisition method]")
+    if acq is not None:
+        cell = F.trim(acq)
+        # the method name: NT= value when structured, the cell itself when
+        # free text
+        name_val = F.lower(
+            F.trim(
+                F.when(
+                    cell.rlike(_NT_PRESENT_RE),
+                    F.regexp_extract(cell, r"(?i)(?:^|;)\s*NT=\s*([^;]*)", 1),
+                ).otherwise(cell)
+            )
+        )
+        bad = F.sum(
+            (
+                cell.isNotNull()
+                & (cell != "")
+                & ~name_val.isin(*(ACQUISITION_METHODS | set(_PLACEHOLDERS)))
+            ).cast("long")
+        )
+        aggs.append(bad.alias(f"acq_{len(aggs)}"))
+        agg_err.append(
+            "ERROR: comment[proteomics data acquisition method] contains {n} "
+            "method(s) outside the SDRF vocabulary (data-dependent / "
+            "data-independent acquisition)."
+        )
 
     if aggs:
         counts = df.agg(*aggs).first()

@@ -199,8 +199,11 @@ SDRF_FULL_HEADER = (
     "Comment[fraction identifier]\tFactor Value[disease]"
 )
 SDRF_FULL_ROW = (
-    "s1\thomo sapiens\tliver\tnormal\tnot available\ta1\tproteomics\t"
-    "f1.raw\tTMT126\tTrypsin\tQE\tDDA\tCarbamidomethyl\t1\t1\tnormal"
+    "s1\thomo sapiens\tliver\tnormal\tnot available\ta1\t"
+    "proteomic profiling by mass spectrometry\t"
+    "f1.raw\tTMT126\tNT=Trypsin;AC=MS:1001251\tQE\t"
+    "NT=data-dependent acquisition;AC=NCIT:C161635\t"
+    "NT=Carbamidomethyl;AC=UNIMOD:4;TA=C;MT=Fixed\t1\t1\tnormal"
 )
 SDRF_FULL = SDRF_FULL_HEADER + "\n" + SDRF_FULL_ROW + "\n"
 
@@ -280,6 +283,64 @@ class TestCheckSamplesheetTemplate:
             "s1\t", "s2\t"
         )
         content = SDRF_FULL + row2 + "\n"
+        assert self._errors(spark, tmp_path, content) == []
+
+    # --- column-format rules (ontology-term syntax + vocab) ----------------
+
+    def test_malformed_term_list_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "NT=Trypsin;;AC==MS:1001251"
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "cleavage agent details" in e and "ontology-term list" in e
+            for e in errors
+        )
+
+    def test_structured_cell_without_nt_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "AC=MS:1001251"
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "cleavage agent details" in e and "NT=" in e for e in errors
+        )
+
+    def test_bad_accession_shape_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace("AC=UNIMOD:4", "AC=unimod4")
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "modification parameters" in e and "accession" in e
+            for e in errors
+        )
+
+    def test_free_text_term_cell_accepted(self, spark, tmp_path):
+        # no '=' -> free text; structural tier cannot judge it without OLS
+        content = SDRF_FULL.replace("NT=Trypsin;AC=MS:1001251", "Trypsin")
+        assert self._errors(spark, tmp_path, content) == []
+
+    def test_technology_type_vocab(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "proteomic profiling by mass spectrometry", "proteomics"
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert any("'technology type'" in e and "vocabulary" in e for e in errors)
+
+    def test_acquisition_method_vocab(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "NT=data-dependent acquisition;AC=NCIT:C161635",
+            "NT=DDA;AC=NCIT:C161635",
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "acquisition method" in e and "vocabulary" in e for e in errors
+        )
+
+    def test_acquisition_method_free_text_accepted(self, spark, tmp_path):
+        content = SDRF_FULL.replace(
+            "NT=data-dependent acquisition;AC=NCIT:C161635",
+            "data-independent acquisition",
+        )
         assert self._errors(spark, tmp_path, content) == []
 
 
