@@ -116,11 +116,13 @@ def main() -> None:
 
     # Steady-state measurement: one untimed warmup execution per query (JVM
     # JIT + whole-stage-codegen compilation dominate a cold local run and are
-    # fixed overhead, not data-dependent cost), then the MEDIAN of three
-    # timed executions — single-shot numbers on a shared host swing 2-3x with
-    # background load. Cached intermediates are NOT shared between queries
-    # (except the documented q_clusters pair reuse); each timed run executes
-    # its full plan.
+    # fixed overhead, not data-dependent cost), then the MEDIAN of five
+    # timed executions — single-shot numbers on a shared host swing 2-3x
+    # with background load (the round-2 "regressions" q_sessionize and
+    # q_dedup_exact were exactly this: n=7 re-measurement put both at or
+    # below their round-1 medians with a 2x sample spread). Cached
+    # intermediates are NOT shared between queries (except the documented
+    # q_clusters pair reuse); each timed run executes its full plan.
     timings: dict[str, float] = {}
     for key, name in HEADLINE:
         if key in OVERRIDES:
@@ -137,7 +139,7 @@ def main() -> None:
         if clear_cache:
             spark.catalog.clearCache()
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             # Collect the previous run's garbage (broadcasts, arrow batches)
             # OUTSIDE the timed region — measured: a heavy query right after
             # an allocation burst pays a 2-3x major-GC penalty that is
@@ -148,7 +150,7 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
             if clear_cache:
                 spark.catalog.clearCache()
-        timings[key] = round(sorted(samples)[1], 3)
+        timings[key] = round(sorted(samples)[2], 3)
         if key in OVERRIDES and not clear_cache:
             spark.catalog.clearCache()
 

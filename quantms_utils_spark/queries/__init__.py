@@ -40,6 +40,7 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
 # to a hash-checkable tolerance oracle). The rest keep their round-2 order.
 _FRONT = [
     "snapshot_diff", "approx_event_stats",
+    "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
     "returned_items_topk", "big_orders_having", "rollup_revenue",
     "moving_avg_range", "ann_bruteforce_topk", "ann_partitioned_topk",
     "ann_lsh_bucketed", "embedding_norms", "dedup_embedding_cosine",

@@ -801,6 +801,64 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(snap_a, snap_b, keys=["o_orderkey"])
 
 
+def snapshot_diff_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same reconciliation scenario as `snapshot_diff`, but through
+    table_diff's EXACT mode (null-safe struct comparison instead of
+    map-side hashes — no sentinels, no collision probability) with
+    unchanged rows kept, rolled up to per-status counts. Proves the exact
+    path end-to-end: the oracle is the same IS DISTINCT FROM comparison
+    aggregated by status."""
+    from quantms_utils_spark.operators.diff import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") <= "1995-01-01")
+    snap_b = (
+        o.filter(
+            (F.col("o_orderdate") <= "1996-01-01")
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + 10.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    d = table_diff(
+        snap_a, snap_b, keys=["o_orderkey"], exact=True, include_unchanged=True
+    )
+    return (
+        d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+    )
+
+
+SNAPSHOT_DIFF_EXACT_SQL = """
+WITH snap_a AS (
+  SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1995-01-01'
+), snap_b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate <= TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
+), joined AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+              WHEN b.o_orderkey IS NULL THEN 'deleted'
+              WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                THEN 'updated'
+              ELSE 'unchanged' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+)
+SELECT status, count(*) AS n FROM joined GROUP BY status ORDER BY status
+"""
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH snap_a AS (
   SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1995-01-01'
@@ -852,4 +910,5 @@ QUERIES = {
     "moving_avg_range": (moving_avg_range, MOVING_AVG_RANGE_SQL),
     "layout_zorder_stats": (zorder_bucket_stats, ZORDER_BUCKET_STATS_SQL),
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "snapshot_diff_exact": (snapshot_diff_exact, SNAPSHOT_DIFF_EXACT_SQL),
 }

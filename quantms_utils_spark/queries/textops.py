@@ -800,6 +800,42 @@ ORDER BY source_a, source_b
 """
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary table after 3 learned merges: every surviving symbol
+    (single characters plus merged tokens) with its corpus occurrence
+    count — the artifact a tokenizer trainer exports. One map-only encode
+    pass with the merges baked as literals plus one count shuffle; the
+    oracle replays the same three sequential rounds over the DuckDB word
+    table and unnests the final symbol sequences weighted by word
+    frequency."""
+    from quantms_utils_spark.operators.text import bpe_merges, bpe_vocabulary
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, "text", n_merges=3).collect()
+    ]
+    return bpe_vocabulary(d, "text", merges)
+
+
+BPE_VOCAB_SQL = f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), words AS (
+  SELECT unnest(CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split(nt, ' ') END) AS w
+  FROM norm
+), w0 AS (
+  SELECT count(*) AS freq, string_split(w, '') AS syms
+  FROM words GROUP BY w
+), {_bpe_round(1)}, {_bpe_round(2)}, {_bpe_round(3)}
+SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, unnest(syms) AS symbol FROM w3)
+GROUP BY symbol
+"""
+
+
 def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply BPE: learn 3 merge rules from the corpus
     (`bpe_merges`, driver-held merge table — vocabulary metadata), bake them
@@ -879,6 +915,7 @@ QUERIES = {
     "text_chunk_sliding": (chunk_sliding, CHUNK_SLIDING_SQL),
     "text_bpe_merges": (bpe_merge_rules, BPE_MERGE_RULES_SQL),
     "text_bpe_encode": (bpe_encode_counts, BPE_ENCODE_COUNTS_SQL),
+    "text_bpe_vocab": (bpe_vocab, BPE_VOCAB_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
