@@ -682,3 +682,85 @@ def bpe_apply(
         return syms
 
     return F.transform(normalized_tokens(text_col), _encode_word)
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-span detection (the corpus-level cousin of
+    within-document `repetition_signals`, after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, how many of its word ``n``-grams also occur in at least one
+    OTHER document, i.e. how much of it is boilerplate shared across the
+    corpus. Documents under ``n`` tokens emit no row (they have no spans).
+
+    Shape: explode n-grams → one (doc, gram) reduction (map-side
+    combinable) → a window count over partitionBy(gram) for the
+    documents-per-gram cardinality (the (doc, gram) frame is already
+    gram-partitioned by the aggregate, so no third shuffle) → one per-doc
+    rollup. No self-join, no collect; the gram stream never outlives its
+    two reductions. At 100 TB the (doc, gram) table is the working set —
+    bounded by corpus tokens, shrunk by the first reduction.
+    """
+    from pyspark.sql import Window
+
+    toks = normalized_tokens(F.col(text_col))
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g"))
+    per_doc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("occ"))
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    flagged = per_doc.withColumn("_docs", docs_with)
+    dup_occ = F.sum(F.when(F.col("_docs") > 1, F.col("occ")).otherwise(F.lit(0)))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_ngrams"),
+            dup_occ.alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained character-bigram language-model score — the classic
+    cheap perplexity proxy for quality filtering (a KenLM stand-in that
+    needs no external model): train P(c2 | c1) from the corpus itself and
+    score each document by its average negative log-probability. Gibberish
+    and non-language content score high; fluent text scores low.
+
+    Unsmoothed conditional frequencies are exact here because every scored
+    bigram was observed during training (the corpus IS the training set):
+    -ln P(b) = ln c(first char) - ln c(b). Documents shorter than 2
+    characters emit no row.
+
+    Shape: explode bigrams → one (doc, bigram) reduction → two window sums
+    (by bigram, by first char) for the global counts — the model is never
+    collected anywhere — → one per-doc weighted average. Map-side
+    combinable aggregates throughout; the "model" stays distributed, so a
+    100 TB corpus trains and scores in the same single pass.
+    """
+    from pyspark.sql import Window
+
+    nt = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = df.select(F.col(id_col), nt.alias("_nt")).filter(F.length("_nt") >= 2)
+    big = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, length(_nt) - 1), i -> substr(_nt, i, 2))")
+        ).alias("b"),
+    )
+    occ = big.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("occ"))
+    cb = F.sum("occ").over(Window.partitionBy("b"))
+    cp = F.sum("occ").over(Window.partitionBy(F.substring("b", 1, 1)))
+    scored = occ.withColumn("_nll", F.log(cp) - F.log(cb))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("occ") * F.col("_nll")) / F.sum("occ"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

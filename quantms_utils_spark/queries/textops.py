@@ -800,6 +800,76 @@ ORDER BY source_a, source_b
 """
 
 
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate word-8-gram spans per document (Lee et al.
+    2022 boilerplate detection): occurrences, occurrences shared with at
+    least one other document, and the duplicated fraction. One (doc, gram)
+    reduction + a window docs-per-gram count — no self-join."""
+    from quantms_utils_spark.operators.text import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", n=8)
+
+
+DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8
+), occ AS (
+  SELECT doc_id, g, count(*) AS occ FROM g GROUP BY 1, 2
+), docs AS (
+  SELECT g, count(*) AS d FROM occ GROUP BY 1
+)
+SELECT doc_id,
+       CAST(sum(occ) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN d > 1 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+       round(sum(CASE WHEN d > 1 THEN occ ELSE 0 END) * 1.0 / sum(occ), 6)
+         AS dup_fraction
+FROM occ JOIN docs USING (g)
+GROUP BY doc_id
+"""
+
+
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram LM quality score per document (cheap
+    perplexity proxy): average -ln P(c2|c1) under unsmoothed corpus
+    conditionals. The model lives in two window sums — never collected."""
+    from quantms_utils_spark.operators.text import bigram_logprob
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text")
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), b AS (
+  SELECT doc_id, substr(nt, i, 2) AS bg
+  FROM norm, UNNEST(generate_series(1, length(nt) - 1)) AS u(i)
+  WHERE length(nt) >= 2
+), occ AS (
+  SELECT doc_id, bg, count(*) AS occ FROM b GROUP BY 1, 2
+), gb AS (
+  SELECT bg, sum(occ) AS cb FROM occ GROUP BY 1
+), pref AS (
+  SELECT substr(bg, 1, 1) AS p, sum(occ) AS cp FROM occ GROUP BY 1
+)
+SELECT occ.doc_id,
+       CAST(sum(occ.occ) AS BIGINT) AS n_bigrams,
+       round(sum(occ.occ * (ln(pref.cp) - ln(gb.cb))) / sum(occ.occ), 6)
+         AS avg_neg_logprob
+FROM occ
+JOIN gb USING (bg)
+JOIN pref ON substr(occ.bg, 1, 1) = pref.p
+GROUP BY occ.doc_id
+"""
+
+
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary table after 3 learned merges: every surviving symbol
     (single characters plus merged tokens) with its corpus occurrence
@@ -916,6 +986,8 @@ QUERIES = {
     "text_bpe_merges": (bpe_merge_rules, BPE_MERGE_RULES_SQL),
     "text_bpe_encode": (bpe_encode_counts, BPE_ENCODE_COUNTS_SQL),
     "text_bpe_vocab": (bpe_vocab, BPE_VOCAB_SQL),
+    "text_duplicate_spans": (duplicate_spans_q, DUPLICATE_SPANS_SQL),
+    "text_bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),

@@ -363,3 +363,85 @@ def test_bpe_vocabulary_table(spark):
     assert vocab["e"] == 8     # lower(2) + newest(6)
     assert vocab["w"] == 9     # newest(6) + widest(3)
     assert "es" not in vocab   # fully absorbed into est
+
+
+def test_duplicate_spans_cross_document(spark):
+    """Doc 1 and 2 share one 3-gram ('a b c'); doc 3 is all-unique; doc 4
+    is too short for any span."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d"),      # grams: 'a b c', 'b c d'
+            Row(doc_id=2, text="x a b c"),      # grams: 'x a b', 'a b c'
+            Row(doc_id=3, text="p q r s"),      # all unique
+            Row(doc_id=4, text="t u"),          # under n -> no row
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_fraction"])
+        for r in duplicate_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+    }
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross(spark):
+    """A gram repeated only WITHIN one document is not a cross-doc dup."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),  # 'a b a','b a b','a b a','b a b'
+            Row(doc_id=2, text="c d e f"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["n_dup_ngrams"]
+        for r in duplicate_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert got == {1: 0, 2: 0}
+
+
+def test_bigram_logprob_values(spark):
+    """Hand-checked on a 2-doc corpus: repeated bigrams score lower
+    (more probable) than one-off bigrams."""
+    import math
+
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa"), Row(doc_id=2, text="ab")]
+    )
+    # corpus bigrams: doc1: 'aa' x2; doc2: 'ab' x1
+    # c('aa')=2, c('ab')=1, prefix 'a' count = 3
+    # doc1: avg -ln(2/3); doc2: -ln(1/3)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got[1][0] == 2
+    assert got[1][1] == pytest.approx(-math.log(2 / 3), abs=1e-6)
+    assert got[2][1] == pytest.approx(-math.log(1 / 3), abs=1e-6)
+
+
+def test_bigram_logprob_fluent_vs_gibberish(spark):
+    """In a corpus of mostly-English, the repeated-pattern doc scores more
+    probable than the unique-gibberish doc."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bigram_logprob
+
+    rows = [Row(doc_id=i, text="the cat sat on the mat") for i in range(10)]
+    rows.append(Row(doc_id=99, text="zq xv jw qk vz"))
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got[0] < got[99]
