@@ -272,3 +272,66 @@ def test_zorder_layout_single_range_exchange(spark):
     )
     assert plan.count("Exchange rangepartitioning") == 1
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_prefix_filter_single_tokenize_pass(spark):
+    """The window-count rewrite must evaluate the tokenize/explode chain
+    once: exactly one Generate (explode) feeds the document-frequency
+    window + array rebuild. (The prefix stage adds its own posexplode —
+    over the already-built arrays, not the raw text.)"""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} common tokens here now") for i in range(6)]
+    )
+    plan = (
+        prefix_filter_pairs(df, "doc_id", "text", threshold=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one explode of the shingle expression over raw text; a second
+    # Generate exploding raw text would mean the old double-shingling plan
+    assert plan.count("regexp_replace") <= 2  # once per self-join side
+
+
+def test_duplicate_spans_no_self_join(spark):
+    """Duplicate-span detection is reduction + window — a plan with any
+    join would be the quadratic doc-pair formulation."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import duplicate_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f g h i j") for i in range(4)]
+    )
+    plan = (
+        duplicate_spans(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_bigram_logprob_model_never_collected(spark):
+    """The bigram 'model' is two window sums inside the one plan — no
+    join against a collected/broadcast model table."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(4)]
+    )
+    plan = (
+        bigram_logprob(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan
