@@ -637,8 +637,12 @@ def bpe_merges(
             syms = F.col("syms")
             for l, r, _ in picks:
                 syms = merge_pair_fold(syms, F.lit(l), F.lit(r))
-            current = current.withColumn("syms", syms).localCheckpoint(
-                eager=False
+            # fully-merged word types (one symbol left) can never produce a
+            # pair again — drop them so late rounds scan a shrinking table
+            current = (
+                current.withColumn("syms", syms)
+                .filter(F.size("syms") > 1)
+                .localCheckpoint(eager=False)
             )
     finally:
         words.unpersist()

@@ -36,6 +36,10 @@ SCALE_SENSITIVE = [
     "dedup_prefix_pairs",
     "text_bm25_topk",
     "snapshot_diff",
+    "snapshot_diff_exact",
+    "text_duplicate_spans",
+    "text_bigram_logprob",
+    "text_bpe_vocab",
 ]
 
 pytestmark = pytest.mark.skipif(
