@@ -96,3 +96,65 @@ def test_normalize_ws_idempotent(spark, texts):
     ]
     assert once == twice
     assert all("  " not in (x or "") for x in once)
+
+
+# --- MS-Numpress codecs (pure Python, no Spark needed) -----------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.001, max_value=5000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=0, max_size=200,
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_numpress_linear_roundtrip_property(values):
+    import numpy as np
+    from quantms_utils_spark.sources.numpress import (
+        decode_linear, encode_linear, optimal_linear_fixed_point,
+    )
+
+    arr = np.sort(np.asarray(values, dtype=np.float64))
+    out = decode_linear(encode_linear(arr))
+    assert len(out) == len(arr)
+    if len(arr):
+        fp = optimal_linear_fixed_point(arr)
+        assert np.max(np.abs(out - arr)) <= 0.5 / fp + 1e-12
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**32 - 2),
+        min_size=0, max_size=200,
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_numpress_pic_roundtrip_property(counts):
+    from quantms_utils_spark.sources.numpress import decode_pic, encode_pic
+
+    out = decode_pic(encode_pic([float(c) for c in counts]))
+    assert out.tolist() == [float(c) for c in counts]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=0, max_size=200,
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_numpress_slof_relative_error_property(values):
+    import numpy as np
+    from quantms_utils_spark.sources.numpress import (
+        decode_slof, encode_slof, optimal_slof_fixed_point,
+    )
+
+    arr = np.asarray(values, dtype=np.float64)
+    out = decode_slof(encode_slof(arr))
+    assert len(out) == len(arr)
+    if len(arr):
+        fp = optimal_slof_fixed_point(arr)
+        rel = np.exp(0.5 / fp) - 1.0
+        assert np.all(np.abs(out - arr) <= (arr + 1.0) * rel + 1e-9)
