@@ -1,0 +1,135 @@
+"""Continuous CDC: classify an arriving upsert stream against the standing
+snapshot state — the streaming twin of ``operators.diff.table_diff``.
+
+Each micro-batch is diffed against the accumulated key→digest state and
+emits only its CHANGES (inserted / updated; unchanged rows produce no
+output), then advances the state with the batch's own digests. An
+append-only stream cannot witness deletions — full-snapshot reconciliation
+stays with the batch operator.
+
+Scale / correctness shape (same contract as ``streaming.curation``):
+
+- State is a parquet directory of ``epoch=N`` subdirectories holding
+  (keys..., digest) rows; the current state is latest-epoch-wins per key,
+  reconstructed per micro-batch with one max_by aggregate. Spark re-plans
+  the static side every batch, so growth is visible without restarts.
+- The state read for epoch N loads only epochs **strictly below N** and
+  every write is an ``overwrite`` into its own ``epoch=N`` subdir, so an
+  at-least-once foreachBatch replay reproduces the original output
+  instead of classifying the epoch against itself.
+- Change detection is the same map-side ``xxhash64`` over canonicalized
+  non-key columns as batch ``table_diff`` (hash contract documented
+  there); only (keys, 8-byte digest) rows persist as state — state size
+  is proportional to the key space, never the payload.
+- Within a batch, the LAST row per key wins (upsert semantics), ordered
+  by a stable in-batch sequence via ``monotonically_increasing_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from quantms_utils_spark.streaming.curation import _list_epoch_dirs
+
+__all__ = ["diff_and_apply", "start_continuous_diff"]
+
+
+def _digest(df: DataFrame, keys: list[str]) -> DataFrame:
+    non_keys = [c for c in df.columns if c not in keys]
+    payload = (
+        F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in non_keys
+            ]
+        )
+        if non_keys
+        else F.lit(0).cast("long")
+    )
+    return df.select(*keys, payload.alias("digest"))
+
+
+def diff_and_apply(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    keys: list[str],
+    state_dir: str,
+    out_dir: str,
+) -> None:
+    """foreachBatch callback: emit the batch's inserted/updated rows vs the
+    standing state (epochs < ``epoch_id``), then record the batch digests
+    as ``epoch=N`` state. Idempotent under replay."""
+    spark = batch_df.sparkSession
+    key_schema = ", ".join(
+        f"{k} {batch_df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    state_schema = f"{key_schema}, digest long, epoch long"
+
+    dirs = _list_epoch_dirs(spark, state_dir, int(epoch_id))
+    if dirs:
+        prior = spark.read.schema(state_schema).parquet(*dirs)
+        standing = (
+            prior.groupBy(*keys)
+            .agg(F.max_by("digest", "epoch").alias("_prev"))
+        )
+    else:
+        standing = spark.createDataFrame([], state_schema).select(
+            *keys, F.col("digest").alias("_prev")
+        )
+
+    # upsert semantics inside the batch: last row per key wins
+    seq = batch_df.withColumn("_seq", F.monotonically_increasing_id())
+    latest = seq.groupBy(*keys).agg(F.max("_seq").alias("_seq"))
+    batch_last = seq.join(latest, [*keys, "_seq"]).drop("_seq")
+
+    digests = _digest(batch_last, keys)
+    classified = (
+        digests.join(standing, keys, "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_prev").isNull(), F.lit("inserted"))
+            .when(F.col("_prev") != F.col("digest"), F.lit("updated"))
+            .otherwise(F.lit("unchanged")),
+        )
+    )
+    changes = (
+        batch_last.join(
+            classified.filter(F.col("status") != "unchanged").select(
+                *keys, "status"
+            ),
+            keys,
+        )
+    )
+    changes.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+    digests.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/epoch={int(epoch_id)}")
+
+
+def start_continuous_diff(
+    incoming: DataFrame,
+    *,
+    keys: list[str],
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire an upsert stream into the continuous-diff loop (availableNow
+    drain). Returns the StreamingQuery."""
+
+    def _batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        diff_and_apply(
+            batch_df,
+            epoch_id,
+            keys=keys,
+            state_dir=state_dir,
+            out_dir=out_dir,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

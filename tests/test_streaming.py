@@ -418,3 +418,92 @@ def test_classify_and_grow_string_ids(spark, tmp_path):
     assert got["doc-a"] == ("new", None)
     assert got["doc-b"] == ("new", None)
     assert got["doc-c"] == ("batch_dup", "doc-a")
+
+
+# --- continuous CDC: foreachBatch diff-and-apply ------------------------------
+
+
+def test_continuous_diff_classifies_upserts_across_runs(spark, tmp_path):
+    """Two availableNow drains: the second batch's rows classify against
+    the state the first drain recorded — unchanged rows emit nothing,
+    changed rows emit 'updated', new keys 'inserted'."""
+    import json
+
+    from quantms_utils_spark.streaming.diff import start_continuous_diff
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("k long, v string, n double")
+            .json(str(in_dir))
+        )
+        q = start_continuous_diff(
+            stream, keys=["k"], state_dir=state_dir,
+            out_dir=out_dir, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    land("b1.json", [
+        {"k": 1, "v": "a", "n": 1.0},
+        {"k": 2, "v": "b", "n": 2.0},
+        {"k": 2, "v": "b2", "n": 2.5},  # in-batch upsert: last wins
+    ])
+    drain()
+    first = {
+        r["k"]: (r["status"], r["v"])
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+    }
+    assert first == {1: ("inserted", "a"), 2: ("inserted", "b2")}
+
+    land("b2.json", [
+        {"k": 1, "v": "a", "n": 1.0},    # unchanged -> no output
+        {"k": 2, "v": "B", "n": 2.5},    # updated
+        {"k": 3, "v": "c", "n": 3.0},    # inserted
+    ])
+    drain()
+    out = {
+        (r["k"], r["status"])
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+    }
+    assert (1, "inserted") in out and (2, "inserted") in out  # epoch 0 kept
+    assert (2, "updated") in out and (3, "inserted") in out
+    assert (1, "updated") not in out  # unchanged row emitted nothing
+
+
+def test_continuous_diff_replay_is_idempotent(spark, tmp_path):
+    from quantms_utils_spark.streaming.diff import diff_and_apply
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    diff_and_apply(b0, 0, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    diff_and_apply(b1, 1, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+
+    def state():
+        out = sorted(
+            (r["k"], r["status"])
+            for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+        )
+        st = sorted(
+            (r["k"], r["epoch"])
+            for r in spark.read.parquet(state_dir + "/epoch=*").collect()
+        )
+        return out, st
+
+    before = state()
+    diff_and_apply(b1, 1, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    assert state() == before
+    out, _ = state()
+    assert out == [(1, "inserted"), (2, "inserted"), (2, "updated"),
+                   (3, "inserted")]
