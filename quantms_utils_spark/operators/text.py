@@ -708,8 +708,12 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    from quantms_utils_spark.operators.dedup import _fan_out
+
     toks = normalized_tokens(F.col(text_col))
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g"))
+    grams = _fan_out(df).select(
+        F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g")
+    )
     per_doc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("occ"))
     docs_with = F.count(F.lit(1)).over(Window.partitionBy("g"))
     flagged = per_doc.withColumn("_docs", docs_with)
@@ -747,8 +751,14 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from quantms_utils_spark.operators.dedup import _fan_out
+
     nt = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    d = df.select(F.col(id_col), nt.alias("_nt")).filter(F.length("_nt") >= 2)
+    d = (
+        _fan_out(df)
+        .select(F.col(id_col), nt.alias("_nt"))
+        .filter(F.length("_nt") >= 2)
+    )
     big = d.select(
         F.col(id_col),
         F.explode(
