@@ -143,6 +143,9 @@ def repetition_signals(
     shape is O(n) regardless of document length — the property that matters
     at 100 TB. No window, no self-join, nothing driver-side.
     """
+    from quantms_utils_spark.operators.dedup import _fan_out
+
+    df = _fan_out(df)
     toks = normalized_tokens(F.col(text_col))
     words = df.select(F.col(id_col), F.explode(toks).alias("w"))
     word_stats = (
@@ -578,8 +581,11 @@ def bpe_merges(
     ``_rounds_out``: test seam — when a list is passed, the number of
     aggregation rounds actually executed is appended to it.
     """
+    from quantms_utils_spark.operators.dedup import _fan_out
+
     words = (
-        df.select(F.explode(normalized_tokens(F.col(text_col))).alias("w"))
+        _fan_out(df)
+        .select(F.explode(normalized_tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms", F.split(F.col("w"), ""))
@@ -661,7 +667,9 @@ def bpe_vocabulary(
     occurrence count. One map-only encode pass (:func:`bpe_apply`, merges
     baked as literals) + one count shuffle — the artifact a tokenizer
     trainer exports after induction."""
-    syms = df.select(
+    from quantms_utils_spark.operators.dedup import _fan_out
+
+    syms = _fan_out(df).select(
         F.explode(F.flatten(bpe_apply(F.col(text_col), merges))).alias("symbol")
     )
     return syms.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_occurrences"))
