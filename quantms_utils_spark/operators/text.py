@@ -786,3 +786,80 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Rewrite documents with cross-document duplicated spans REMOVED — the
+    action half of :func:`duplicate_spans` (Lee et al. 2022 drop the
+    duplicated spans, not the whole document): any token covered by a word
+    ``n``-gram that also occurs in another document is cut, and the
+    remaining tokens are rejoined in order.
+
+    Shape: positional token + positional n-gram explodes, one distinct
+    (doc, gram) reduction with a window docs-per-gram count, covered
+    positions via an in-row sequence explode, an anti-join to keep clean
+    positions, and ONE per-doc ordered rebuild (sort_array over
+    (pos, token) structs — bounded by the document length, the same bound
+    as the input row). Every document emits a row (cleaned_text = '' when
+    everything was duplicated or the document was blank).
+    """
+    from pyspark.sql import Window
+
+    from quantms_utils_spark.operators.dedup import _fan_out
+
+    df = _fan_out(df)
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_toks")
+    )
+    pos_toks = base.select(
+        id_col, F.posexplode("_toks").alias("p", "w")
+    )
+    pos_grams = base.select(
+        id_col,
+        F.posexplode(word_ngrams(F.col("_toks"), n)).alias("gp", "g"),
+    )
+    docs_per_gram = (
+        pos_grams.select(id_col, "g")
+        .distinct()
+        .withColumn("_docs", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    dup_pos = (
+        pos_grams.join(
+            docs_per_gram.filter(F.col("_docs") > 1).select(id_col, "g"),
+            [id_col, "g"],
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gp"), F.col("gp") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = pos_toks.join(dup_pos, [id_col, "p"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -834,6 +834,57 @@ GROUP BY doc_id
 """
 
 
+def remove_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus with cross-document duplicate word-8-gram spans cut
+    out (the action half of `text_duplicate_spans`): per document, the
+    original and kept token counts plus the rejoined cleaned text."""
+    from quantms_utils_spark.operators.text import remove_duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, "doc_id", "text", n=8)
+
+
+REMOVE_DUPLICATE_SPANS_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS words
+  FROM norm
+), pos AS (
+  SELECT doc_id, i AS p, words[i] AS w
+  FROM toks, UNNEST(generate_series(1, len(words))) AS t(i)
+), g AS (
+  SELECT doc_id, i AS gp, array_to_string(words[i:i+7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8
+), docs AS (
+  SELECT g, count(DISTINCT doc_id) AS d FROM g GROUP BY 1
+), dup_pos AS (
+  SELECT DISTINCT g.doc_id, u.i AS p
+  FROM g JOIN docs USING (g), UNNEST(generate_series(g.gp, g.gp + 7)) AS u(i)
+  WHERE docs.d > 1
+), kept AS (
+  SELECT pos.doc_id, pos.p, pos.w
+  FROM pos LEFT JOIN dup_pos
+    ON pos.doc_id = dup_pos.doc_id AND pos.p = dup_pos.p
+  WHERE dup_pos.p IS NULL
+), rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(w ORDER BY p), ' ') AS cleaned_text,
+         count(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.words) AS BIGINT) AS n_tokens,
+       CAST(coalesce(rebuilt.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       coalesce(rebuilt.cleaned_text, '') AS cleaned_text
+FROM toks LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained character-bigram LM quality score per document (cheap
     perplexity proxy): average -ln P(c2|c1) under unsmoothed corpus
@@ -987,6 +1038,10 @@ QUERIES = {
     "text_bpe_encode": (bpe_encode_counts, BPE_ENCODE_COUNTS_SQL),
     "text_bpe_vocab": (bpe_vocab, BPE_VOCAB_SQL),
     "text_duplicate_spans": (duplicate_spans_q, DUPLICATE_SPANS_SQL),
+    "text_remove_duplicate_spans": (
+        remove_duplicate_spans_q,
+        REMOVE_DUPLICATE_SPANS_SQL,
+    ),
     "text_bigram_logprob": (bigram_logprob_q, BIGRAM_LOGPROB_SQL),
     "text_winnow_fingerprints": (winnow_fps, WINNOW_FPS_SQL),
     "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),

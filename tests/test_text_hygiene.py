@@ -445,3 +445,46 @@ def test_bigram_logprob_fluent_vs_gibberish(spark):
         for r in bigram_logprob(df, "doc_id", "text").collect()
     }
     assert got[0] < got[99]
+
+
+def test_remove_duplicate_spans_cuts_shared_grams(spark):
+    """Docs 1 and 2 share the 3-gram 'a b c': those token positions are
+    cut from both; unique tails survive; doc 3 untouched; doc 4 blank."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c tail one"),
+            Row(doc_id=2, text="intro a b c"),
+            Row(doc_id=3, text="p q r s"),
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_kept"], r["cleaned_text"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (5, 2, "tail one")
+    assert got[2] == (4, 1, "intro")
+    assert got[3] == (4, 4, "p q r s")
+    assert got[4] == (0, 0, "")
+
+
+def test_remove_duplicate_spans_overlapping_grams_union(spark):
+    """Two overlapping dup grams cover the union of their positions."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x a b c d y"),   # 'a b c' and 'b c d' shared
+            Row(doc_id=2, text="a b c d"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == "x y"
+    assert got[2] == ""
