@@ -277,3 +277,39 @@ class TestEndToEndXml:
         # MS2 spectrum carries its precursor and the as-of MS1 rt
         assert rows["102"]["precursor_rt"] == pytest.approx(5.0)
         assert rows["102"]["precursor_mz"] == pytest.approx(200.5)
+
+
+class TestNumpressDataSource:
+    def test_numpress_file_via_datasource(self, spark):
+        """A numpress-compressed committed fixture reads through
+        spark.read.format('mzml') identically to the direct reader — the
+        decode path is shared, the DataSource plumbing must not care."""
+        from quantms_utils_spark.sources.mzml_datasource import (
+            register_mzml_source,
+        )
+
+        path = str(FIXTURES / "rich_numpress.mzML")
+        register_mzml_source(spark)
+        via_ds = (
+            spark.read.format("mzml")
+            .option("paths", path)
+            .option("parser", "xml")
+            .load()
+            .toPandas()
+            .sort_values("spectrum_index")
+            .reset_index(drop=True)
+        )
+        via_reader = (
+            read_spectra(spark, [path], parser="xml")
+            .toPandas()
+            .sort_values("spectrum_index")
+            .reset_index(drop=True)
+        )
+        assert len(via_ds) == 24 == len(via_reader)
+        for i in range(0, 24, 5):
+            assert list(via_ds["mz_array"][i]) == pytest.approx(
+                list(via_reader["mz_array"][i])
+            )
+            assert list(via_ds["intensity_array"][i]) == pytest.approx(
+                list(via_reader["intensity_array"][i])
+            )

@@ -335,3 +335,22 @@ def test_bigram_logprob_model_never_collected(spark):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):
         assert join not in plan
+
+
+def test_remove_duplicate_spans_no_cartesian(spark):
+    """Span removal joins are all key-equi (gram, position) — never a
+    cartesian/BNLJ pair enumeration."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e f g h i j") for i in range(4)]
+    )
+    plan = (
+        remove_duplicate_spans(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
