@@ -64,6 +64,9 @@ HEADLINE = [
     ("q_chunk", "text_chunk_sliding"),
     ("q_bpe", "text_bpe_merges"),
     ("q_prefix_pairs", "dedup_prefix_pairs"),
+    ("q_dup_spans", "text_duplicate_spans"),
+    ("q_bigram_lm", "text_bigram_logprob"),
+    ("q_diff_exact", "snapshot_diff_exact"),
 ]
 
 
