@@ -510,3 +510,126 @@ def ann_batch_topk(
             "rank",
         )
     )
+
+
+def knn_self_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    k: int = 3,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH within coarse blocks: for EVERY
+    vector, its top-``k`` cosine neighbors among vectors sharing its block
+    (cluster/label/IVF cell) — the all-rows generalization of the
+    single-query top-k, and the candidate generator for graph-based dedup
+    and diversity sampling.
+
+    Same tiled-GEMM shape as :func:`cosine_pairs_blocked` (every unordered
+    pair meets in exactly one tile, one numpy matmul per tile), but each
+    tile emits only each member row's TILE-LOCAL top-k — correct because a
+    row's global top-k neighbor appears in some tile with it and ranks
+    ≤ k there too — so the rank shuffle carries rows × tiles × k candidate
+    triples, never the pair space. A final per-id window keeps the global
+    top-k. Scores are rounded to 6 before ranking with an id tie-break,
+    so ranking is engine-deterministic.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
+
+    normed = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        unit_vector(_to_double(F.col(vec_col))).alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bkt"),
+    )
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda t: F.struct(
+            F.least(t, F.col("bkt")).alias("ti"),
+            F.greatest(t, F.col("bkt")).alias("tj"),
+        ),
+    )
+    exploded = normed.select(
+        "block", "id", "u", "bkt",
+        F.explode(F.array_distinct(tiles)).alias("tile"),
+    ).select(
+        "block", "id", "u", "bkt",
+        F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"),
+    )
+
+    id_field = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_field, True),
+            StructField("neighbor_id", id_field, True),
+            StructField("cos_raw", DoubleType(), True),
+        ]
+    )
+
+    def _emit_topk(ids_a, ids_b, G):
+        # per row of A: its tile-local top candidates. Emit a margin beyond
+        # k: the final rank orders by ROUNDED score with an id tie-break,
+        # so a raw-score cutoff exactly at k could drop the candidate the
+        # rounded ordering prefers; +8 covers any realistic tie cluster
+        # inside the 1e-6 rounding window.
+        out_id, out_nbr, out_cos = [], [], []
+        kk = min(k + 8, G.shape[1])
+        if kk == 0:
+            return out_id, out_nbr, out_cos
+        idx = np.argpartition(-G, kk - 1, axis=1)[:, :kk]
+        for r in range(G.shape[0]):
+            for c in idx[r]:
+                out_id.append(ids_a[r])
+                out_nbr.append(ids_b[c])
+                out_cos.append(G[r, c])
+        return out_id, out_nbr, out_cos
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        empty = pd.DataFrame({"id": [], "neighbor_id": [], "cos_raw": []})
+        if ti == tj:
+            sub = pdf[pdf["bkt"] == ti]
+            if len(sub) < 2:
+                return empty
+            ids = sub["id"].to_numpy()
+            U = np.stack(sub["u"].to_numpy())
+            G = U @ U.T
+            np.fill_diagonal(G, -np.inf)
+            i, n, c = _emit_topk(ids, ids, G)
+            return pd.DataFrame({"id": i, "neighbor_id": n, "cos_raw": c})
+        a_sub = pdf[pdf["bkt"] == ti]
+        b_sub = pdf[pdf["bkt"] == tj]
+        if len(a_sub) == 0 or len(b_sub) == 0:
+            return empty
+        ids_a = a_sub["id"].to_numpy()
+        ids_b = b_sub["id"].to_numpy()
+        G = np.stack(a_sub["u"].to_numpy()) @ np.stack(b_sub["u"].to_numpy()).T
+        i1, n1, c1 = _emit_topk(ids_a, ids_b, G)
+        i2, n2, c2 = _emit_topk(ids_b, ids_a, G.T)
+        return pd.DataFrame(
+            {"id": i1 + i2, "neighbor_id": n1 + n2, "cos_raw": c1 + c2}
+        )
+
+    candidates = exploded.groupBy("block", "ti", "tj").applyInPandas(
+        tile_topk, schema=out_schema
+    )
+    scored = candidates.select(
+        "id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+        )
+    )

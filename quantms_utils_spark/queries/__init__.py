@@ -42,7 +42,7 @@ _FRONT = [
     "snapshot_diff", "approx_event_stats",
     "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
     "text_duplicate_spans", "text_bigram_logprob",  # new in round 3
-    "text_remove_duplicate_spans",  # new in round 3
+    "text_remove_duplicate_spans", "ann_knn_graph",  # new in round 3
     "returned_items_topk", "big_orders_having", "rollup_revenue",
     "moving_avg_range", "ann_bruteforce_topk", "ann_partitioned_topk",
     "ann_lsh_bucketed", "embedding_norms", "dedup_embedding_cosine",

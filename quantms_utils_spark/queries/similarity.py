@@ -475,8 +475,40 @@ GROUP BY 1, 2
 """
 
 
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN graph within label blocks: every vector's top-3 cosine
+    neighbors among same-label vectors, via the tiled-GEMM self-join
+    (per-tile local top-k candidates, one global rank — the pair space
+    never shuffles). Oracle is the brute-force within-label pair join."""
+    from quantms_utils_spark.operators.similarity import knn_self_join
+
+    e = load(spark, sf_dir, "embeddings")
+    return knn_self_join(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", k=3
+    )
+
+
+ANN_KNN_GRAPH_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_knn_graph": (ann_knn_graph, ANN_KNN_GRAPH_SQL),
     "ann_batch_queries_topk": (ann_batch_queries_topk, ANN_BATCH_SQL),
     "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMBEDDING_QUANTIZE_SQL),

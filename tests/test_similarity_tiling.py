@@ -107,3 +107,72 @@ class TestIVF:
         assert [(r.vec_id, r.cos_sim) for r in exact] == [
             (r.vec_id, r.cos_sim) for r in probed
         ]
+
+
+class TestKnnSelfJoin:
+    @pytest.mark.parametrize("n_buckets", [1, 3, 5])
+    def test_knn_graph_matches_bruteforce(self, spark, n_buckets):
+        """The tiled per-row top-k must equal the brute-force within-block
+        kNN for any tile count (every pair meets in exactly one tile and
+        tile-local top-k preserves global top-k membership)."""
+        import numpy as np
+        from pyspark.sql import Row, Window
+        from pyspark.sql import functions as F
+        from quantms_utils_spark.operators.similarity import (
+            cosine_sim,
+            knn_self_join,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [
+            Row(vec_id=i, label=i % 3,
+                embedding=[float(x) for x in rng.randn(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["vec_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_self_join(
+                df, "vec_id", "embedding", "label", k=2, n_buckets=n_buckets
+            ).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        brute = (
+            a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                F.round(
+                    cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 6
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        want = {
+            (r["vec_id"], r["rank"]): r["neighbor_id"]
+            for r in brute.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .collect()
+        }
+        assert got == want
+
+    def test_small_block_yields_fewer_neighbors(self, spark):
+        from pyspark.sql import Row
+        from quantms_utils_spark.operators.similarity import knn_self_join
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+                Row(vec_id=2, label=0, embedding=[0.9, 0.1]),
+                Row(vec_id=3, label=1, embedding=[0.0, 1.0]),
+            ]
+        )
+        got = knn_self_join(df, "vec_id", "embedding", "label", k=3).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+        assert sorted(by_id[1]) == [2] and sorted(by_id[2]) == [1]
+        assert 3 not in by_id  # singleton block: no neighbors
