@@ -817,9 +817,39 @@ def prefix_filter_pairs(
 
     Known failure mode at scale (round-2 review): near-threshold corpora
     with low-rarity shared prefixes inflate candidate volume — keep
-    ``threshold >= ~0.5`` on 100 TB corpora or sample-estimate the
-    candidate count first.
+    ``threshold >= ~0.5`` on 100 TB corpora, or gate the run on
+    :func:`estimate_prefix_candidates` first.
     """
+    cand, ordered = _prefix_candidates(
+        df, id_col, text_col, threshold=threshold, shingle_n=shingle_n
+    )
+    sa = ordered.select(
+        F.col("_id").alias("doc_a"), F.col("_toks").alias("_sa"), F.col("_n").alias("_na")
+    )
+    sb = ordered.select(
+        F.col("_id").alias("doc_b"), F.col("_toks").alias("_sb"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    shingle_n: int,
+):
+    """Shared candidate generation for the AllPairs/PPJoin family: returns
+    (candidate-pair frame, rarity-ordered per-document shingle frame)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
@@ -871,18 +901,32 @@ def prefix_filter_pairs(
         .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
         .distinct()
     )
-    sa = ordered.select(
-        F.col("_id").alias("doc_a"), F.col("_toks").alias("_sa"), F.col("_n").alias("_na")
+    return cand, ordered
+
+
+def estimate_prefix_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    fraction: float = 0.1,
+    seed: int = 42,
+) -> float:
+    """Sample-based estimate of :func:`prefix_filter_pairs` candidate-pair
+    volume — the pre-flight guard for the family's known failure mode
+    (near-threshold corpora with low-rarity shared prefixes). Runs the
+    identical candidate generation on a ``fraction`` document sample and
+    scales by ``1/fraction²`` (a candidate pair survives sampling iff BOTH
+    endpoints do). Cost is the sampled join only; at 100 TB a 1% sample
+    prices the full run at 1/10,000th of its candidate cost before
+    committing to it. Approximate on two counts: pair-survival sampling
+    variance, and rarity order being recomputed on the sample."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    sample = df.sample(fraction=fraction, seed=seed)
+    cand, _ = _prefix_candidates(
+        sample, id_col, text_col, threshold=threshold, shingle_n=shingle_n
     )
-    sb = ordered.select(
-        F.col("_id").alias("doc_b"), F.col("_toks").alias("_sb"), F.col("_n").alias("_nb")
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    jac = inter / (F.col("_na") + F.col("_nb") - inter)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return cand.count() / (fraction * fraction)

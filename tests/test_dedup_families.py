@@ -252,3 +252,41 @@ def test_prefix_filter_threshold_validation(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     with pytest.raises(ValueError):
         prefix_filter_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_estimate_prefix_candidates_tracks_truth(spark):
+    """The sampled estimate lands within a small factor of the true
+    candidate count (and at fraction=1.0 it IS the true count)."""
+    from pyspark.sql import Row
+    from quantms_utils_spark.operators.dedup import (
+        _prefix_candidates,
+        estimate_prefix_candidates,
+    )
+
+    # 9 shared tokens + 1 unique -> pairwise Jaccard 7/9: every pair is a
+    # genuine candidate, the family's near-worst case
+    rows = [
+        Row(doc_id=i,
+            text=f"the same nine shared tokens repeat across docs w{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    true_cand, _ = _prefix_candidates(
+        df, "doc_id", "text", threshold=0.5, shingle_n=3
+    )
+    truth = true_cand.count()
+    assert truth > 0
+
+    exact = estimate_prefix_candidates(
+        df, "doc_id", "text", threshold=0.5, fraction=1.0
+    )
+    assert exact == truth
+
+    est = estimate_prefix_candidates(
+        df, "doc_id", "text", threshold=0.5, fraction=0.5, seed=7
+    )
+    assert truth / 5 <= est <= truth * 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        estimate_prefix_candidates(df, "doc_id", "text", fraction=0.0)
