@@ -633,3 +633,47 @@ def knn_self_join(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within each
+    coarse block (a trained k-means cell in the canonical setup), a row is a
+    semantic duplicate when some LOWER-ID row of the same block has cosine
+    similarity ≥ ``threshold`` with it; the minimum such lower id is its
+    keeper. Returns one row per input row: ``(id_col, block_col, dup_of,
+    is_dup)`` — the deterministic min-id keeper policy (the paper keeps the
+    point farthest from the centroid; any fixed rule dedups equally, and
+    min-id is reproducible across engines).
+
+    Execution shape: candidate pairs come from the pair-tiled GEMM self-join
+    (:func:`cosine_pairs_blocked` — pair space Σ block², never corpus²; each
+    pair meets in exactly one tile), then ONE per-duplicate min aggregate and
+    a left join back to the ids. At 100 TB the block column is the k-means
+    cell id written at ingest, so the self-join is partition-local.
+    """
+    pairs = cosine_pairs_blocked(
+        df, id_col=id_col, vec_col=vec_col, block_col=block_col,
+        threshold=threshold, n_buckets=n_buckets,
+    )
+    dup_of = (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        df.select(id_col, block_col)
+        .join(dup_of, id_col, "left")
+        .select(
+            id_col,
+            block_col,
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -1,0 +1,251 @@
+"""Probabilistic membership / frequency sketches as native Catalyst plans.
+
+PySpark 4 does not expose ``bloom_filter_agg`` / ``count_min_sketch`` to the
+public API (they are analyzer-internal), so both sketches are built from
+first principles with DataFrame operators — which is the better shape anyway:
+the "sketch" lives as a tiny DataFrame that broadcasts, every probe is a
+codegen'd hash expression, and nothing round-trips through opaque JVM binary
+blobs.
+
+Scale contracts (the reason these exist next to the exact operators):
+
+- **Bloom decontamination**: the benchmark side collapses to its set of SET
+  BIT POSITIONS (≤ n_hashes × |bench grams| longs — KBs to low MBs for real
+  eval suites, independent of corpus size) and is broadcast. The 100 TB
+  corpus side is a map-only n-gram explode probed by a broadcast-hash join;
+  only HIT positions ever shuffle. False positives are bounded by the m-bit
+  position space; false negatives are impossible — and that one-sided
+  guarantee is exactly what the oracle checks.
+- **Count-Min frequency sketch**: the corpus reduces to depth × width
+  counter cells via one map-side-combinable aggregate — a fixed-size
+  mergeable summary (the property that makes CMS the streaming/100 TB
+  frequency structure). Estimates only ever OVER-count (est ≥ exact,
+  est ≤ exact + e/width · N w.h.p.), and those two inequalities are the
+  oracle-checked contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_positions(col: Column, n_hashes: int, n_bits: int) -> Column:
+    """The ``n_hashes`` Bloom bit positions of a value as an array<long>.
+
+    Independent hash functions come from seeding xxhash64 with the hash
+    index (an extra literal column changes the digest), the classic
+    k-independent-hash construction. Pure codegen — no Python, no shuffle.
+    """
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bit_positions(
+    values: DataFrame, value_col: str, n_hashes: int, n_bits: int
+) -> DataFrame:
+    """The sparse Bloom filter of ``values``: the distinct set of SET bit
+    positions (column ``bloom_pos`` long). Equivalent to an m-bit Bloom
+    bitmap — membership(v) ⇔ all of v's positions appear here — but stored
+    sparsely so it stays a broadcastable DataFrame instead of a binary blob.
+    """
+    return (
+        values.select(
+            F.explode(
+                hash_positions(F.col(value_col), n_hashes, n_bits)
+            ).alias("bloom_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_hashes: int,
+    n_bits: int,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe every ``probes`` row's ``value_col`` against a sparse Bloom
+    filter (from :func:`bloom_bit_positions`). Returns the distinct
+    ``key_cols`` rows with boolean ``out_col`` appended. ``key_cols`` must
+    uniquely identify probe rows (a deterministic key, NOT
+    ``monotonically_increasing_id`` — the probe plan is evaluated on both
+    sides of a join, and a nondeterministic key would not line up).
+
+    A value hits iff ALL ``n_hashes`` of its positions are set: its exploded
+    positions inner-join the broadcast position set and the match count per
+    key must equal ``n_hashes`` (duplicate positions from hash coincidence
+    count each time, so the arithmetic stays exact). Only matching positions
+    survive the join, so the count aggregate sees hit rows, not the corpus ×
+    n_hashes.
+    """
+    keyed = probes.select(*key_cols, F.col(value_col).alias("_bloom_val"))
+    matched = (
+        keyed.select(
+            *key_cols,
+            F.explode(
+                hash_positions(F.col("_bloom_val"), n_hashes, n_bits)
+            ).alias("bloom_pos"),
+        )
+        .join(F.broadcast(bloom), "bloom_pos")
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bloom_matches"))
+    )
+    return (
+        keyed.join(matched, key_cols, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_bloom_matches"), F.lit(0)) == n_hashes,
+        )
+        .drop("_bloom_val", "_bloom_matches")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 5,
+    n_hashes: int = 3,
+    n_bits: int = 1 << 20,
+) -> DataFrame:
+    """Approximate benchmark decontamination through a Bloom filter of the
+    benchmark's word n-grams, with the exact overlap computed alongside so
+    the filter's one-sided contract is a *checkable output*.
+
+    Returns one row per ``train`` document:
+
+    - ``n_overlap`` / ``contaminated`` — the exact results (same semantics
+      as :func:`operators.text.decontaminate`).
+    - ``bloom_overlap`` — how many of the document's distinct n-grams the
+      Bloom filter flags (≥ ``n_overlap`` by construction).
+    - ``bloom_no_false_negative`` — ``bloom_contaminated OR NOT
+      contaminated``: constant TRUE unless the no-false-negative guarantee
+      is broken. This (plus ``bloom_overlap >= n_overlap``) is what the
+      DuckDB oracle asserts; the raw bloom counts themselves are
+      hash-function-specific and intentionally not part of the compared
+      output.
+
+    At 100 TB the exact side is what you *drop* — the production plan keeps
+    only the broadcast Bloom probe (map-only over the corpus). This operator
+    keeps both so small-scale runs can certify the filter before the exact
+    branch is switched off.
+    """
+    from quantms_utils_spark.operators.text import (
+        normalized_tokens,
+        word_ngrams,
+    )
+
+    def _grams(df: DataFrame, *cols: str) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(normalized_tokens(F.col(text_col)), ngram_n)
+                )
+            ).alias("g"),
+        )
+
+    bench_grams = _grams(benchmark).select("g").distinct()
+    bloom = bloom_bit_positions(bench_grams, "g", n_hashes, n_bits)
+
+    train_grams = _grams(train, id_col)
+    probed = bloom_probe(
+        train_grams, bloom, [id_col, "g"], "g", n_hashes, n_bits
+    )
+    exact_hits = train_grams.join(F.broadcast(bench_grams), "g").groupBy(
+        id_col
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    bloom_hits = (
+        probed.where(F.col("bloom_hit"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bloom_overlap"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    b_ov = F.coalesce(F.col("bloom_overlap"), F.lit(0))
+    return (
+        train.select(id_col)
+        .join(exact_hits, id_col, "left")
+        .join(bloom_hits, id_col, "left")
+        .select(
+            id_col,
+            n_ov.alias("n_overlap"),
+            (n_ov > 0).alias("contaminated"),
+            ((b_ov > 0) | ~(n_ov > 0)).alias("bloom_no_false_negative"),
+            (b_ov >= n_ov).alias("bloom_covers_exact"),
+        )
+    )
+
+
+def cms_build(
+    tokens: DataFrame, token_col: str, depth: int, width: int
+) -> DataFrame:
+    """Count-Min sketch of the token stream as a (cms_row, cms_bucket,
+    cms_cnt) cell table — at most ``depth × width`` rows regardless of
+    corpus size, produced by ONE map-side-combinable aggregate (each
+    occurrence contributes to exactly ``depth`` cells; partial aggregation
+    collapses a partition to ≤ depth × width partials before any shuffle,
+    which is the fixed-size-mergeable property that defines CMS).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                F.pmod(F.xxhash64(F.col(token_col), F.lit(i)), F.lit(width))
+                .alias("cms_bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.cms_row").alias("cms_row"), F.col("c.cms_bucket").alias("cms_bucket"))
+        .agg(F.count(F.lit(1)).alias("cms_cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str,
+    depth: int,
+    width: int,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for each ``probes`` row: min over the
+    sketch rows of the probed cell's count (0 for an absent cell — possible
+    when the probe never occurred). The sketch table broadcasts (≤ depth ×
+    width rows); the probe side explodes to ``depth`` cell lookups and
+    re-aggregates by token, so the work is O(probes × depth), never a pass
+    over the sketched corpus.
+    """
+    cell_of = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                F.pmod(F.xxhash64(F.col(token_col), F.lit(i)), F.lit(width))
+                .alias("cms_bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    exploded = probes.select(
+        F.col(token_col), F.explode(cell_of).alias("c")
+    ).select(
+        token_col,
+        F.col("c.cms_row").alias("cms_row"),
+        F.col("c.cms_bucket").alias("cms_bucket"),
+    )
+    joined = exploded.join(
+        F.broadcast(sketch), ["cms_row", "cms_bucket"], "left"
+    )
+    return joined.groupBy(token_col).agg(
+        F.min(F.coalesce(F.col("cms_cnt"), F.lit(0))).alias(out_col)
+    )

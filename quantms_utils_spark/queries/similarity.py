@@ -506,7 +506,67 @@ FROM ranked WHERE rank <= 3
 """
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: assign every
+    vector to its nearest TRAINED k-means centroid (the same oracle-verified
+    Lloyd loop as the IVF queries), then within each cell mark a vector as a
+    semantic duplicate when a lower-id cell-mate has cosine ≥ 0.4, keeper =
+    min such id (operators.similarity.semantic_dedup — pair-tiled GEMM
+    within cells, one min aggregate, one left join; the cell id is the
+    ingest-time partition key at 100 TB so the pair stage is
+    partition-local)."""
+    from quantms_utils_spark.operators.similarity import (
+        assign_to_centroids,
+        semantic_dedup,
+    )
+
+    e, centroids = _ivf_centroids(spark, sf_dir)
+    cells = e.withColumn("cid", assign_to_centroids("embedding", centroids))
+    out = semantic_dedup(
+        cells,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cid",
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("int").alias("cid"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "is_dup",
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+{_KMEANS_PRELUDE},
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c2.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c2.c), c2.cid
+           ) AS rn
+    FROM e, c2
+  ) WHERE rn = 1
+), p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {SEMANTIC_DEDUP_THRESHOLD}
+), dup AS (
+  SELECT vb AS vec_id, min(va) AS dup_of FROM p GROUP BY 1
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cid AS INT) AS cid,
+       CAST(dup.dup_of AS BIGINT) AS dup_of,
+       dup.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_id
+"""
+
+
 QUERIES = {
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_knn_graph": (ann_knn_graph, ANN_KNN_GRAPH_SQL),
     "ann_batch_queries_topk": (ann_batch_queries_topk, ANN_BATCH_SQL),
