@@ -67,6 +67,9 @@ HEADLINE = [
     ("q_dup_spans", "text_duplicate_spans"),
     ("q_bigram_lm", "text_bigram_logprob"),
     ("q_diff_exact", "snapshot_diff_exact"),
+    ("q_semantic_dedup", "dedup_semantic"),
+    ("q_bloom_decon", "text_bloom_decontaminate"),
+    ("q_heavy_hitters", "text_heavy_hitters_cms"),
 ]
 
 

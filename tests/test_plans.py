@@ -354,3 +354,54 @@ def test_remove_duplicate_spans_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcast_no_nested_loop(spark):
+    """The Bloom position probe must be a broadcast-hash join of the sparse
+    position set — never a shuffle of the corpus side against it, and never
+    a nested-loop degradation."""
+    from quantms_utils_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], "g string")
+    bloom = bloom_bit_positions(vals, "g", n_hashes=3, n_bits=1 << 16)
+    plan = explain_str(
+        bloom_probe(vals, bloom, ["g"], "g", 3, 1 << 16), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_estimate_sketch_broadcast(spark):
+    """CMS estimation joins the (depth x width)-bounded cell table as the
+    BROADCAST side; the probe side never shuffles against the sketch."""
+    from quantms_utils_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = spark.createDataFrame([(f"t{i % 7}",) for i in range(100)], "tok string")
+    sketch = cms_build(toks, "tok", 3, 64)
+    plan = explain_str(
+        cms_estimate(sketch, toks.distinct(), "tok", 3, 64), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup pair generation goes through the tiled in-cell self-join —
+    the plan may never contain an all-pairs cartesian/BNLJ stage."""
+    from quantms_utils_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, i % 2, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    plan = explain_str(
+        semantic_dedup(df, "vec_id", "embedding", "cell", threshold=0.9),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
