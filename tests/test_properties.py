@@ -158,3 +158,55 @@ def test_numpress_slof_relative_error_property(values):
         fp = optimal_slof_fixed_point(arr)
         rel = np.exp(0.5 / fp) - 1.0
         assert np.all(np.abs(out - arr) <= (arr + 1.0) * rel + 1e-9)
+
+
+@SETTINGS
+@given(
+    st.lists(words, min_size=5, max_size=60),
+    st.lists(words, min_size=5, max_size=60),
+)
+def test_bloom_membership_properties(spark, members, probes):
+    """For ANY value sets: every member probes true (no false negatives),
+    and with a roomy filter no non-member probes true."""
+    from quantms_utils_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in set(members)], "g string")
+    bloom = bloom_bit_positions(mdf, "g", n_hashes=3, n_bits=1 << 20)
+    probe_vals = set(members) | {p + "-out" for p in probes}
+    pdf = spark.createDataFrame([(p,) for p in probe_vals], "g string")
+    hits = {
+        r["g"]: r["bloom_hit"]
+        for r in bloom_probe(pdf, bloom, ["g"], "g", 3, 1 << 20).collect()
+    }
+    for m in set(members):
+        assert hits[m], f"false negative for member {m!r}"
+    # 2^20 bits vs <=60 members: P(any fp) ~ 1e-7 per probe — treat as exact
+    for p in probe_vals - set(members):
+        assert not hits[p], f"false positive for non-member {p!r}"
+
+
+@SETTINGS
+@given(st.lists(words, min_size=1, max_size=200))
+def test_cms_never_undercounts(spark, tokens):
+    """For ANY token multiset: every estimate >= the exact count and the
+    cell table stays within depth x width."""
+    from collections import Counter
+
+    from quantms_utils_spark.operators.sketches import cms_build, cms_estimate
+
+    depth, width = 3, 64
+    tdf = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    sketch = cms_build(tdf, "tok", depth, width)
+    assert sketch.count() <= depth * width
+    est = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(
+            sketch, tdf.distinct(), "tok", depth, width
+        ).collect()
+    }
+    exact = Counter(tokens)
+    for tok, cnt in exact.items():
+        assert est[tok] >= cnt

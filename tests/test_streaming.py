@@ -507,3 +507,63 @@ def test_continuous_diff_replay_is_idempotent(spark, tmp_path):
     out, _ = state()
     assert out == [(1, "inserted"), (2, "inserted"), (2, "updated"),
                    (3, "inserted")]
+
+
+def test_continuous_sketch_merges_across_runs(spark, tmp_path):
+    """Two availableNow drains of a token stream: the standing merged CMS
+    must estimate >= exact for every token over the UNION of both drains —
+    i.e. per-epoch cell tables really merge by cell-wise addition."""
+    import json
+    from collections import Counter
+
+    from quantms_utils_spark.streaming.sketches import (
+        merged_sketch,
+        standing_estimates,
+        start_continuous_sketch,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    state_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    depth, width = 3, 64
+
+    def land(name, toks):
+        with open(in_dir / name, "w") as f:
+            for t in toks:
+                f.write(json.dumps({"tok": t}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema("tok string").json(str(in_dir))
+        q = start_continuous_sketch(
+            stream, token_col="tok", depth=depth, width=width,
+            state_dir=state_dir, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    batch1 = ["a"] * 10 + ["b"] * 5 + ["c"]
+    batch2 = ["a"] * 7 + ["d"] * 3
+    land("b1.json", batch1)
+    drain()
+    land("b2.json", batch2)
+    drain()
+
+    # standing sketch stays bounded by depth x width
+    merged = merged_sketch(spark, state_dir)
+    assert merged.count() <= depth * width
+
+    exact = Counter(batch1 + batch2)
+    probes = spark.createDataFrame([(t,) for t in exact], "tok string")
+    est = {
+        r["tok"]: r["cms_est"]
+        for r in standing_estimates(
+            spark, state_dir, probes, "tok", depth, width
+        ).collect()
+    }
+    for tok, cnt in exact.items():
+        assert est[tok] >= cnt  # merged estimate covers the union counts
+    # sketch row-count totals equal the full stream per hash row
+    per_row = (
+        merged.groupBy("cms_row").agg(F.sum("cms_cnt").alias("n")).collect()
+    )
+    assert all(r["n"] == len(batch1) + len(batch2) for r in per_row)
