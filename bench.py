@@ -114,10 +114,48 @@ def main() -> None:
         # md5 for DuckDB oracle parity; identical pipeline shape)
         return winnow_candidate_pairs(d, "doc_id", "text", min_shared=2, max_df=50)
 
+    def _semantic_fast(spark_, sf_):
+        # Engine-default SemDeDup: Lloyd training via the Arrow
+        # partial-aggregation loop (kmeans_train_fast — the MLlib-shaped
+        # production form; the registry query pins the Catalyst-fold trainer
+        # for DuckDB oracle parity, equivalence pinned in
+        # tests/test_kmeans_fast.py), then full-corpus assignment + in-cell
+        # dedup. Identical pipeline shape and cell structure.
+        from pyspark.sql import functions as SF
+        from quantms_utils_spark.operators.similarity import (
+            assign_to_centroids,
+            kmeans_train_fast,
+            semantic_dedup,
+        )
+        from quantms_utils_spark.queries.similarity import (
+            IVF_ITER,
+            IVF_K,
+            SEMANTIC_DEDUP_THRESHOLD,
+        )
+        from quantms_utils_spark.tables import load
+
+        e = load(spark_, sf_, "embeddings")
+        init_rows = (
+            e.where(SF.col("vec_id") < IVF_K).select("vec_id", "embedding").collect()
+        )
+        init = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in sorted(init_rows, key=lambda r: r["vec_id"])
+        ]
+        centroids = kmeans_train_fast(e, "embedding", init, n_iter=IVF_ITER)
+        cells = e.withColumn(
+            "cid", assign_to_centroids("embedding", centroids)
+        )
+        return semantic_dedup(
+            cells, id_col="vec_id", vec_col="embedding", block_col="cid",
+            threshold=SEMANTIC_DEDUP_THRESHOLD,
+        )
+
     OVERRIDES: dict[str, tuple] = {
         "q_minhash_lsh": (None, minhash_lsh_pairs_fast, True),
         "q_clusters": (_clusters_setup, _clusters_run, False),
         "q_winnow_pairs": (None, _winnow_fast, True),
+        "q_semantic_dedup": (None, _semantic_fast, True),
     }
 
     # Steady-state measurement: one untimed warmup execution per query (JVM

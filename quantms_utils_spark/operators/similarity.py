@@ -677,3 +677,85 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+def kmeans_train_fast(
+    df: DataFrame,
+    vec_col: str,
+    init: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    round_decimals: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means, production shape (the MLlib/treeAggregate form):
+    one Arrow-batched ``mapInPandas`` pass per iteration computes
+    per-partition (cid, count, sum-vector) partials — assignment is a single
+    numpy distance matrix per batch instead of a k×d Catalyst fold whose
+    expression tree grows with k (the :func:`kmeans_train` form is exact and
+    oracle-replayable but its per-row fold is the wrong shape beyond small
+    k). Only ≤ partitions × k partial rows ever reach the driver.
+
+    Same contract as :func:`kmeans_train`: argmin ties break to the lowest
+    cid, per-update rounding to ``round_decimals``, empty clusters dropped.
+    Equivalence is pinned in tests/test_kmeans_fast.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = init
+    for _ in range(n_iter):
+        cids = [c for c, _ in centroids]
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+
+        def partials(batches, C=C, cids=cids):
+            sums: dict[int, np.ndarray] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                # ||v-c||² expanded: the GEMM does the heavy lifting
+                d2 = (
+                    (V * V).sum(1)[:, None]
+                    - 2.0 * (V @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                a = d2.argmin(1)  # ties -> first index = lowest cid
+                for j in range(len(cids)):
+                    m = a == j
+                    if m.any():
+                        sums[j] = sums.get(j, 0) + V[m].sum(0)
+                        counts[j] = counts.get(j, 0) + int(m.sum())
+            rows = [
+                {"cid": cids[j], "cnt": counts[j], "s": sums[j].tolist()}
+                for j in sorted(sums)
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+            else:
+                # explicit object dtype: an empty float64 column won't
+                # convert to arrow list<double>
+                yield pd.DataFrame(
+                    {
+                        "cid": pd.Series([], dtype="int32"),
+                        "cnt": pd.Series([], dtype="int64"),
+                        "s": pd.Series([], dtype="object"),
+                    }
+                )
+
+        part = (
+            df.select(_to_double(F.col(vec_col)).alias("_v"))
+            .mapInPandas(partials, schema="cid int, cnt long, s array<double>")
+            .collect()
+        )
+        agg: dict[int, tuple[int, object]] = {}
+        for r in part:
+            c, n, s = int(r["cid"]), int(r["cnt"]), np.asarray(r["s"])
+            if c in agg:
+                agg[c] = (agg[c][0] + n, agg[c][1] + s)
+            else:
+                agg[c] = (n, s)
+        centroids = [
+            (c, [round(float(x), round_decimals) for x in (s / n)])
+            for c, (n, s) in sorted(agg.items())
+        ]
+    return centroids
