@@ -405,3 +405,30 @@ def test_semantic_dedup_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_queries_prune_document_columns(spark):
+    """The new document scans must prune to the columns they use: the
+    histogram and heavy hitters read ONLY text; the compaction planner only
+    (source, text). A scan hauling all five columns for these is wrong at
+    any scale."""
+    from quantms_utils_spark.queries.sketchops import (
+        compaction_plan,
+        heavy_hitters_cms,
+        length_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def scan_cols(df):
+        return {c for scan in read_schema_columns(df) for c in scan}
+
+    cols_hist = scan_cols(length_histogram(spark, sf))
+    assert "text" in cols_hist and "doc_id" not in cols_hist
+    assert "lang" not in cols_hist and "n_chars" not in cols_hist
+
+    cols_plan = scan_cols(compaction_plan(spark, sf))
+    assert cols_plan == {"source", "text"}
+
+    cols_hh = scan_cols(heavy_hitters_cms(spark, sf))
+    assert "text" in cols_hh and "lang" not in cols_hh
