@@ -1,0 +1,68 @@
+"""Distributed training of small linear models — the quality-classifier
+step of a corpus pipeline (a fastText-style "is this document worth
+training on?" filter), expressed Spark-first.
+
+Full-batch gradient descent with the same driver/executor split as
+:func:`operators.similarity.kmeans_train`: the model (a handful of doubles)
+lives on the driver and is folded into each iteration's gradient expression
+as literals; the distributed work per iteration is ONE map-side-combinable
+aggregate (the per-feature error sums), so an iteration costs one scan
+regardless of corpus size and nothing per-row ever reaches the driver.
+Weights are rounded after each update, which makes the whole training
+trajectory bit-reproducible across engines — an unrolled-SQL oracle replays
+it exactly (`queries/mlops.py`).
+
+At 100 TB this is the textbook shape (MLlib's own linear models are
+treeAggregate gradient sums); for d features the driver holds d doubles and
+each iteration shuffles d partial sums per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def logreg_score(feature_cols: list[str], weights: list[float]) -> Column:
+    """P(label=1 | x) = sigmoid(x · w) as a pure Catalyst expression."""
+    z = None
+    for c, w in zip(feature_cols, weights):
+        term = F.col(c) * F.lit(float(w))
+        z = term if z is None else z + term
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    round_decimals: int = 6,
+) -> list[float]:
+    """Full-batch gradient descent for logistic regression.
+
+    Per iteration: gradient_j = Σ (sigmoid(x·w) − y) · x_j over all rows,
+    computed as one aggregate (partial sums combine map-side); update
+    w_j ← round(w_j − lr · gradient_j / n, round_decimals). Weights start
+    at zero, so the first iteration's sigmoid is exactly 0.5 in any engine;
+    per-update rounding absorbs cross-engine last-ulp drift in exp() for
+    the later iterations.
+    """
+    k = len(feature_cols)
+    w = [0.0] * k
+    for _ in range(n_iter):
+        p = logreg_score(feature_cols, w)
+        err = p - F.col(label_col).cast("double")
+        row = df.agg(
+            *[
+                F.sum(err * F.col(c)).alias(f"g{i}")
+                for i, c in enumerate(feature_cols)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            round(w[i] - lr * float(row[f"g{i}"]) / n, round_decimals)
+            for i in range(k)
+        ]
+    return w

@@ -22,13 +22,14 @@ from quantms_utils_spark.queries import (
     retrieval,
     similarity,
     sketchops,
+    mlops,
     textops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -44,6 +45,7 @@ _FRONT = [
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3
+    "text_quality_logreg_weights", "text_quality_logreg_scores",  # new in round 3
     "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
     "text_duplicate_spans", "text_bigram_logprob",  # new in round 3
     "text_remove_duplicate_spans", "ann_knn_graph",  # new in round 3

@@ -1,0 +1,154 @@
+"""Distributed model-training queries: a logistic-regression quality
+classifier trained on the `documents` table, with the full training
+trajectory replayed by an unrolled-SQL oracle (the same technique as the
+k-means Lloyd twin in `queries/similarity.py` — per-update rounding makes
+every weight bit-reproducible across engines).
+
+Features are deliberately boring-but-real corpus statistics (bias, scaled
+char count, scaled whitespace-token count) and the label is the language-id
+column — the point is the TRAINING LOOP's correctness and shape (one
+map-side-combinable gradient aggregate per iteration), not the model's
+sophistication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from quantms_utils_spark.tables import load
+
+LOGREG_ITER = 3
+LOGREG_LR = 0.5
+LOGREG_ROUND = 6
+_FEATURES = ["x0", "x1", "x2"]
+
+# ws-token count twin of operators.text.ws_token_count (same as
+# TOKEN_COUNTS_SQL in queries/textops.py)
+_WS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+_D_SQL = f"""d AS (
+  SELECT doc_id, 1.0 AS x0, n_chars / 1000.0 AS x1,
+         ({_WS_SQL}) / 100.0 AS x2,
+         (lang = 'en')::INT AS y
+  FROM documents
+)"""
+
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quantms_utils_spark.operators.text import ws_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (ws_token_count(F.col("text")).cast("double") / F.lit(100.0)).alias(
+            "x2"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+def _train(spark: SparkSession, sf_dir: str) -> list[float]:
+    from quantms_utils_spark.operators.ml import logreg_train
+
+    return logreg_train(
+        _feature_frame(spark, sf_dir),
+        _FEATURES,
+        "y",
+        n_iter=LOGREG_ITER,
+        lr=LOGREG_LR,
+        round_decimals=LOGREG_ROUND,
+    )
+
+
+def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier weights as (dim, weight) rows — value-checks
+    the distributed gradient-descent loop itself (operators.ml.logreg_train:
+    one map-side-combinable aggregate per iteration, d doubles on the
+    driver) against the oracle's unrolled replay."""
+    w = _train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(w)], "dim int, weight double"
+    )
+
+
+def _iter_sql(n_iter: int) -> str:
+    """Unrolled gradient-descent CTE chain: w1..wN, each a 1-row table of
+    (w0, w1, w2) referencing the previous iteration's scalars."""
+    ctes = []
+    for it in range(1, n_iter + 1):
+        prev = (
+            ["0.0", "0.0", "0.0"]
+            if it == 1
+            else [f"w{it - 1}.w{j}" for j in range(3)]
+        )
+        z = " + ".join(f"{prev[j]} * x{j}" for j in range(3))
+        # the leading weight reference sits outside the aggregates -> it
+        # must be wrapped (1-row CTE, so any_value is exact)
+        lead = (
+            ["0.0"] * 3
+            if it == 1
+            else [f"any_value({prev[j]})" for j in range(3)]
+        )
+        cols = ", ".join(
+            f"round({lead[j]} - {LOGREG_LR} * sum((1.0 / (1.0 + exp(-({z}))) - y) * x{j})"
+            f" / count(*), {LOGREG_ROUND}) AS w{j}"
+            for j in range(3)
+        )
+        src = "d" if it == 1 else f"d, w{it - 1}"
+        ctes.append(f"w{it} AS (SELECT {cols} FROM {src})")
+    return ",\n".join(ctes)
+
+
+QUALITY_LOGREG_WEIGHTS_SQL = f"""
+WITH {_D_SQL},
+{_iter_sql(LOGREG_ITER)}
+SELECT 0 AS dim, w0 AS weight FROM w{LOGREG_ITER}
+UNION ALL SELECT 1 AS dim, w1 AS weight FROM w{LOGREG_ITER}
+UNION ALL SELECT 2 AS dim, w2 AS weight FROM w{LOGREG_ITER}
+"""
+
+
+def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier (probability rounded
+    to 4 decimals; the keep decision compares the ROUNDED score in both
+    engines so a last-ulp sigmoid difference can never flip it). The scoring
+    pass is map-only — at 100 TB this is the quality-filter scan."""
+    w = _train(spark, sf_dir)
+    from quantms_utils_spark.operators.ml import logreg_score
+
+    p = F.round(logreg_score(_FEATURES, w), 4)
+    return _feature_frame(spark, sf_dir).select(
+        "doc_id",
+        p.alias("p_en"),
+        (p > F.lit(0.5)).alias("pred_en"),
+        F.col("y").cast("boolean").alias("is_en"),
+    )
+
+
+QUALITY_LOGREG_SCORES_SQL = f"""
+WITH {_D_SQL},
+{_iter_sql(LOGREG_ITER)}
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))), 4) AS p_en,
+       round(1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))), 4) > 0.5
+         AS pred_en,
+       y = 1 AS is_en
+FROM d, w{LOGREG_ITER}
+"""
+
+
+QUERIES = {
+    "text_quality_logreg_weights": (
+        quality_logreg_weights,
+        QUALITY_LOGREG_WEIGHTS_SQL,
+    ),
+    "text_quality_logreg_scores": (
+        quality_logreg_scores,
+        QUALITY_LOGREG_SCORES_SQL,
+    ),
+}

@@ -1,0 +1,41 @@
+"""Unit tests for the distributed logistic-regression trainer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.operators.ml import logreg_score, logreg_train
+
+
+def _toy(spark):
+    # y = 1 iff x1 > 0 — linearly separable on one feature
+    rows = [(1.0, float(v), 1 if v > 0 else 0) for v in range(-20, 21) if v != 0]
+    return spark.createDataFrame(rows, "x0 double, x1 double, y int")
+
+
+def test_logreg_learns_separable_direction(spark):
+    df = _toy(spark)
+    w = logreg_train(df, ["x0", "x1"], "y", n_iter=10, lr=0.5)
+    assert w[1] > 0.5  # the separating feature gets a clear positive weight
+    preds = df.select(
+        "y", (logreg_score(["x0", "x1"], w) > 0.5).cast("int").alias("p")
+    )
+    acc = preds.where(F.col("y") == F.col("p")).count() / preds.count()
+    assert acc == 1.0
+
+
+def test_logreg_training_is_deterministic(spark):
+    df = _toy(spark).repartition(7)  # partitioning must not change weights
+    w1 = logreg_train(df, ["x0", "x1"], "y", n_iter=3, lr=0.5)
+    w2 = logreg_train(df.repartition(3), ["x0", "x1"], "y", n_iter=3, lr=0.5)
+    assert w1 == w2  # per-update rounding absorbs float re-association
+
+
+def test_logreg_zero_init_first_step(spark):
+    # with w=0 the first sigmoid is exactly 0.5, so the first update is
+    # analytic: w_j = -lr * sum((0.5 - y) * x_j) / n  (rounded)
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 1), (1.0, -2.0, 0)], "x0 double, x1 double, y int"
+    )
+    w = logreg_train(df, ["x0", "x1"], "y", n_iter=1, lr=0.5)
+    assert w == [0.0, round(0.5 * 2.0 / 2, 6)]
