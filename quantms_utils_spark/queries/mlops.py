@@ -152,3 +152,102 @@ QUERIES = {
         QUALITY_LOGREG_SCORES_SQL,
     ),
 }
+
+
+def quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in the 100 TB shape: AUC computed EXACTLY from
+    the (rounded-score, label) histogram — one aggregate collapses the corpus
+    to ≤10^4 score buckets, then a window over the bucket table (bounded by
+    bucket count, not rows) accumulates the Mann-Whitney pair count with the
+    standard tie correction (ties contribute half). Threshold metrics at 0.5
+    ride in the same pass; guarded divisions so a degenerate classifier
+    yields NULL precision, not Infinity."""
+    from pyspark.sql import Window
+
+    w = _train(spark, sf_dir)
+    from quantms_utils_spark.operators.ml import logreg_score
+
+    p = F.round(logreg_score(_FEATURES, w), 4)
+    scored = _feature_frame(spark, sf_dir).select(
+        p.alias("p"), F.col("y").cast("long").alias("y")
+    )
+    buckets = scored.groupBy("p").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+    w_prev = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = buckets.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (
+                F.coalesce(F.sum("n_neg").over(w_prev), F.lit(0))
+                + F.col("n_neg") / F.lit(2.0)
+            )
+        ).alias("pairs"),
+        (F.col("p") > 0.5).alias("pred"),
+    )
+    agg = contrib.agg(
+        F.sum("n_pos").alias("P"),
+        F.sum("n_neg").alias("N"),
+        F.sum("pairs").alias("pairs"),
+        F.sum(F.when(F.col("pred"), F.col("n_pos")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred"), F.col("n_neg")).otherwise(0)).alias("fp"),
+    )
+    P, N = F.col("P"), F.col("N")
+    tp, fp = F.col("tp"), F.col("fp")
+    return agg.select(
+        P.alias("n_pos"),
+        N.alias("n_neg"),
+        F.round(F.col("pairs") / (P * N), 6).alias("auc"),
+        F.round((tp + (N - fp)) / (P + N).cast("double"), 6).alias(
+            "accuracy"
+        ),
+        F.when(tp + fp > 0, F.round(tp / (tp + fp).cast("double"), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("precision"),
+        F.round(tp / P.cast("double"), 6).alias("recall"),
+    )
+
+
+QUALITY_LOGREG_EVAL_SQL = f"""
+WITH {_D_SQL},
+{_iter_sql(LOGREG_ITER)},
+s AS (
+  SELECT round(1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))), 4) AS p, y
+  FROM d, w{LOGREG_ITER}
+), b AS (
+  SELECT p, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM s GROUP BY p
+), c AS (
+  SELECT n_pos, n_neg,
+         n_pos * (coalesce(sum(n_neg) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n_neg / 2.0) AS pairs,
+         p > 0.5 AS pred
+  FROM b
+), a AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS P, CAST(sum(n_neg) AS BIGINT) AS N,
+         sum(pairs) AS pairs,
+         CAST(sum(CASE WHEN pred THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred THEN n_neg ELSE 0 END) AS BIGINT) AS fp
+  FROM c
+)
+SELECT P AS n_pos, N AS n_neg,
+       round(pairs / (P * N), 6) AS auc,
+       round((tp + (N - fp)) / (P + N)::DOUBLE, 6) AS accuracy,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp)::DOUBLE, 6)
+            ELSE NULL END AS precision,
+       round(tp / P::DOUBLE, 6) AS recall
+FROM a
+"""
+
+
+QUERIES["text_quality_logreg_eval"] = (
+    quality_logreg_eval,
+    QUALITY_LOGREG_EVAL_SQL,
+)
