@@ -421,13 +421,50 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
 """
 
 
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA: the near-dup CLUSTER SIZE DISTRIBUTION — the first
+    diagnostic run after any dedup campaign (a fat tail means boilerplate /
+    template explosions; dup_excess totals the removable documents). Two
+    bounded aggregates on top of the component labels: components → sizes →
+    histogram; output is at most max-cluster-size rows."""
+    cc = minhash_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "dup_excess"
+            ),
+        )
+    )
+
+
+CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+WITH cc AS ({MINHASH_CLUSTERS_SQL}),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY cluster
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_excess
+FROM sizes GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (incremental, INCREMENTAL_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_signatures": (minhash_sigs, MINHASH_SIGS_SQL),
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+
     "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
+    "dedup_cluster_sizes": (cluster_size_histogram, CLUSTER_SIZE_HISTOGRAM_SQL),
     "dedup_lsh_verified": (lsh_verified, LSH_VERIFIED_SQL),
     "dedup_simhash": (simhash_fingerprints, SIMHASH_SQL),
     "dedup_prefix_pairs": (prefix_pairs, PREFIX_PAIRS_SQL),
