@@ -886,6 +886,46 @@ SELECT o_orderkey, status FROM joined WHERE status <> 'unchanged'
 """
 
 
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity week,
+    counted as retained in each later week they act again — the canonical
+    product-analytics rollup. Two shuffles total at any scale: one groupBy
+    user for the cohort assignment (re-joined on the SAME user key, so AQE
+    plans a co-partitioned join), then one distinct-count per (cohort_week,
+    week_offset) — the output is weeks x weeks, independent of event
+    volume."""
+    e = load(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENT_RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT weekly.user_id) AS BIGINT) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -899,6 +939,7 @@ QUERIES = {
     "repeat_buyers": (repeat_buyers, REPEAT_BUYERS_SQL),
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
+    "event_retention_cohorts": (event_retention_cohorts, EVENT_RETENTION_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
