@@ -926,6 +926,63 @@ GROUP BY 1, 2
 """
 
 
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping to the exact p05/p95) — the
+    standard numeric-cleaning pass before a value column feeds a model. Two
+    bounded stages: one percentile aggregate per event_type (a handful of
+    rows, BROADCAST back to the events), then one map-only clip feeding a
+    second aggregate. The fact table shuffles once; the percentile table
+    never does."""
+    from pyspark.sql.functions import broadcast
+
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = e.join(broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        ).alias("was_clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("was_clipped").cast("long")).alias("n_clipped"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("clipped"), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, b.lo), b.hi) AS clipped,
+         (e.value < b.lo OR e.value > b.hi) AS was_clipped
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN was_clipped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       round(avg(value), 4) AS mean_raw,
+       round(avg(clipped), 4) AS mean_winsorized
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -940,6 +997,7 @@ QUERIES = {
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "event_retention_cohorts": (event_retention_cohorts, EVENT_RETENTION_SQL),
+    "event_value_winsorized": (event_value_winsorized, EVENT_WINSORIZE_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
