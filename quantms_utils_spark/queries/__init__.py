@@ -23,13 +23,14 @@ from quantms_utils_spark.queries import (
     similarity,
     sketchops,
     mlops,
+    webops,
     textops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -48,6 +49,7 @@ _FRONT = [
     "text_quality_logreg_weights", "text_quality_logreg_scores",  # new in round 3
     "text_quality_logreg_eval", "dedup_cluster_sizes",  # new in round 3
     "event_retention_cohorts", "event_value_winsorized",  # new in round 3
+    "warc_roundtrip_stats",  # new in round 3
     "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
     "text_duplicate_spans", "text_bigram_logprob",  # new in round 3
     "text_remove_duplicate_spans", "ann_knn_graph",  # new in round 3

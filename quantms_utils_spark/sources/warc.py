@@ -1,0 +1,171 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the Common Crawl container
+format, i.e. THE at-scale source of web training text.
+
+Pure-stdlib parser (no warcio dependency): WARC/1.0-1.1 framing is
+``WARC/<ver>\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n``.
+Crawl archives are usually *member-per-record gzip* — each record its own
+gzip member, so a byte range of the file decompresses independently; the
+decoder walks members with zlib at gzip wbits.
+
+Execution shape: one WARC file (typically ~1 GB in Common Crawl) is one
+input partition — ``read_warc`` goes through Spark's ``binaryFile`` source
+and explodes records with an Arrow-batched ``mapInPandas``, so a 100 TB
+crawl parallelizes by file exactly like the mzML ingest
+(`sources/mzml.py`); nothing is ever concatenated driver-side. HTTP
+response records split header block from body; text extraction from HTML
+lives in :mod:`quantms_utils_spark.operators.web`.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+__all__ = [
+    "parse_warc_bytes",
+    "split_http_payload",
+    "read_warc",
+    "WARC_SCHEMA",
+]
+
+WARC_SCHEMA = (
+    "warc_type string, record_id string, target_uri string, warc_date string,"
+    " content_type string, content_length long, http_status int,"
+    " http_content_type string, body binary, source_file string"
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the member-per-record layout
+    crawl archives use). Plain (non-gzip) input passes through."""
+    if len(data) < 2 or data[:2] != b"\x1f\x8b":
+        return data
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data[pos:]))
+        out.append(d.flush())
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:  # trailing garbage — stop rather than spin
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record: the WARC header fields (lower-cased
+    keys) plus ``body`` (the raw record block of Content-Length bytes).
+
+    Tolerant of the two line-ending styles in the wild (\\r\\n per spec,
+    bare \\n from naive writers) and of arbitrary inter-record padding.
+    """
+    data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0 or start >= n:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        sep_len = 4
+        alt = data.find(b"\n\n", start)
+        if hdr_end < 0 or (0 <= alt < hdr_end):
+            hdr_end, sep_len = alt, 2
+        if hdr_end < 0:
+            return
+        header_block = data[start:hdr_end].decode("utf-8", "replace")
+        lines = header_block.splitlines()
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = hdr_end + sep_len
+        body = data[body_start : body_start + length]
+        yield {
+            "warc_type": fields.get("warc-type"),
+            "record_id": fields.get("warc-record-id"),
+            "target_uri": fields.get("warc-target-uri"),
+            "warc_date": fields.get("warc-date"),
+            "content_type": fields.get("content-type"),
+            "content_length": length,
+            "body": body,
+        }
+        pos = body_start + length
+
+
+def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an ``application/http`` record body into (status, content-type,
+    entity body). Non-HTTP payloads come back as (None, None, body)."""
+    if not body.startswith(b"HTTP/"):
+        return None, None, body
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = body.find(sep)
+        if idx >= 0:
+            head = body[:idx].decode("utf-8", "replace")
+            rest = body[idx + len(sep) :]
+            break
+    else:
+        return None, None, body
+    lines = head.splitlines()
+    status = None
+    ctype = None
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            if k.strip().lower() == "content-type":
+                ctype = v.strip()
+    return status, ctype, rest
+
+
+def read_warc(spark, path_glob: str):
+    """Read .warc / .warc.gz files into one DataFrame row per record
+    (schema ``WARC_SCHEMA``). One file = one ``binaryFile`` row = one
+    parse task; HTTP response records get status/content-type/body split
+    out. Filters on warc_type/target_uri prune AFTER the parse — at crawl
+    scale, pre-filter by file path (Common Crawl segments sort by date)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def explode_records(batches):
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(blob)):
+                    status, ctype, entity = split_http_payload(rec["body"])
+                    rows.append(
+                        {
+                            "warc_type": rec["warc_type"],
+                            "record_id": rec["record_id"],
+                            "target_uri": rec["target_uri"],
+                            "warc_date": rec["warc_date"],
+                            "content_type": rec["content_type"],
+                            "content_length": rec["content_length"],
+                            "http_status": status,
+                            "http_content_type": ctype,
+                            "body": entity,
+                            "source_file": path,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+            else:
+                yield pd.DataFrame(
+                    {
+                        c.split()[0]: pd.Series([], dtype="object")
+                        for c in WARC_SCHEMA.split(",")
+                    }
+                )
+
+    return files.mapInPandas(explode_records, schema=WARC_SCHEMA)

@@ -1,0 +1,110 @@
+"""WARC source + web text-extraction tests (pure-stdlib parser)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from quantms_utils_spark.operators.web import html_strip_fast, html_text
+from quantms_utils_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    split_http_payload,
+)
+
+
+def _record(
+    rtype: str, uri: str | None, body: bytes, crlf: str = "\r\n"
+) -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {rtype}",
+            f"WARC-Record-ID: <urn:uuid:{rtype}-1>",
+            f"WARC-Date: 2024-01-01T00:00:00Z",
+            f"Content-Length: {len(body)}"]
+    if uri:
+        head.insert(2, f"WARC-Target-URI: {uri}")
+    return (crlf.join(head) + crlf + crlf).encode() + body + crlf.encode() * 2
+
+
+HTTP_BODY = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    b"<html><body><p>hello crawl</p></body></html>"
+)
+
+
+def _archive(crlf: str = "\r\n") -> bytes:
+    return (
+        _record("warcinfo", None, b"software: test\r\n", crlf)
+        + _record("request", "https://x.org/a", b"GET /a HTTP/1.1\r\n", crlf)
+        + _record("response", "https://x.org/a", HTTP_BODY, crlf)
+    )
+
+
+def test_parse_multi_record_archive():
+    recs = list(parse_warc_bytes(_archive()))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2]["target_uri"] == "https://x.org/a"
+    assert recs[2]["content_length"] == len(HTTP_BODY)
+    assert recs[2]["body"] == HTTP_BODY
+
+
+def test_parse_tolerates_bare_newlines():
+    recs = list(parse_warc_bytes(_archive(crlf="\n")))
+    assert len(recs) == 3
+    assert recs[2]["body"] == HTTP_BODY
+
+
+def test_parse_gzip_member_per_record():
+    gz = b"".join(
+        gzip.compress(_record(t, u, b))
+        for t, u, b in [
+            ("warcinfo", None, b"software: test\r\n"),
+            ("response", "https://x.org/a", HTTP_BODY),
+        ]
+    )
+    recs = list(parse_warc_bytes(gz))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["body"] == HTTP_BODY
+
+
+def test_split_http_payload():
+    status, ctype, entity = split_http_payload(HTTP_BODY)
+    assert status == 200 and ctype == "text/html"
+    assert entity == b"<html><body><p>hello crawl</p></body></html>"
+    # non-HTTP passes through untouched
+    assert split_http_payload(b"raw") == (None, None, b"raw")
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_archive())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_archive()))
+    df = read_warc(spark, str(tmp_path) + "/*")
+    rows = df.collect()
+    assert len(rows) == 6  # 3 records x 2 files
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert len(resp) == 2
+    for r in resp:
+        assert r["http_status"] == 200
+        assert r["http_content_type"] == "text/html"
+        assert bytes(r["body"]) == b"<html><body><p>hello crawl</p></body></html>"
+        assert r["source_file"].endswith((".warc", ".warc.gz"))
+
+
+HTML_CASE = (
+    "<html><head><title>T</title><style>p{color:red}</style>"
+    "<script>var x = '<p>no</p>';</script></head>"
+    "<body><h1>Head</h1><p>A &amp; B</p><p>two</p></body></html>"
+)
+
+
+def test_html_text_exact_extraction(spark):
+    df = spark.createDataFrame([(HTML_CASE,), (None,)], "h string")
+    got = df.select(html_text(F.col("h")).alias("t")).collect()
+    assert got[0]["t"] == "T Head A & B two"
+    assert got[1]["t"] is None
+
+
+def test_html_strip_fast_approximation(spark):
+    df = spark.createDataFrame([(HTML_CASE,)], "h string")
+    [r] = df.select(html_strip_fast(F.col("h")).alias("t")).collect()
+    assert r["t"] == "T Head A & B two"
