@@ -101,3 +101,27 @@ def html_strip_fast(col: Column) -> Column:
         "&",
     )
     return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for crawl-level dedup: lower-cased scheme and host,
+    default-port and fragment dropped (parse_url never returns them), query
+    parameters SORTED so parameter order cannot split a page into two crawl
+    identities. Pure Catalyst (parse_url + array_sort) — a 100 TB URL
+    canonicalization is one map-only scan, and the normalized string is the
+    groupBy key for crawl dedup."""
+    proto = F.lower(F.call_function("parse_url", col, F.lit("PROTOCOL")))
+    host = F.lower(F.call_function("parse_url", col, F.lit("HOST")))
+    path = F.coalesce(F.call_function("parse_url", col, F.lit("PATH")), F.lit(""))
+    query = F.call_function("parse_url", col, F.lit("QUERY"))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            query.isNotNull() & (F.length(query) > 0),
+            F.concat(F.lit("?"), sorted_q),
+        ).otherwise(F.lit("")),
+    )

@@ -122,3 +122,39 @@ FROM documents
 QUERIES = {
     "warc_roundtrip_stats": (warc_roundtrip_stats, WARC_ROUNDTRIP_SQL),
 }
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as the crawl-dedup key: every document gets a
+    deliberately messy URL variant (upper-cased scheme/host, explicit
+    default port, shuffled query order, fragment) and a clean one; both
+    must normalize to the same canonical string (the oracle recomputes it
+    from doc_id directly, so any canonicalization drift hash-mismatches)."""
+    from quantms_utils_spark.operators.web import normalize_url
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://Corpus.Example:443/doc/"), did, F.lit("?b=2&a=1#sect")
+    )
+    clean = F.concat(
+        F.lit("https://corpus.example/doc/"), did, F.lit("?a=1&b=2")
+    )
+    return d.select(
+        "doc_id",
+        normalize_url(messy).alias("url_norm"),
+        (normalize_url(messy) == normalize_url(clean)).alias(
+            "variants_collapse"
+        ),
+    )
+
+
+URL_CANONICAL_SQL = """
+SELECT doc_id,
+       'https://corpus.example/doc/' || doc_id || '?a=1&b=2' AS url_norm,
+       TRUE AS variants_collapse
+FROM documents
+"""
+
+
+QUERIES["web_url_canonical"] = (url_canonical_dedup, URL_CANONICAL_SQL)

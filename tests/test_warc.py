@@ -108,3 +108,18 @@ def test_html_strip_fast_approximation(spark):
     df = spark.createDataFrame([(HTML_CASE,)], "h string")
     [r] = df.select(html_strip_fast(F.col("h")).alias("t")).collect()
     assert r["t"] == "T Head A & B two"
+
+
+def test_normalize_url(spark):
+    from quantms_utils_spark.operators.web import normalize_url
+
+    cases = [
+        ("HTTPS://Corpus.Example:443/doc/7?b=2&a=1#frag",
+         "https://corpus.example/doc/7?a=1&b=2"),
+        ("http://x.org/path", "http://x.org/path"),
+        ("http://x.org", "http://x.org"),
+        ("https://X.org/p?single=1", "https://x.org/p?single=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
