@@ -432,3 +432,24 @@ def test_sketch_queries_prune_document_columns(spark):
 
     cols_hh = scan_cols(heavy_hitters_cms(spark, sf))
     assert "text" in cols_hh and "lang" not in cols_hh
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """The per-group percentile bounds join back as the BROADCAST side —
+    the fact table must not shuffle against a 5-row bounds table."""
+    from quantms_utils_spark.queries.relational import event_value_winsorized
+
+    plan = explain_str(event_value_winsorized(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_cohort_join_no_nested_loop(spark):
+    """The cohort join is an equi-join on the user key (broadcast at small
+    scale, co-partitioned SMJ at large) — never a nested-loop plan."""
+    from quantms_utils_spark.queries.relational import event_retention_cohorts
+
+    plan = explain_str(event_retention_cohorts(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
