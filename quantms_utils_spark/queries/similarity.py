@@ -565,8 +565,86 @@ FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_id
 """
 
 
+NEG_SAMPLE_PER_LABEL = 8
+NEG_SAMPLE_K = 3
+
+
+def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling — the data-prep step for
+    embedding training: each anchor gets k=3 negatives drawn from OTHER
+    coarse labels, reproducibly (md5 pseudo-order, no RNG state, stable
+    under repartitioning). Scale shape: the candidate pool is a per-label
+    md5-ranked sample (labels × 8 rows) that BROADCASTS; the anchor side
+    meets it in a BroadcastNestedLoopJoin over that tiny pool (the batched-
+    ANN precedent — never a corpus×corpus product), then one per-anchor
+    rank window picks the k negatives."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    w_pool = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    pool = (
+        e.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(w_pool))
+        .where(F.col("rn") <= NEG_SAMPLE_PER_LABEL)
+        .select(
+            F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+        )
+    )
+    anchors = e.select("vec_id", "label")
+    cand = anchors.join(
+        F.broadcast(pool), F.col("label") != F.col("neg_label")
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit("-"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        F.col("neg_id"),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= NEG_SAMPLE_K)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+EMBEDDING_NEG_SAMPLES_SQL = f"""
+WITH pool AS (
+  SELECT vec_id AS neg_id, label AS neg_label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (
+             PARTITION BY label
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) AS rn
+    FROM embeddings
+  ) WHERE rn <= {NEG_SAMPLE_PER_LABEL}
+), cand AS (
+  SELECT e.vec_id, p.neg_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY md5(CAST(e.vec_id AS VARCHAR) || '-'
+                        || CAST(p.neg_id AS VARCHAR)), p.neg_id
+         ) AS rank
+  FROM embeddings e JOIN pool p ON e.label <> p.neg_label
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neg_id AS BIGINT) AS neg_id,
+       CAST(rank AS INT) AS rank
+FROM cand WHERE rank <= {NEG_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "embedding_negative_samples": (embedding_negative_samples, EMBEDDING_NEG_SAMPLES_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_knn_graph": (ann_knn_graph, ANN_KNN_GRAPH_SQL),
     "ann_batch_queries_topk": (ann_batch_queries_topk, ANN_BATCH_SQL),
