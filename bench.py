@@ -70,6 +70,9 @@ HEADLINE = [
     ("q_semantic_dedup", "dedup_semantic"),
     ("q_bloom_decon", "text_bloom_decontaminate"),
     ("q_heavy_hitters", "text_heavy_hitters_cms"),
+    ("q_logreg", "text_quality_logreg_eval"),
+    ("q_warc", "warc_roundtrip_stats"),
+    ("q_retention", "event_retention_cohorts"),
 ]
 
 
