@@ -29,7 +29,7 @@ from quantms_utils_spark.operators.text import (
 from quantms_utils_spark.operators.web import html_text, normalize_url
 from quantms_utils_spark.sources.warc import read_warc
 
-__all__ = ["web_corpus"]
+__all__ = ["web_corpus", "start_continuous_crawl"]
 
 
 def web_corpus(
@@ -42,19 +42,7 @@ def web_corpus(
     URL- and content-deduplicated (min record keeper, deterministic).
     """
     recs = read_warc(spark, path_glob)
-    pages = (
-        recs.where(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.col("http_content_type").startswith("text/html")
-        )
-        .select(
-            F.col("record_id").alias("doc_id"),
-            normalize_url(F.col("target_uri")).alias("url"),
-            html_text(F.col("body").cast("string")).alias("text"),
-        )
-        .where(F.length(F.trim(F.col("text"))) >= min_chars)
-    )
+    pages = _page_transform(recs, min_chars)
     # URL-level dedup: the same canonical page crawled twice keeps one copy
     w_url = Window.partitionBy("url")
     by_url = (
@@ -82,4 +70,60 @@ def web_corpus(
         F.length("text").alias("n_chars"),
         "fp",
         qm["keep"].alias("quality_keep"),
+    )
+
+
+def _page_transform(recs: DataFrame, min_chars: int) -> DataFrame:
+    """200-OK HTML responses → (doc_id, url, text) page rows (map-only)."""
+    return (
+        recs.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("record_id").alias("doc_id"),
+            normalize_url(F.col("target_uri")).alias("url"),
+            html_text(F.col("body").cast("string")).alias("text"),
+        )
+        .where(F.length(F.trim(F.col("text"))) >= min_chars)
+    )
+
+
+def start_continuous_crawl(
+    spark: SparkSession,
+    landing_dir: str,
+    *,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_chars: int = 1,
+):
+    """Continuous crawl ingestion: WARC files landing in ``landing_dir``
+    stream through the parse + extraction transform and into the standing
+    fingerprint corpus (streaming.curation.classify_and_grow) — every
+    landed dump's pages are classified new / exact_dup / batch_dup against
+    EVERYTHING ingested before it, and the corpus grows per epoch with the
+    replay-idempotent contract. availableNow drain; returns the
+    StreamingQuery."""
+    from quantms_utils_spark.sources.warc import read_warc_stream
+    from quantms_utils_spark.streaming.curation import classify_and_grow
+
+    recs = read_warc_stream(spark, landing_dir)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        classify_and_grow(
+            _page_transform(batch_df, min_chars),
+            epoch_id,
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            id_col="doc_id",
+            text_col="text",
+        )
+
+    return (
+        recs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -25,6 +25,7 @@ __all__ = [
     "parse_warc_bytes",
     "split_http_payload",
     "read_warc",
+    "read_warc_stream",
     "WARC_SCHEMA",
 ]
 
@@ -126,46 +127,67 @@ def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, rest
 
 
+def _explode_records(batches):
+    """mapInPandas transform: (path, content) file rows → WARC_SCHEMA record
+    rows (shared by the batch and streaming readers)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            for rec in parse_warc_bytes(bytes(blob)):
+                status, ctype, entity = split_http_payload(rec["body"])
+                rows.append(
+                    {
+                        "warc_type": rec["warc_type"],
+                        "record_id": rec["record_id"],
+                        "target_uri": rec["target_uri"],
+                        "warc_date": rec["warc_date"],
+                        "content_type": rec["content_type"],
+                        "content_length": rec["content_length"],
+                        "http_status": status,
+                        "http_content_type": ctype,
+                        "body": entity,
+                        "source_file": path,
+                    }
+                )
+        if rows:
+            yield pd.DataFrame(rows)
+        else:
+            yield pd.DataFrame(
+                {
+                    c.split()[0]: pd.Series([], dtype="object")
+                    for c in WARC_SCHEMA.split(",")
+                }
+            )
+
+
 def read_warc(spark, path_glob: str):
     """Read .warc / .warc.gz files into one DataFrame row per record
     (schema ``WARC_SCHEMA``). One file = one ``binaryFile`` row = one
     parse task; HTTP response records get status/content-type/body split
     out. Filters on warc_type/target_uri prune AFTER the parse — at crawl
     scale, pre-filter by file path (Common Crawl segments sort by date)."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )
+    return files.mapInPandas(_explode_records, schema=WARC_SCHEMA)
 
-    def explode_records(batches):
-        for pdf in batches:
-            rows = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(bytes(blob)):
-                    status, ctype, entity = split_http_payload(rec["body"])
-                    rows.append(
-                        {
-                            "warc_type": rec["warc_type"],
-                            "record_id": rec["record_id"],
-                            "target_uri": rec["target_uri"],
-                            "warc_date": rec["warc_date"],
-                            "content_type": rec["content_type"],
-                            "content_length": rec["content_length"],
-                            "http_status": status,
-                            "http_content_type": ctype,
-                            "body": entity,
-                            "source_file": path,
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
-            else:
-                yield pd.DataFrame(
-                    {
-                        c.split()[0]: pd.Series([], dtype="object")
-                        for c in WARC_SCHEMA.split(",")
-                    }
-                )
 
-    return files.mapInPandas(explode_records, schema=WARC_SCHEMA)
+def read_warc_stream(spark, landing_dir: str):
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file-stream
+    source over a landing directory — each newly landed crawl file becomes
+    one micro-batch input (exactly-once via the stream's checkpointed file
+    log), exploded through the same parse transform."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # file-stream sources require an explicit schema; binaryFile's is
+        # fixed
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(landing_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_explode_records, schema=WARC_SCHEMA)

@@ -85,3 +85,47 @@ def test_web_corpus_feeds_curation(spark, tmp_path):
     # the chain runs end-to-end on crawl output and keeps the survivors
     assert curated.count() >= 1
     assert {"doc_id", "source"}.issubset(set(curated.columns))
+
+
+def test_continuous_crawl_classifies_across_dumps(spark, tmp_path):
+    """Two crawl dumps landed in sequence: pages already in the standing
+    corpus classify exact_dup on the second drain; new pages stay new."""
+    from quantms_utils_spark.pipelines.web_ingest import start_continuous_crawl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_continuous_crawl(
+            spark, str(landing), corpus_dir=corpus, out_dir=out,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    (landing / "dump1.warc").write_bytes(
+        _record("c1", "https://site.one/p1", _http(PAGE))
+        + _record("c2", "https://site.one/p2", _http(OTHER))
+    )
+    drain()
+    first = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out + "/epoch=*").collect()
+    }
+    assert set(first.values()) == {"new"}
+
+    (landing / "dump2.warc").write_bytes(
+        # same PAGE content at a new URL -> exact_dup of the standing corpus
+        _record("c3", "https://site.two/copy", _http(PAGE))
+        + _record("c4", "https://site.two/fresh",
+                  _http("<html><body><p>never seen before text</p></body></html>"))
+    )
+    drain()
+    statuses = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out + "/epoch=*").collect()
+    }
+    assert statuses["<urn:uuid:c3>"] == "exact_dup"
+    assert statuses["<urn:uuid:c4>"] == "new"
