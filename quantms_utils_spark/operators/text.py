@@ -863,3 +863,34 @@ def remove_duplicate_spans(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def unicode_nfc(col: Column) -> Column:
+    """Unicode NFC normalization + control-character strip — the first text
+    pass over any multilingual corpus (combining sequences compose to
+    canonical codepoints, so dedup fingerprints and tokenizers see one form
+    per grapheme). The JVM has no normalization builtin, so this is an
+    Arrow-batched pandas UDF around ``unicodedata`` (DuckDB's
+    ``nfc_normalize`` reproduces it exactly — oracle-checked)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: operators.text uses `from __future__ import
+    # annotations`, which would leave pandas_udf a string signature it
+    # cannot resolve against the local pd import
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda v: None
+            if v is None
+            else "".join(
+                ch
+                for ch in unicodedata.normalize("NFC", v)
+                if unicodedata.category(ch) != "Cc"
+                or ch in ("\n", "\t")
+            )
+        )
+
+    return _nfc(col)

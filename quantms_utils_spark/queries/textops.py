@@ -1019,6 +1019,38 @@ FROM dtoks CROSS JOIN rules
 """
 
 
+def unicode_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization proof: every document gets a deterministic
+    decomposed suffix (combining acute on 'cafe'), the normalizer composes
+    it, and the digest/length columns pin the exact normalized form against
+    DuckDB's nfc_normalize. Map-only — a 100 TB normalization is one scan."""
+    from quantms_utils_spark.operators.text import unicode_nfc
+
+    d = load(spark, sf_dir, "documents")
+    decomposed = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    norm = unicode_nfc(decomposed)
+    return d.select(
+        "doc_id",
+        F.length(decomposed).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_nfc"),
+        (F.length(norm) < F.length(decomposed)).alias("composed"),
+        F.md5(norm).alias("nfc_md5"),
+    )
+
+
+UNICODE_NORMALIZE_SQL = """
+WITH d AS (
+  SELECT doc_id, text || ' cafe' || chr(769) AS raw FROM documents
+)
+SELECT doc_id,
+       CAST(length(raw) AS INT) AS n_chars_raw,
+       CAST(length(nfc_normalize(raw)) AS INT) AS n_chars_nfc,
+       length(nfc_normalize(raw)) < length(raw) AS composed,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM d
+"""
+
+
 QUERIES = {
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
@@ -1028,6 +1060,7 @@ QUERIES = {
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_mixture_sample": (mixture, MIXTURE_SQL),
     "text_lang_id": (lang_id_predict, LANG_ID_SQL),
+    "text_unicode_normalize": (unicode_normalize_docs, UNICODE_NORMALIZE_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINTS_SQL),

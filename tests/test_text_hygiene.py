@@ -488,3 +488,22 @@ def test_remove_duplicate_spans_overlapping_grams_union(spark):
     }
     assert got[1] == "x y"
     assert got[2] == ""
+
+
+def test_unicode_nfc_composes_and_strips_controls(spark):
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.text import unicode_nfc
+
+    rows = [
+        ("café",),        # combining acute -> composed é
+        ("a\x00b\x07c",),       # control chars stripped
+        ("keep\nnewline\ttab",),  # \n and \t survive
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r[0] for r in df.select(unicode_nfc(F.col("t"))).collect()]
+    assert got[0] == "caf\u00e9"
+    assert got[1] == "abc"
+    assert got[2] == "keep\nnewline\ttab"
+    assert got[3] is None
