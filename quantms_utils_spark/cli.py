@@ -145,6 +145,41 @@ def psmconvert_cmd(idxml, ms2_file, export_decoy_psm, out_dir, parser, master):
     click.echo(f"psm: {target} rows={spark.read.parquet(target).count()}")
 
 
+@cli.command("curate", short_help="Run the training-corpus curation chain")
+@click.option("--input", "input_path", required=True, type=click.Path(exists=True),
+              help="parquet with (doc_id, text, source) columns")
+@click.option("--out_dir", required=True, type=click.Path())
+@click.option("--token_budget", default=300, type=int)
+@click.option("--master", default=None)
+def curate_cmd(input_path, out_dir, token_budget, master):
+    """quality filter -> exact dedup -> near-dup -> decontaminate -> mixture
+    sample (pipelines.curation.curate_corpus) over a parquet corpus."""
+    from quantms_utils_spark.pipelines.curation import curate_corpus
+
+    spark = _spark(master)
+    docs = spark.read.parquet(input_path)
+    curated = curate_corpus(docs, token_budget=token_budget)
+    curated.write.mode("overwrite").parquet(out_dir)
+    click.echo(f"rows={spark.read.parquet(out_dir).count()}")
+
+
+@cli.command("webingest", short_help="Parse WARC crawl files into a corpus")
+@click.option("--input", "input_glob", required=True,
+              help="path/glob of .warc / .warc.gz files")
+@click.option("--out_dir", required=True, type=click.Path())
+@click.option("--min_chars", default=1, type=int)
+@click.option("--master", default=None)
+def webingest_cmd(input_glob, out_dir, min_chars, master):
+    """WARC -> extracted, URL+content-deduplicated corpus parquet
+    (pipelines.web_ingest.web_corpus)."""
+    from quantms_utils_spark.pipelines.web_ingest import web_corpus
+
+    spark = _spark(master)
+    corpus = web_corpus(spark, input_glob, min_chars=min_chars)
+    corpus.write.mode("overwrite").parquet(out_dir)
+    click.echo(f"rows={spark.read.parquet(out_dir).count()}")
+
+
 def main() -> None:
     try:
         cli(standalone_mode=True)

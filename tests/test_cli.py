@@ -86,3 +86,41 @@ def test_mzmlstats_end_to_end(spark, tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert (tmp_path / "runA_ms_info.parquet").exists()
+
+
+def test_curate_and_webingest_end_to_end(spark, tmp_path):
+    """The two extension subcommands run end-to-end: webingest parses a WARC
+    file into a corpus parquet, and curate runs the curation chain on it."""
+    import gzip
+
+    from click.testing import CliRunner
+
+    from quantms_utils_spark.cli import cli
+
+    html = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" \
+        b"<html><body><p>the quick brown fox jumps over the lazy dog and keeps going</p></body></html>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:w1>\r\n"
+        b"WARC-Target-URI: https://site.one/p\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(html)}\r\n\r\n".encode() + html + b"\r\n\r\n"
+    )
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(rec))
+    corpus_dir = str(tmp_path / "corpus")
+    runner = CliRunner()
+    res = runner.invoke(
+        cli,
+        ["webingest", "--input", str(tmp_path / "*.warc.gz"),
+         "--out_dir", corpus_dir, "--master", "local[2]"],
+    )
+    assert res.exit_code == 0, res.output
+    assert "rows=1" in res.output
+
+    curated_dir = str(tmp_path / "curated")
+    res = runner.invoke(
+        cli,
+        ["curate", "--input", corpus_dir, "--out_dir", curated_dir,
+         "--token_budget", "1000000", "--master", "local[2]"],
+    )
+    assert res.exit_code == 0, res.output
