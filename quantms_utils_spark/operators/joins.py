@@ -189,3 +189,63 @@ def range_join_binned(
         .where(residual)
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    equi_keys: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval × interval OVERLAP join — the two-sided sibling of
+    :func:`range_join_binned` (which joins points into intervals).
+
+    Both sides explode their [lo, hi] span over the fixed-width bins it
+    covers and meet in a bin equi-join with the overlap predicate
+    (``lo ≤ hi' AND lo' ≤ hi``) as a residual. An overlapping pair shares
+    every bin its intersection covers, so a naive bin join emits it once
+    per shared bin; instead of a distinct pass, the OWNERSHIP trick keeps
+    the pair only in the single bin that contains ``greatest(lo, lo')`` —
+    exactly-once with zero post-deduplication shuffle. Never a
+    BroadcastNestedLoopJoin: the plan is a plain hash/sort-merge equi-join
+    on (equi_keys…, bin). ``bin_width`` trades explode fan-out (wide
+    intervals cover many bins) against bin population; size it near the
+    median interval length.
+    """
+    lkeys = list(equi_keys)
+
+    def binned(df: DataFrame, rename: bool) -> DataFrame:
+        cols = df.columns
+        out = df
+        if rename:
+            for c in cols:
+                out = out.withColumnRenamed(c, c + suffix)
+        lo = F.col((lo_col + suffix) if rename else lo_col)
+        hi = F.col((hi_col + suffix) if rename else hi_col)
+        return out.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(lo / F.lit(bin_width)).cast("long"),
+                    F.floor(hi / F.lit(bin_width)).cast("long"),
+                )
+            ),
+        )
+
+    lb = binned(left, rename=False)
+    rb = binned(right, rename=True)
+    join_keys = ["__bin"] + lkeys
+    for k in lkeys:
+        rb = rb.withColumnRenamed(k + suffix, k)
+    lo_l, hi_l = F.col(lo_col), F.col(hi_col)
+    lo_r, hi_r = F.col(lo_col + suffix), F.col(hi_col + suffix)
+    overlap = (lo_l <= hi_r) & (lo_r <= hi_l)
+    owner = (
+        F.floor(F.greatest(lo_l, lo_r) / F.lit(bin_width)).cast("long")
+        == F.col("__bin")
+    )
+    return lb.join(rb, join_keys).where(overlap & owner).drop("__bin")

@@ -983,6 +983,55 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators.joins.interval_overlap_join
+    — binned equi-join with the bin-OWNERSHIP trick, never a nested loop and
+    never a distinct pass): each user's view-activity interval against every
+    OTHER user's purchase-activity interval, aggregated to overlap partners
+    and total overlapping seconds per viewer. The oracle is the brute-force
+    overlap join."""
+    from quantms_utils_spark.operators.joins import interval_overlap_join
+
+    e = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    iv = e.groupBy("user_id", "event_type").agg(
+        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+    )
+    views = iv.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_a"), "lo", "hi"
+    )
+    buys = iv.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_b"), "lo", "hi"
+    )
+    pairs = interval_overlap_join(
+        views, buys, lo_col="lo", hi_col="hi", bin_width=7 * 86400.0
+    ).where(F.col("user_a") != F.col("user_b_r"))
+    ov = F.least(F.col("hi"), F.col("hi_r")) - F.greatest(
+        F.col("lo"), F.col("lo_r")
+    )
+    return pairs.groupBy(F.col("user_a").cast("long").alias("user_a")).agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.round(F.sum(ov), 3).alias("overlap_seconds"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type, min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+  FROM events GROUP BY user_id, event_type
+), v AS (
+  SELECT user_id AS ua, lo, hi FROM iv WHERE event_type = 'view'
+), p AS (
+  SELECT user_id AS ub, lo AS lo_r, hi AS hi_r FROM iv
+  WHERE event_type = 'purchase'
+)
+SELECT CAST(ua AS BIGINT) AS user_a, CAST(count(*) AS BIGINT) AS n_partners,
+       round(sum(least(hi, hi_r) - greatest(lo, lo_r)), 3) AS overlap_seconds
+FROM v JOIN p ON lo <= hi_r AND lo_r <= hi AND ua <> ub
+GROUP BY ua
+"""
+
+
 QUERIES = {
     "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
@@ -998,6 +1047,7 @@ QUERIES = {
     "event_daily_rollup": (event_daily_rollup, EVENT_DAILY_ROLLUP_SQL),
     "event_retention_cohorts": (event_retention_cohorts, EVENT_RETENTION_SQL),
     "event_value_winsorized": (event_value_winsorized, EVENT_WINSORIZE_SQL),
+    "interval_overlap_pairs": (interval_overlap_pairs, INTERVAL_OVERLAP_SQL),
     "window_lag_lead": (window_lag_lead, WINDOW_LAG_LEAD_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),

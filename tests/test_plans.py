@@ -453,3 +453,28 @@ def test_retention_cohort_join_no_nested_loop(spark):
     plan = explain_str(event_retention_cohorts(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """Interval-overlap joins must be binned equi-joins (ownership-deduped),
+    never BNLJ/cartesian — and emit each overlapping pair exactly once."""
+    from quantms_utils_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 25.0), (2, 30.0, 35.0)], "lid long, lo double, hi double"
+    )
+    right = spark.createDataFrame(
+        [(10, 20.0, 40.0), (11, 100.0, 110.0)],
+        "rid long, lo double, hi double",
+    )
+    joined = interval_overlap_join(
+        left, right, lo_col="lo", hi_col="hi", bin_width=10.0
+    )
+    plan = explain_str(joined, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = {(r["lid"], r["rid_r"]) for r in joined.collect()}
+    # (1,10) overlaps across several shared bins -> exactly one output row;
+    # (2,10) overlaps in one bin; 11 overlaps nothing
+    assert rows == {(1, 10), (2, 10)}
+    assert joined.count() == 2
