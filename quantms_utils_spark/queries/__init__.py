@@ -51,7 +51,7 @@ _FRONT = [
     "event_retention_cohorts", "event_value_winsorized",  # new in round 3
     "warc_roundtrip_stats", "web_url_canonical",  # new in round 3
     "embedding_negative_samples", "text_unicode_normalize",  # new in round 3
-    "interval_overlap_pairs",  # new in round 3
+    "interval_overlap_pairs", "ann_recall_report",  # new in round 3
     "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
     "text_duplicate_spans", "text_bigram_logprob",  # new in round 3
     "text_remove_duplicate_spans", "ann_knn_graph",  # new in round 3

@@ -642,8 +642,91 @@ FROM cand WHERE rank <= {NEG_SAMPLE_K}
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate searches against exact brute force —
+    the serving-quality report every ANN deployment tracks. One lazy plan:
+    the exact top-10 id set joins each approximate method's top-10 and the
+    hit counts aggregate per method. The oracle recomputes all three
+    searches (including the unrolled k-means training) in SQL."""
+    from quantms_utils_spark.operators.similarity import ann_bruteforce, ivf_search
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    corpus = e.filter(F.col("vec_id") != 0)
+    bf_ids = ann_bruteforce(corpus, q, id_col="vec_id", vec_col="embedding", k=10).select("vec_id")
+
+    lsh_ids = ann_lsh_bucketed(spark, sf_dir).select("vec_id")
+    spark_e, centroids = _ivf_centroids(spark, sf_dir)
+    ivf_ids = ivf_search(
+        corpus, q, centroids, id_col="vec_id", vec_col="embedding",
+        nprobe=IVF_NPROBE, k=10,
+    ).select("vec_id")
+
+    reports = []
+    for method, ids in (("lsh", lsh_ids), ("ivf", ivf_ids)):
+        reports.append(
+            ids.join(bf_ids, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).alias("k"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(10.0), 4).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+ANN_RECALL_SQL = f"""
+{_KMEANS_PRELUDE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+bf AS (
+  SELECT vec_id FROM e, q WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10
+),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, {{bucket}} AS bucket
+  FROM embeddings
+),
+qb AS (SELECT emb AS qe, bucket AS qbk FROM b WHERE vec_id = 0),
+lsh AS (
+  SELECT vec_id FROM b, qb WHERE bucket = qbk AND vec_id <> 0
+  ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id LIMIT 10
+),
+probes AS (
+  SELECT cid FROM c2, q ORDER BY list_distance(qv, c), cid LIMIT {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c2.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c2.c), c2.cid
+           ) AS rn
+    FROM e, c2
+  ) WHERE rn = 1
+),
+ivf AS (
+  SELECT vec_id FROM assign, q
+  WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
+  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10
+)
+SELECT 'lsh' AS method, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / 10.0, 4) AS recall
+FROM lsh JOIN bf USING (vec_id)
+UNION ALL
+SELECT 'ivf' AS method, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / 10.0, 4) AS recall
+FROM ivf JOIN bf USING (vec_id)
+""".replace("{bucket}", _bucket_sql())
+
+
 QUERIES = {
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
+    "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "embedding_negative_samples": (embedding_negative_samples, EMBEDDING_NEG_SAMPLES_SQL),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_knn_graph": (ann_knn_graph, ANN_KNN_GRAPH_SQL),
