@@ -1,0 +1,121 @@
+"""Iterative graph computation over edge-list DataFrames.
+
+The missing family next to connected components (`operators/dedup.py`):
+fixed-point iteration where every round is rank-join-aggregate rather than
+label-min. PageRank is the canonical member — it is the crawl-frontier /
+document-authority score every web-scale curation pipeline wants next to
+URL canonicalization (`operators/web.py`) and WARC ingest (`sources/warc.py`).
+
+Scale shape (100 TB framing):
+- The edge list is hash-partitioned by ``src`` ONCE and persisted; every
+  iteration then shuffles only the rank vector (|V| rows, two columns) to
+  meet it, never the edges (|E| rows). On a 1000-executor cluster the edge
+  partitioning is the expensive asset and it is paid exactly once.
+- Each iteration is one shuffle-join + one hash aggregate by ``dst`` —
+  both map-side combinable; contribution sums never materialize per-edge
+  rows on the driver.
+- Lineage doubles per iteration, so ``checkpoint_every`` truncates the
+  plan with an eager localCheckpoint (cluster deployments would set a
+  checkpoint dir and use ``checkpoint``); without it Catalyst re-analyzes
+  an exponentially growing tree after ~15 rounds.
+- Dangling mass: nodes with no out-edges leak their rank (the standard
+  "simplified PageRank" contract). Callers that need the stochastic fix
+  can add a synthetic sink edge per dangling node before calling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank", "degree_stats"]
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank; returns ``(id_col, rank)`` with one row per
+    node in ``nodes``.
+
+    r_0(v) = 1/N;  r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u)
+
+    ``nodes`` must contain every vertex (including sinks that appear only
+    as ``dst``). N is carried as a broadcast one-row dimension (the BM25
+    corpus-stats idiom, `operators/retrieval.py`) — no driver collect.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
+    n_dim = nodes.agg(F.count("*").cast("double").alias("__n"))
+
+    deg = edges.groupBy(src).agg(F.count("*").cast("double").alias("__deg"))
+    # Partition the (src, dst, deg) asset by src once; every iteration's
+    # rank join then reuses this partitioning (Exchange only on the rank
+    # side). persist() pins it so the per-iteration action does not rescan.
+    e = (
+        edges.join(deg, src)
+        .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__deg")
+        .repartition("__src")
+        .persist()
+    )
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_dim))
+        .select(F.col(id_col), (F.lit(1.0) / F.col("__n")).alias("rank"))
+    )
+    for it in range(iterations):
+        contrib = (
+            e.join(ranks, e["__src"] == ranks[id_col])
+            .select("__dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes[id_col] == contrib["__dst"], "left")
+            .crossJoin(F.broadcast(n_dim))
+            .select(
+                nodes[id_col],
+                (
+                    F.lit((1.0 - damping)) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """In/out-degree DISTRIBUTION of an edge list: one row per
+    (direction, degree) with the number of vertices at that degree — the
+    graph-health scan run before any iterative job (a power-law hub would
+    make the rank join skew; this is where you find out).
+
+    Two hash aggregates per direction, all map-side combinable; output is
+    bounded by the number of distinct degrees, never |V|.
+    """
+    out_deg = (
+        edges.groupBy(F.col(src).alias("vertex"))
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(F.lit("out").alias("direction"), "degree", "n_vertices")
+    )
+    in_deg = (
+        edges.groupBy(F.col(dst).alias("vertex"))
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(F.lit("in").alias("direction"), "degree", "n_vertices")
+    )
+    return out_deg.unionByName(in_deg)

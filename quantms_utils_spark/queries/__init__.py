@@ -17,6 +17,7 @@ from quantms_utils_spark.queries import (
     core,
     curation,
     dedup,
+    graphops,
     media,
     relational,
     retrieval,
@@ -30,7 +31,7 @@ from quantms_utils_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops, graphops):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -43,6 +44,7 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
 # to a hash-checkable tolerance oracle). The rest keep their round-2 order.
 _FRONT = [
     "snapshot_diff", "approx_event_stats",
+    "graph_pagerank", "graph_degree_stats",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

@@ -1,0 +1,138 @@
+"""Graph queries: PageRank and degree diagnostics over a deterministic
+link graph derived from the documents table.
+
+The link graph is synthesized the way every deterministic fixture in this
+repo is (md5-derived, both engines recompute it bit-identically): document
+``i`` links to the three documents ``('0x'||substr(md5(i||':'||j),1,6)) % N``
+for j in 1..3 — a fixed out-degree-3 random graph with self-loops allowed,
+so there are no dangling nodes and the oracle's contribution term is exactly
+``rank/3``. doc_id is contiguous 0..N-1 in the test tables, so the modulus
+lands on a real vertex without a row_number re-indexing pass (which would be
+a global-sort anti-pattern at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from quantms_utils_spark.operators.graph import degree_stats, pagerank
+from quantms_utils_spark.tables import load
+
+_DAMPING = 0.85
+_ITERS = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_dim = d.agg(F.count("*").alias("__n"))
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(F.col("doc_id").alias("src"))
+        .select("src", j)
+        .crossJoin(F.broadcast(n_dim))
+        .select("src", (h % F.col("__n")).alias("dst"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over the derived doc-link graph via
+    operators.graph.pagerank — the authority score a crawl-curation pipeline
+    ranks sources by. The oracle unrolls the identical fixed-point by hand
+    (r0→r1→r2→r3 CTEs), so a wrong damping term, a dropped dangling node, or
+    a degree mis-count all hash-mismatch. Scale shape: edges partitioned by
+    src once; each iteration shuffles only the |V|-row rank vector."""
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    ranks = pagerank(
+        _edges(spark, sf_dir),
+        nodes,
+        damping=_DAMPING,
+        iterations=_ITERS,
+    )
+    return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+_EDGES_SQL = """
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(j AS VARCHAR)), 1, 6))::BIGINT
+           % (SELECT count(*) FROM documents) AS dst
+  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+"""
+
+GRAPH_PAGERANK_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM n) AS rank FROM documents),
+r1 AS (
+  SELECT d.doc_id AS id,
+         0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.c, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT e.dst, sum(r.rank / 3.0) AS c
+    FROM edges e JOIN r0 r ON r.id = e.src GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+),
+r2 AS (
+  SELECT d.doc_id AS id,
+         0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.c, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT e.dst, sum(r.rank / 3.0) AS c
+    FROM edges e JOIN r1 r ON r.id = e.src GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+),
+r3 AS (
+  SELECT d.doc_id AS id,
+         0.15 / (SELECT n FROM n) + 0.85 * coalesce(s.c, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT e.dst, sum(r.rank / 3.0) AS c
+    FROM edges e JOIN r2 r ON r.id = e.src GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)
+SELECT id, round(rank, 8) AS rank FROM r3
+"""
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the derived link graph (operators.graph.
+    degree_stats): one row per (direction, degree) with the vertex count —
+    the pre-flight skew scan for any iterative graph job. Out-degree is 3
+    by construction (a built-in cross-check); the in-degree histogram is
+    the md5-multinomial the oracle recomputes exactly."""
+    return degree_stats(_edges(spark, sf_dir))
+
+
+GRAPH_DEGREE_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+outd AS (
+  SELECT 'out' AS direction, degree, count(*) AS n_vertices FROM (
+    SELECT src, count(*) AS degree FROM edges GROUP BY src
+  ) GROUP BY degree
+),
+ind AS (
+  SELECT 'in' AS direction, degree, count(*) AS n_vertices FROM (
+    SELECT dst, count(*) AS degree FROM edges GROUP BY dst
+  ) GROUP BY degree
+)
+SELECT * FROM outd UNION ALL SELECT * FROM ind
+"""
+
+
+QUERIES = {
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
+}

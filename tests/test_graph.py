@@ -1,0 +1,89 @@
+"""PageRank / degree-stats operators (`operators/graph.py`).
+
+Closed-form checks on tiny graphs (hand-computed fixed points), dangling
+semantics, and the checkpoint path — the registry query `graph_pagerank`
+separately proves a 3-iteration run against the DuckDB unrolled oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quantms_utils_spark.operators.graph import degree_stats, pagerank
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src long, dst long")
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_two_node_cycle_fixed_point(spark):
+    # 0 <-> 1: symmetric, rank stays 1/2 for every iteration count.
+    e = _edges(spark, [(0, 1), (1, 0)])
+    n = _nodes(spark, [0, 1])
+    for iters in (0, 1, 5):
+        r = _ranks(pagerank(e, n, iterations=iters))
+        assert r[0] == pytest.approx(0.5)
+        assert r[1] == pytest.approx(0.5)
+
+
+def test_one_iteration_hand_computed(spark):
+    # 0->1, 0->2, 1->2, 2->0 with d=0.85, N=3, r0=1/3 each:
+    # r1(0) = 0.05 + 0.85*(1/3)          (all of 2's rank)
+    # r1(1) = 0.05 + 0.85*(1/6)          (half of 0's rank)
+    # r1(2) = 0.05 + 0.85*(1/6 + 1/3)    (half of 0 + all of 1)
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 0)])
+    n = _nodes(spark, [0, 1, 2])
+    r = _ranks(pagerank(e, n, iterations=1))
+    assert r[0] == pytest.approx(0.05 + 0.85 / 3)
+    assert r[1] == pytest.approx(0.05 + 0.85 / 6)
+    assert r[2] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 3))
+
+
+def test_sink_node_gets_base_rank_and_leaks_mass(spark):
+    # 0->1 where 1 has no out-edges (dangling): documented simplified-PR
+    # contract — node 1 receives, node 0 gets only the base term, and the
+    # total mass after one iteration is < 1 (the leak).
+    e = _edges(spark, [(0, 1)])
+    n = _nodes(spark, [0, 1])
+    r = _ranks(pagerank(e, n, iterations=1))
+    assert r[0] == pytest.approx(0.15 / 2)
+    assert r[1] == pytest.approx(0.15 / 2 + 0.85 * 0.5)
+    assert sum(r.values()) < 1.0
+
+
+def test_checkpoint_path_matches_plain(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 1)])
+    n = _nodes(spark, [0, 1, 2])
+    plain = _ranks(pagerank(e, n, iterations=4, checkpoint_every=0))
+    chk = _ranks(pagerank(e, n, iterations=4, checkpoint_every=2))
+    for k in plain:
+        assert chk[k] == pytest.approx(plain[k], rel=1e-12)
+
+
+def test_rejects_negative_iterations(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, _nodes(spark, [0, 1]), iterations=-1)
+
+
+def test_degree_stats_histogram(spark):
+    # out-degrees: 0->2 edges, 1->1, 2->1 ; in-degrees: 1 gets 2, 0 and 2 get 1
+    e = _edges(spark, [(0, 1), (0, 2), (1, 0), (2, 1)])
+    rows = {
+        (r["direction"], r["degree"]): r["n_vertices"]
+        for r in degree_stats(e).collect()
+    }
+    assert rows == {
+        ("out", 2): 1,
+        ("out", 1): 2,
+        ("in", 2): 1,
+        ("in", 1): 2,
+    }
