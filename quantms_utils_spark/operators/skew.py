@@ -42,6 +42,34 @@ def hot_keys(
     )
 
 
+def key_skew_profile(df: DataFrame, key: str, label: str | None = None) -> DataFrame:
+    """One-row skew profile of ``key`` as a shuffle/partition key: distinct
+    keys, rows, the heaviest key's row count, ``skew_ratio`` (max/avg — 1.0
+    is perfectly uniform) and ``top_key_share`` (fraction of all rows on the
+    hottest key). This is the number that decides between a plain hash
+    join, AQE skew splitting, or ``salted_join`` — measured, not guessed.
+
+    Two map-side-combinable aggregates (per-key count, then a global fold);
+    the ratios divide exact integers so the profile is engine-deterministic.
+    NULL keys count as one group, exactly as a shuffle would hash them.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt"))
+    return counts.agg(
+        F.lit(label or key).alias("shuffle_key"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__cnt").alias("n_rows"),
+        F.max("__cnt").alias("max_rows_per_key"),
+        F.round(
+            (F.max("__cnt") * F.count(F.lit(1)))
+            / F.sum("__cnt").cast("double"),
+            4,
+        ).alias("skew_ratio"),
+        F.round(
+            F.max("__cnt") / F.sum("__cnt").cast("double"), 6
+        ).alias("top_key_share"),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

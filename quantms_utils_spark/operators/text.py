@@ -399,6 +399,37 @@ def hash_sample_per_group(
     )
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spiridakis 2006, "Weighted random sampling with a reservoir"): every row
+    gets the key ``ln(u) / w`` with ``u`` uniform in (0,1) and the global
+    top-k by key IS an exact weight-proportional sample — the one-pass,
+    fully-distributed answer to "sample 1M documents proportional to
+    quality score" (sequential roulette-wheel sampling cannot shard).
+
+    ``u`` is md5-derived from the id (the repo-wide no-RNG idiom), so the
+    sample is reproducible and engine-independent. The top-k compiles to
+    TakeOrderedAndProject — per-partition heads + one k-row merge on the
+    driver, never a global sort. Weights must be > 0; rows with NULL or
+    non-positive weight are excluded (documented, matching the estimator's
+    domain).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(16777216.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
 WINNOW_K = 5  # k-gram length (characters)
 WINNOW_W = 4  # window: guarantee-threshold t = w + k - 1 = 8 chars
 

@@ -1032,7 +1032,104 @@ GROUP BY ua
 """
 
 
+def event_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an event stream: collapse each user's
+    event_type history into validity intervals [valid_from, valid_to) that
+    start where the value CHANGES (lag comparison), close at the next change
+    (lead), and stay open on the latest row (is_current) — the
+    change-data-capture→warehouse-dimension step every incremental pipeline
+    runs. Two windows over ONE shuffle (both partition by user_id with the
+    same ordering, so Catalyst plans a single Exchange+Sort); ties broken by
+    event_id for a deterministic total order."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(~F.col("__prev").eqNullSafe(F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+EVENT_SCD2_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT user_id, ts, event_id, event_type FROM t
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit across the candidate partition keys of four
+    tables (operators.skew.key_skew_profile): distinct keys, hottest-key
+    row count, max/avg skew ratio, and top-key share — the measured numbers
+    that pick between plain hash joins, AQE skew splitting, and salting.
+    Four independent two-level aggregates unioned; each is map-side
+    combinable and the output is four rows regardless of input size."""
+    from quantms_utils_spark.operators.skew import key_skew_profile
+
+    parts = [
+        key_skew_profile(
+            load(spark, sf_dir, "events"), "user_id", "events.user_id"
+        ),
+        key_skew_profile(
+            load(spark, sf_dir, "events"), "event_type", "events.event_type"
+        ),
+        key_skew_profile(
+            load(spark, sf_dir, "documents"), "source", "documents.source"
+        ),
+        key_skew_profile(
+            load(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SKEW_PROFILE_SQL = """
+  SELECT '{label}' AS shuffle_key,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+         round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+           AS skew_ratio,
+         round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_key_share
+  FROM (SELECT count(*) AS cnt FROM {table} GROUP BY {key})
+"""
+
+TABLE_SKEW_SQL = " UNION ALL ".join(
+    _SKEW_PROFILE_SQL.format(label=lbl, table=tbl, key=key)
+    for lbl, tbl, key in [
+        ("events.user_id", "events", "user_id"),
+        ("events.event_type", "events", "event_type"),
+        ("documents.source", "documents", "source"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+)
+
+
 QUERIES = {
+    "event_scd2_intervals": (event_scd2_intervals, EVENT_SCD2_SQL),
+    "table_skew_report": (table_skew_report, TABLE_SKEW_SQL),
     "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "hourly_gap_fill": (hourly_gap_fill, HOURLY_GAP_FILL_SQL),

@@ -1051,7 +1051,35 @@ FROM d
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional 200-document sample (weights = n_chars) via
+    operators.text.weighted_sample — Efraimidis–Spiridakis exponential keys,
+    so longer documents are proportionally likelier, with no RNG state and
+    no replacement. The oracle recomputes the identical key formula; the
+    Spark plan is TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
+    from quantms_utils_spark.operators.text import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", 200).select(
+        "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                 + 0.5) / 16777216.0) / n_chars, 6) AS sample_key
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+             + 0.5) / 16777216.0) / n_chars DESC, doc_id
+LIMIT 200
+"""
+
+
 QUERIES = {
+    "text_weighted_sample": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "text_train_split": (train_split_assign, TRAIN_SPLIT_SQL),
     "text_pack_sequences": (pack, PACK_SQL),
     "text_group_sample": (group_sample, GROUP_SAMPLE_SQL),
