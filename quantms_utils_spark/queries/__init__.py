@@ -46,7 +46,7 @@ _FRONT = [
     "snapshot_diff", "approx_event_stats",
     "graph_pagerank", "graph_degree_stats",  # new in round 3 (late)
     "text_weighted_sample", "event_scd2_intervals",  # new in round 3 (late)
-    "table_skew_report",  # new in round 3 (late)
+    "table_skew_report", "rag_chunk_retrieve",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

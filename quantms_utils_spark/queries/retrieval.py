@@ -133,7 +133,89 @@ LIMIT 15
 """
 
 
+def rag_chunk_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval prep: slide 16-token/4-overlap chunks over
+    every document (operators.text.chunk_documents — map-only explode, no
+    shuffle), BM25-score the CHUNKS against the fixed query
+    (operators.retrieval.bm25_scores over a composite chunk id), and return
+    the top-20 chunks with document provenance and an md5 chunk digest —
+    retrieval at passage granularity, which is what an actual RAG index
+    serves. The oracle recomposes both stages (the chunk CTE chain feeding
+    the BM25 CTE chain), so chunk boundaries, chunk-level dl/avgdl, and the
+    score algebra are all value-checked end to end."""
+    from quantms_utils_spark.operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+    ch = ch.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    s = bm25_scores(ch, _QUERY_TERMS, id_col="cid", text_col="chunk_text")
+    top = (
+        s.withColumn("bm25", F.round("bm25", 4))
+        .orderBy(F.col("bm25").desc(), "cid")
+        .limit(20)
+    )
+    return top.join(ch, "cid").select(
+        F.expr("cid div 100000").alias("doc_id"),
+        (F.col("cid") % 100000).alias("chunk_id"),
+        "bm25",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+RAG_CHUNK_RETRIEVE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), counts AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 16 THEN 1 ELSE ((n - 16 + 11) // 12) + 1 END AS m
+  FROM sized
+), chunks AS (
+  SELECT doc_id * 100000 + i AS cid,
+         t[(i - 1) * 12 + 1 : (i - 1) * 12 + 16] AS ct,
+         least(16, n - (i - 1) * 12) AS dl
+  FROM counts, UNNEST(generate_series(1, m)) AS u(i)
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM chunks
+), matched AS (
+  SELECT cid, dl,
+         unnest(list_filter(ct, x -> list_contains({_TERMS_SQL}, x))) AS term
+  FROM chunks
+), tf AS (
+  SELECT cid, dl, term, count(*) AS tf FROM matched GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT cid,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY cid
+), top AS (
+  SELECT cid, round(bm25, 4) AS bm25
+  FROM bm25 ORDER BY round(bm25, 4) DESC, cid LIMIT 20
+)
+SELECT cid // 100000 AS doc_id,
+       cid % 100000 AS chunk_id,
+       bm25,
+       md5(array_to_string(ct, ' ')) AS chunk_digest
+FROM top JOIN chunks USING (cid)
+"""
+
+
 QUERIES = {
     "text_bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_TOPK_SQL),
+    "rag_chunk_retrieve": (rag_chunk_retrieve, RAG_CHUNK_RETRIEVE_SQL),
 }
