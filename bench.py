@@ -73,6 +73,9 @@ HEADLINE = [
     ("q_logreg", "text_quality_logreg_eval"),
     ("q_warc", "warc_roundtrip_stats"),
     ("q_retention", "event_retention_cohorts"),
+    ("q_pagerank", "graph_pagerank"),
+    ("q_scd2", "event_scd2_intervals"),
+    ("q_rag_chunks", "rag_chunk_retrieve"),
 ]
 
 

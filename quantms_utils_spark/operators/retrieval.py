@@ -32,7 +32,49 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from quantms_utils_spark.operators.text import normalized_tokens
 
-__all__ = ["bm25_scores", "bm25_rank", "rrf_fuse"]
+__all__ = ["bm25_scores", "bm25_rank", "rrf_fuse", "inverted_postings"]
+
+
+def inverted_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The write side of lexical retrieval: build the inverted-index posting
+    rows ``(term, doc, tf, first_pos, df)`` — one row per (term, document)
+    pair, with the term's corpus document frequency attached so downstream
+    scoring never needs a second vocabulary pass.
+
+    ``min_df``/``max_df`` drop the long tail and the stopword head at build
+    time (the standard index-size control); at 100 TB this is what keeps
+    the index O(useful postings) instead of O(tokens).
+
+    Shape: posexplode (map-only) → one (term, doc) hash aggregate → one
+    term-level aggregate joined back. The df dimension is re-keyed by term,
+    so Catalyst reuses the (term)-hash partitioning from the tf aggregate —
+    two real shuffles total, both map-side combinable. ``first_pos`` is
+    1-based token position (phrase/proximity seeds).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(normalized_tokens(F.col(text_col))).alias(
+            "__pos", "term"
+        ),
+    )
+    tf = toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        (F.min("__pos") + 1).alias("first_pos"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    dfreq = dfreq.filter(F.col("df") >= min_df)
+    return tf.join(dfreq, "term").select(
+        "term", id_col, "tf", "first_pos", "df"
+    )
 
 
 def bm25_scores(

@@ -820,7 +820,51 @@ TABLE_PROFILE_SQL = " UNION ALL ".join(
     ]
 )
 
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan roundtrip: write documents to an ORC table partitioned
+    by lang (Spark's built-in columnar sibling to parquet — the second
+    binary columnar format a migrating user expects), read it back, and
+    aggregate per source: row count, char sum, distinct partition values
+    recovered from the directory layout, and an order-insensitive md5
+    digest-sum over the text column. The oracle computes the identical
+    aggregate straight from the parquet table, so any row, value, or
+    partition-column loss in the ORC write→read path hash-mismatches.
+    The ORC artifact lands in a fresh tempdir (left for the lazy scan to
+    read; /tmp-lifetime)."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/docs_orc"
+    (
+        d.select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    digest = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(digest).alias("text_digest_sum"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+         AS text_digest_sum
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "sink_orc_roundtrip": (orc_roundtrip_stats, ORC_ROUNDTRIP_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "star_join_revenue": (star_join_revenue, STAR_JOIN_REVENUE_SQL),

@@ -214,7 +214,48 @@ FROM top JOIN chunks USING (cid)
 """
 
 
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the inverted-index posting rows for mid-frequency terms
+    (5 ≤ df ≤ 390) via operators.retrieval.inverted_postings — the index
+    BUILD side of the BM25 query family, with df attached to every posting
+    and a 1-based first-occurrence position for phrase seeding. The df
+    band drops both the stopword head and the hapax tail at build time."""
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    d = load(spark, sf_dir, "documents")
+    return inverted_postings(
+        d, id_col="doc_id", text_col="text", min_df=5, max_df=390
+    ).select(
+        "term", "doc_id", "tf", F.col("first_pos").cast("long").alias("first_pos"), "df"
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), pos AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf, min(i) AS first_pos
+  FROM pos GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) BETWEEN 5 AND 390
+)
+SELECT term, doc_id, tf, CAST(first_pos AS BIGINT) AS first_pos, df
+FROM tf JOIN dfreq USING (term)
+"""
+
+
 QUERIES = {
+    "text_inverted_index": (inverted_index_build, INVERTED_INDEX_SQL),
     "text_bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_TOPK_SQL),
     "rag_chunk_retrieve": (rag_chunk_retrieve, RAG_CHUNK_RETRIEVE_SQL),

@@ -103,3 +103,41 @@ def test_rrf_missing_side_contributes_zero(spark):
 def test_bm25_empty_terms_raises(spark, tiny_corpus):
     with pytest.raises(ValueError):
         bm25_scores(tiny_corpus, [])
+
+
+def test_inverted_postings_hand_computed(spark, tiny_corpus):
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    rows = {
+        (r["term"], r["doc_id"]): (r["tf"], r["first_pos"], r["df"])
+        for r in inverted_postings(tiny_corpus).collect()
+    }
+    # corpus: d1="a b", d2="a a c" (normalized), d3="b c"
+    assert rows[("a", 1)] == (1, 1, 2)
+    assert rows[("a", 2)] == (2, 1, 2)  # tf 2, first at position 1
+    assert rows[("b", 1)] == (1, 2, 2)
+    assert rows[("b", 3)] == (1, 1, 2)
+    assert rows[("c", 2)] == (1, 3, 2)
+    assert rows[("c", 3)] == (1, 2, 2)
+
+
+def test_inverted_postings_df_band(spark):
+    from pyspark.sql import Row
+
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare"),
+            Row(doc_id=2, text="common"),
+            Row(doc_id=3, text="common"),
+        ]
+    )
+    terms = {
+        r["term"] for r in inverted_postings(df, min_df=2, max_df=2).collect()
+    }
+    assert terms == set()  # 'common' df=3 > max, 'rare' df=1 < min
+    terms = {
+        r["term"] for r in inverted_postings(df, min_df=1, max_df=1).collect()
+    }
+    assert terms == {"rare"}
