@@ -478,3 +478,34 @@ def test_interval_overlap_join_no_nested_loop(spark):
     # (2,10) overlaps in one bin; 11 overlaps nothing
     assert rows == {(1, 10), (2, 10)}
     assert joined.count() == 2
+
+
+def test_inverted_postings_two_exchanges(spark):
+    """The index build is exactly two shuffles (tf aggregate, df aggregate +
+    re-join on the same key) — never a third Exchange for the join back."""
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+    from quantms_utils_spark.tables import load
+
+    df = inverted_postings(load(spark, SF, "documents"), min_df=2, max_df=50)
+    plan = explain_str(df, "simple")
+    # two hash shuffles (tf agg, df agg); the banded-vocab dim then joins
+    # back via broadcast, never a third hash exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iteration_joins_are_not_nested_loop(spark):
+    from quantms_utils_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    plan = explain_str(pagerank(e, n, iterations=2), "simple")
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the broadcast single-row count dim
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line
