@@ -52,11 +52,14 @@ def inverted_postings(
     time (the standard index-size control); at 100 TB this is what keeps
     the index O(useful postings) instead of O(tokens).
 
-    Shape: posexplode (map-only) → one (term, doc) hash aggregate → one
-    term-level aggregate joined back. The df dimension is re-keyed by term,
-    so Catalyst reuses the (term)-hash partitioning from the tf aggregate —
-    two real shuffles total, both map-side combinable. ``first_pos`` is
-    1-based token position (phrase/proximity seeds).
+    Shape: posexplode (map-only) → one (term, doc) hash aggregate → df as a
+    ``count() over (partition by term)`` window on the aggregate itself.
+    The window formulation matters at scale: a groupBy-df-then-join-back
+    would make Catalyst RE-SCAN and RE-EXPLODE the whole corpus for the df
+    branch (no common-subexpression reuse across a self-join), doubling the
+    token explosion — the window computes df from the already-aggregated
+    (term, doc) rows in the same DAG. Two shuffles total, one corpus scan.
+    ``first_pos`` is 1-based token position (phrase/proximity seeds).
     """
     toks = docs.select(
         F.col(id_col),
@@ -68,13 +71,13 @@ def inverted_postings(
         F.count(F.lit(1)).alias("tf"),
         (F.min("__pos") + 1).alias("first_pos"),
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("df") <= max_df)
-    dfreq = dfreq.filter(F.col("df") >= min_df)
-    return tf.join(dfreq, "term").select(
-        "term", id_col, "tf", "first_pos", "df"
+    w = Window.partitionBy("term")
+    out = tf.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") >= min_df
     )
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("term", id_col, "tf", "first_pos", "df")
 
 
 def bm25_scores(

@@ -488,10 +488,12 @@ def test_inverted_postings_two_exchanges(spark):
 
     df = inverted_postings(load(spark, SF, "documents"), min_df=2, max_df=50)
     plan = explain_str(df, "simple")
-    # two hash shuffles (tf agg, df agg); the banded-vocab dim then joins
-    # back via broadcast, never a third hash exchange
+    # two hash shuffles (tf agg, then the term-partitioned df window) and —
+    # critically — ONE corpus scan/explode: the window formulation must not
+    # re-derive tf for the df branch the way a groupBy+join-back would
     assert plan.count("Exchange hashpartitioning") <= 2
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate posexplode") == 1
+    assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
