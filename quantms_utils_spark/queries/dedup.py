@@ -456,7 +456,91 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-QA: candidate-quality report for MinHash-LSH against EXACT
+    ground truth (the `ann_recall_report` pattern applied to near-dup
+    detection). Truth = all pairs with word-3-gram Jaccard ≥ 0.5, computed
+    by the exact prefix-filter join (never all-pairs on the Spark side);
+    candidates = the banding pairs BEFORE verification. One row:
+    candidate/truth/hit counts with precision (how much verify work is
+    wasted on non-dups) and recall (what the bands miss — the number that
+    picks band geometry). All counts fold to one-row dims crossed together;
+    no collect."""
+    from quantms_utils_spark.operators.dedup import prefix_filter_pairs
+
+    d = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = prefix_filter_pairs(
+        d, "doc_id", "text", threshold=0.5, shingle_n=3
+    ).select("doc_a", "doc_b")
+    c1 = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    t1 = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    h1 = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        c1.crossJoin(t1)
+        .crossJoin(h1)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_candidates").cast("double"), 6
+            ).alias("precision"),
+            F.round(F.col("n_hits") / F.col("n_true").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+LSH_RECALL_REPORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), sig AS (
+  SELECT doc_id,
+    {{sig_cols}}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b, CASE b {{band_case}} END AS bucket
+  FROM sig, UNNEST([{{band_ids}}]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+), c AS (SELECT count(*) AS n_candidates FROM cand),
+t AS (SELECT count(*) AS n_true FROM truth),
+h AS (SELECT count(*) AS n_hits FROM cand JOIN truth USING (doc_a, doc_b))
+SELECT n_candidates, n_true, n_hits,
+       round(n_hits / CAST(n_candidates AS DOUBLE), 6) AS precision,
+       round(n_hits / CAST(n_true AS DOUBLE), 6) AS recall
+FROM c, t, h
+""".format(
+    sig_cols=_minhash_sig_sql_columns(),
+    band_case=_BAND_CASE,
+    band_ids=", ".join(str(b) for b in range(N_HASHES // BAND_SIZE)),
+)
+
+
 QUERIES = {
+    "dedup_lsh_recall_report": (lsh_recall_report, LSH_RECALL_REPORT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (incremental, INCREMENTAL_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
