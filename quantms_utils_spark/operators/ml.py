@@ -66,3 +66,54 @@ def logreg_train(
             for i in range(k)
         ]
     return w
+
+
+def population_stability(
+    a: DataFrame,
+    b: DataFrame,
+    bin_col: str = "bin",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two binned distributions — the
+    drift monitor a production corpus pipeline runs between yesterday's
+    shard and today's (or train vs. serving): PSI < 0.1 is stable, > 0.25
+    is an investigate-now shift.
+
+    ``a``/``b`` are DataFrames with a ``bin_col``; each side collapses to
+    per-bin counts (one map-side-combinable aggregate each — the corpora
+    never co-shuffle), full-outer-joined on the bin so a bin present in
+    only one side still contributes. Laplace smoothing (add ``smoothing``
+    to every bin count, with the union bin-count in the denominator) keeps
+    empty bins finite without masking them. Returns one row per bin:
+    ``(bin, n_a, n_b, p_a, p_b, psi_term)`` where ``psi = Σ psi_term`` —
+    emitted per-bin (not pre-summed) because the per-bin terms are what a
+    drift dashboard plots. All ratios divide exact integers, so the terms
+    are engine-deterministic.
+    """
+    ca = a.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    j = ca.join(cb, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__nbins"),
+    )
+    s = F.lit(float(smoothing))
+    pa = (F.col("n_a") + s) / (F.col("__ta") + s * F.col("__nbins"))
+    pb = (F.col("n_b") + s) / (F.col("__tb") + s * F.col("__nbins"))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+    )

@@ -48,7 +48,7 @@ _FRONT = [
     "text_weighted_sample", "event_scd2_intervals",  # new in round 3 (late)
     "table_skew_report", "rag_chunk_retrieve",  # new in round 3 (late)
     "text_inverted_index", "sink_orc_roundtrip",  # new in round 3 (late)
-    "dedup_lsh_recall_report",  # new in round 3 (late)
+    "dedup_lsh_recall_report", "corpus_drift_psi",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

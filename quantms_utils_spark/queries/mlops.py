@@ -251,3 +251,67 @@ QUERIES["text_quality_logreg_eval"] = (
     quality_logreg_eval,
     QUALITY_LOGREG_EVAL_SQL,
 )
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators.ml.population_stability):
+    PSI of the document-length distribution between the md5 train split
+    (pct < 80, the text_train_split rule) and the holdout, binned at 50
+    chars capped at bin 11. Emitted per bin — (bin, counts, smoothed
+    shares, psi_term) — because the per-bin terms are what a drift
+    dashboard plots; Σ psi_term is the headline index. Two
+    map-side-combinable count aggregates + a 1-row broadcast total; the
+    corpora never co-shuffle."""
+    from quantms_utils_spark.operators.ml import population_stability
+
+    d = load(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    binned = d.select(
+        F.least(F.lit(11), F.floor(F.col("n_chars") / 50)).alias("bin"),
+        pct.alias("pct"),
+    )
+    train = binned.filter(F.col("pct") < 80)
+    holdout = binned.filter(F.col("pct") >= 80)
+    out = population_stability(train, holdout, bin_col="bin")
+    return out.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+CORPUS_DRIFT_PSI_SQL = """
+WITH binned AS (
+  SELECT least(11, n_chars // 50) AS bin,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+           AS pct
+  FROM documents
+), ca AS (
+  SELECT bin, count(*) AS n_a FROM binned WHERE pct < 80 GROUP BY bin
+), cb AS (
+  SELECT bin, count(*) AS n_b FROM binned WHERE pct >= 80 GROUP BY bin
+), j AS (
+  SELECT coalesce(ca.bin, cb.bin) AS bin,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin
+), tot AS (
+  SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nbins FROM j
+)
+SELECT bin, n_a, n_b,
+       round((n_a + 1.0) / (ta + nbins), 6) AS p_a,
+       round((n_b + 1.0) / (tb + nbins), 6) AS p_b,
+       round(((n_a + 1.0) / (ta + nbins) - (n_b + 1.0) / (tb + nbins))
+             * ln(((n_a + 1.0) / (ta + nbins))
+                  / ((n_b + 1.0) / (tb + nbins))), 6) AS psi_term
+FROM j, tot
+"""
+
+
+QUERIES["corpus_drift_psi"] = (corpus_drift_psi, CORPUS_DRIFT_PSI_SQL)

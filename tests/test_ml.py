@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from quantms_utils_spark.operators.ml import logreg_score, logreg_train
@@ -39,3 +41,45 @@ def test_logreg_zero_init_first_step(spark):
     )
     w = logreg_train(df, ["x0", "x1"], "y", n_iter=1, lr=0.5)
     assert w == [0.0, round(0.5 * 2.0 / 2, 6)]
+
+
+def test_psi_identical_distributions_zero(spark):
+    from quantms_utils_spark.operators.ml import population_stability
+
+    a = spark.createDataFrame([(i % 3,) for i in range(30)], "bin long")
+    b = spark.createDataFrame([(i % 3,) for i in range(60)], "bin long")
+    rows = population_stability(a, b).collect()
+    # same shape (uniform over 3 bins) at different sizes -> every term 0
+    for r in rows:
+        assert abs(r["psi_term"]) < 1e-12
+    assert {r["bin"] for r in rows} == {0, 1, 2}
+
+
+def test_psi_one_sided_bin_is_finite_and_positive(spark):
+    from quantms_utils_spark.operators.ml import population_stability
+
+    a = spark.createDataFrame([(0,)] * 10 + [(1,)] * 10, "bin long")
+    b = spark.createDataFrame([(0,)] * 20, "bin long")  # bin 1 absent
+    rows = {r["bin"]: r for r in population_stability(a, b).collect()}
+    assert rows[1]["n_b"] == 0
+    import math
+
+    assert math.isfinite(rows[1]["psi_term"])  # smoothing keeps it finite
+    assert rows[1]["psi_term"] > 0
+    total = sum(r["psi_term"] for r in rows.values())
+    assert total > 0.25  # a vanished bin is an investigate-now shift
+
+
+def test_psi_hand_computed(spark):
+    import math
+
+    from quantms_utils_spark.operators.ml import population_stability
+
+    a = spark.createDataFrame([(0,)] * 8 + [(1,)] * 2, "bin long")
+    b = spark.createDataFrame([(0,)] * 5 + [(1,)] * 5, "bin long")
+    rows = {r["bin"]: r for r in population_stability(a, b).collect()}
+    pa0, pb0 = (8 + 1) / 12, (5 + 1) / 12
+    assert rows[0]["p_a"] == pytest.approx(pa0)
+    assert rows[0]["psi_term"] == pytest.approx(
+        (pa0 - pb0) * math.log(pa0 / pb0)
+    )
