@@ -142,26 +142,60 @@ def rag_chunk_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval at passage granularity, which is what an actual RAG index
     serves. The oracle recomposes both stages (the chunk CTE chain feeding
     the BM25 CTE chain), so chunk boundaries, chunk-level dl/avgdl, and the
-    score algebra are all value-checked end to end."""
-    from quantms_utils_spark.operators.text import chunk_documents
+    score algebra are all value-checked end to end.
 
+    Single chunk pass: provenance (doc, chunk id, digest) rides through the
+    tf aggregate as grouping keys functionally dependent on the chunk id —
+    a join-back to recover chunk_text would re-run the whole chunk explode
+    (no CSE across self-joins), doubling the scan. Inlines the bm25_scores
+    algebra for that reason (same formula, shared constants)."""
+    from quantms_utils_spark.operators.text import (
+        chunk_documents,
+        normalized_tokens,
+    )
+
+    k1, b = 1.2, 0.75
     d = load(spark, sf_dir, "documents")
     ch = chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
-    ch = ch.select(
+    terms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    toks = normalized_tokens(F.col("chunk_text"))
+    base = ch.select(
         (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("cid"),
-        "chunk_text",
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_digest"),
+        toks.alias("_toks"),
+    ).select("*", F.size("_toks").alias("_dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
     )
-    s = bm25_scores(ch, _QUERY_TERMS, id_col="cid", text_col="chunk_text")
-    top = (
-        s.withColumn("bm25", F.round("bm25", 4))
+    matched = base.select(
+        "cid",
+        "doc_id",
+        "chunk_id",
+        "chunk_digest",
+        "_dl",
+        F.explode(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(terms, x))
+        ).alias("_term"),
+    )
+    tf = matched.groupBy(
+        "cid", "doc_id", "chunk_id", "chunk_digest", "_dl", "_term"
+    ).agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(F.broadcast(dfreq), "_term").join(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    contrib = idf * F.col("_tf") * (k1 + 1.0) / denom
+    return (
+        scored.withColumn("_contrib", contrib)
+        .groupBy("cid", "doc_id", "chunk_id", "chunk_digest")
+        .agg(F.round(F.sum("_contrib"), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "cid")
         .limit(20)
-    )
-    return top.join(ch, "cid").select(
-        F.expr("cid div 100000").alias("doc_id"),
-        (F.col("cid") % 100000).alias("chunk_id"),
-        "bm25",
-        F.md5("chunk_text").alias("chunk_digest"),
+        .select("doc_id", "chunk_id", "bm25", "chunk_digest")
     )
 
 
