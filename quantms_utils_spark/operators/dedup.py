@@ -869,6 +869,14 @@ def _prefix_candidates(
         )
         .select(F.col(id_col).alias("_id"), "_toks", F.size("_toks").alias("_n"))
     )
+    # The rarity-ordered frame feeds THREE consumers (prefix explode, verify
+    # side A, verify side B) and Catalyst does not share subplans across a
+    # self-join — without a persist the shingle explode + df window +
+    # collect_list chain executes three times (measured ~40% of the query).
+    # MEMORY_AND_DISK, so a 100 TB corpus spills instead of failing; the
+    # asset is (id, sorted shingles) — the same thing a materialized
+    # similarity-index table would hold.
+    ordered = ordered.persist()
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
     pref = ordered.select(
         "_id",
