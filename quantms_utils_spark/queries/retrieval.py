@@ -294,3 +294,97 @@ QUERIES = {
     "hybrid_rrf_topk": (hybrid_rrf_topk, HYBRID_RRF_TOPK_SQL),
     "rag_chunk_retrieve": (rag_chunk_retrieve, RAG_CHUNK_RETRIEVE_SQL),
 }
+
+
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"More like this": top-10 documents most similar to doc_id=0 by
+    TF-IDF cosine, computed THROUGH the inverted index
+    (operators.retrieval.inverted_postings) as a sparse dot product — the
+    related-documents op at corpus scale. The query document's postings
+    (a handful of rows) broadcast into the term-keyed posting join, so the
+    shuffle carries only terms the query shares with each candidate; norms
+    are one map-side-combinable aggregate over the same postings. Scores
+    round to 4 before the top-k cut (doc_id tiebreak) so rank selection is
+    engine-deterministic. Production corpora would cap df (stopword band)
+    to bound the join fan-out; the synthetic vocabulary is all
+    high-frequency, so the band stays open here."""
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    d = load(spark, sf_dir, "documents")
+    post = inverted_postings(d, id_col="doc_id", text_col="text", min_df=1)
+    n_dim = d.agg(F.count(F.lit(1)).alias("__n"))
+    wpost = post.crossJoin(F.broadcast(n_dim)).select(
+        "term",
+        "doc_id",
+        (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+    )
+    norms = wpost.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    q = wpost.filter(F.col("doc_id") == 0).select(
+        "term", F.col("w").alias("wq")
+    )
+    qnorm = norms.filter(F.col("doc_id") == 0).select(
+        F.col("norm").alias("qn")
+    )
+    dots = (
+        wpost.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("norm") * F.col("qn")), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+MORE_LIKE_THIS_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), pos AS (
+  SELECT doc_id, t[i] AS term
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), wpost AS (
+  SELECT term, doc_id,
+         tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)) AS w
+  FROM tf JOIN dfreq USING (term)
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wpost GROUP BY doc_id
+), q AS (
+  SELECT term, w AS wq FROM wpost WHERE doc_id = 0
+), dots AS (
+  SELECT p.doc_id, sum(p.w * q.wq) AS dot
+  FROM wpost p JOIN q USING (term)
+  WHERE p.doc_id <> 0
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)), 4)
+         AS cosine
+FROM dots d JOIN norms n USING (doc_id)
+ORDER BY round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)), 4)
+         DESC, d.doc_id
+LIMIT 10
+"""
+
+
+QUERIES["text_more_like_this"] = (more_like_this, MORE_LIKE_THIS_SQL)
