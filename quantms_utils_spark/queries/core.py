@@ -863,8 +863,49 @@ GROUP BY source
 """
 
 
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) sink/scan roundtrip — the
+    interchange text format every data-engineering stack speaks. Writes
+    documents as compressed JSONL, reads them back WITH SCHEMA INFERENCE
+    (the path that silently widens/narrows types when it goes wrong —
+    which is exactly what the digest-sum + char-sum aggregate would
+    catch), and aggregates per lang. gzip codec, distributed per-partition
+    files; the oracle recomputes from parquet."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_") + "/docs_jsonl"
+    (
+        d.select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    back = spark.read.json(path)  # schema inference on purpose
+    digest = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(digest).alias("text_digest_sum"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+         AS text_digest_sum
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "sink_orc_roundtrip": (orc_roundtrip_stats, ORC_ROUNDTRIP_SQL),
+    "sink_jsonl_roundtrip": (jsonl_roundtrip_stats, JSONL_ROUNDTRIP_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "star_join_revenue": (star_join_revenue, STAR_JOIN_REVENUE_SQL),
