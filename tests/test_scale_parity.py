@@ -20,6 +20,7 @@ SF_DIR = "/root/testdata/sf0.1"
 # sf0.1 in EVERY test invocation (gated only on the testdata existing), so a
 # scale regression fails the suite, not just the bench.
 ALWAYS_ON = [
+    "text_weighted_sample",
     "moving_avg_range",
     "asof_join_two_table",
     "hourly_gap_fill",
@@ -29,6 +30,10 @@ ALWAYS_ON = [
 # behind RUN_SCALE_TESTS=1, mirroring the reference's local-only big-file
 # test (its tests/test_commands.py marks the large-scale case "run locally").
 SCALE_SENSITIVE = [
+    "graph_pagerank",
+    "text_inverted_index",
+    "dedup_lsh_recall_report",
+    "rag_chunk_retrieve",
     "dedup_semantic",
     "text_bloom_decontaminate",
     "text_heavy_hitters_cms",
