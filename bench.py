@@ -76,6 +76,10 @@ HEADLINE = [
     ("q_pagerank", "graph_pagerank"),
     ("q_scd2", "event_scd2_intervals"),
     ("q_rag_chunks", "rag_chunk_retrieve"),
+    ("q_inverted_index", "text_inverted_index"),
+    ("q_more_like_this", "text_more_like_this"),
+    ("q_weighted_sample", "text_weighted_sample"),
+    ("q_drift_psi", "corpus_drift_psi"),
 ]
 
 
