@@ -156,3 +156,68 @@ def test_sketch_properties_hold_at_10x(spark):
     # base replica -> all non-minimum replicas must be flagged duplicates
     replicas = out.where(F.col("vec_id") >= 1_000_000)
     assert replicas.where(~F.col("is_dup")).count() == 0
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SCALE_TESTS") != "1",
+    reason="expensive 10x stress behind RUN_SCALE_TESTS=1",
+)
+def test_retrieval_and_graph_hold_at_10x(spark):
+    """10x-replicated corpus (50k docs) and a 50k-node graph: the
+    inverted-index document frequencies must scale EXACTLY 10x (replication
+    multiplies every term's df by the replica count — an off-by-anything
+    here means the df window leaks across docs), and PageRank on a
+    no-dangling graph must conserve rank mass at any size."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.graph import pagerank
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+    from quantms_utils_spark.tables import load
+
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    d = load(spark, SF_DIR, "documents")
+    d10 = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+    )
+    base_df = (
+        inverted_postings(d, min_df=1)
+        .select("term", "df")
+        .distinct()
+        .withColumnRenamed("df", "df_base")
+    )
+    big_df = (
+        inverted_postings(d10, min_df=1).select("term", "df").distinct()
+    )
+    mismatch = (
+        big_df.join(base_df, "term", "full_outer")
+        .where(
+            F.col("df").isNull()
+            | F.col("df_base").isNull()
+            | (F.col("df") != 10 * F.col("df_base"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+
+    n = 50_000
+    nodes = spark.range(n).toDF("id")
+    edges = (
+        spark.range(n)
+        .toDF("src")
+        .select(
+            "src",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(
+                F.xxhash64(F.col("src") * F.lit(31) + F.col("j")), F.lit(n)
+            ).alias("dst"),
+        )
+    )
+    total = (
+        pagerank(edges, nodes, iterations=3)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6
