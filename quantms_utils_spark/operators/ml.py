@@ -96,6 +96,18 @@ def population_stability(
     cb = b.groupBy(F.col(bin_col).alias("bin")).agg(
         F.count(F.lit(1)).alias("n_b")
     )
+    return population_stability_from_counts(ca, cb, smoothing=smoothing)
+
+
+def population_stability_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """PSI from PRE-AGGREGATED bin tables ``(bin, n_a)`` / ``(bin, n_b)`` —
+    the form the streaming drift monitor uses, where each side is already a
+    standing count table (epoch-merged) rather than raw rows. Same math and
+    output as :func:`population_stability`."""
     j = ca.join(cb, "bin", "full_outer").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),

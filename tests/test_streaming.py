@@ -567,3 +567,71 @@ def test_continuous_sketch_merges_across_runs(spark, tmp_path):
         merged.groupBy("cms_row").agg(F.sum("cms_cnt").alias("n")).collect()
     )
     assert all(r["n"] == len(batch1) + len(batch2) for r in per_row)
+
+
+def test_continuous_drift_matches_batch_psi(spark, tmp_path):
+    """Two availableNow drains of a value stream: the standing bin counts
+    must equal the exact union counts, and the streaming drift report must
+    equal the batch PSI computed over the same rows (the batch twin) —
+    per-epoch count tables really merge by addition."""
+    import json
+
+    from quantms_utils_spark.operators.ml import population_stability
+    from quantms_utils_spark.streaming.drift import (
+        drift_report,
+        standing_bins,
+        start_continuous_drift,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    state_dir = str(tmp_path / "bins")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, bins):
+        with open(in_dir / name, "w") as f:
+            for b in bins:
+                f.write(json.dumps({"bin": b}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema("bin long").json(str(in_dir))
+        q = start_continuous_drift(
+            stream, bin_col="bin", state_dir=state_dir, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    batch1 = [0] * 10 + [1] * 5
+    batch2 = [0] * 2 + [2] * 3
+    land("b1.json", batch1)
+    drain()
+    land("b2.json", batch2)
+    drain()
+
+    standing = {
+        r["bin"]: r["n"] for r in standing_bins(spark, state_dir).collect()
+    }
+    assert standing == {0: 12, 1: 5, 2: 3}
+
+    baseline_rows = [0] * 10 + [1] * 8 + [2] * 2
+    baseline = (
+        spark.createDataFrame([(b,) for b in baseline_rows], "bin long")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    streamed = {
+        r["bin"]: r["psi_term"]
+        for r in drift_report(spark, state_dir, baseline).collect()
+    }
+    stream_rows = spark.createDataFrame(
+        [(b,) for b in batch1 + batch2], "bin long"
+    )
+    base_rows_df = spark.createDataFrame(
+        [(b,) for b in baseline_rows], "bin long"
+    )
+    twin = {
+        r["bin"]: r["psi_term"]
+        for r in population_stability(stream_rows, base_rows_df).collect()
+    }
+    assert set(streamed) == set(twin)
+    for k in twin:
+        assert abs(streamed[k] - twin[k]) < 1e-12
