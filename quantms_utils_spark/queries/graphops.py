@@ -64,7 +64,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_DAMPING,
         iterations=_ITERS,
     )
-    return ranks.select("id", F.round("rank", 8).alias("rank"))
+    # epsilon before rounding: PageRank values on this rational-arithmetic
+    # graph genuinely terminate with a 5 at the 9th decimal for some nodes,
+    # where a 1-ulp cross-engine summation difference would flip
+    # round(..., 8); the shared nudge moves both engines off the boundary
+    # (same idiom as the ceil guard in operators/dedup.py).
+    return ranks.select(
+        "id", F.round(F.col("rank") + F.lit(1e-12), 8).alias("rank")
+    )
 
 
 _EDGES_SQL = """
@@ -103,7 +110,7 @@ r3 AS (
     FROM edges e JOIN r2 r ON r.id = e.src GROUP BY e.dst
   ) s ON s.dst = d.doc_id
 )
-SELECT id, round(rank, 8) AS rank FROM r3
+SELECT id, round(rank + 1e-12, 8) AS rank FROM r3
 """
 
 
