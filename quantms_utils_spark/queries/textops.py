@@ -1124,3 +1124,51 @@ QUERIES = {
         MULTIMODAL_IMAGE_RESIZE_SQL,
     ),
 }
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (nats) — the
+    information-theoretic member of the quality family: gibberish and
+    single-character spam sit at the extremes where the ratio heuristics
+    (text_quality_scores) go blind. Explode to (doc, char) → two
+    map-side-combinable aggregates (total = length(text), carried as a
+    grouping key — no window); deliberately NOT the in-row
+    O(len × distinct) transform shape (the repetition-signals rule).
+    Entropy gets the shared 1e-12 nudge before round so engines cannot
+    split on a terminating-decimal boundary."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("total"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "total", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt") / F.col("total")
+    return counts.groupBy("doc_id").agg(
+        F.max("total").cast("long").alias("n_counted"),
+        F.round(-F.sum(p * F.log(p)) + F.lit(1e-12), 6).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS total, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+), counts AS (
+  SELECT doc_id, total, ch, count(*) AS cnt FROM chars GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(max(total) AS BIGINT) AS n_counted,
+       round(-sum((cnt / CAST(total AS DOUBLE))
+                  * ln(cnt / CAST(total AS DOUBLE))) + 1e-12, 6)
+         AS entropy_nats
+FROM counts
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_char_entropy"] = (char_entropy, CHAR_ENTROPY_SQL)
