@@ -511,3 +511,14 @@ def test_pagerank_iteration_joins_are_not_nested_loop(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight" in line or "BuildLeft" in line
+
+
+def test_scd2_two_windows_one_exchange_one_sort(spark):
+    """Both SCD2 windows share partition key AND ordering, so Catalyst must
+    plan a single Exchange and a single Sort — a second of either means the
+    window specs drifted apart."""
+    from quantms_utils_spark.queries.relational import event_scd2_intervals
+
+    plan = explain_str(event_scd2_intervals(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
