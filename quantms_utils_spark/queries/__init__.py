@@ -50,7 +50,7 @@ _FRONT = [
     "text_inverted_index", "sink_orc_roundtrip",  # new in round 3 (late)
     "dedup_lsh_recall_report", "corpus_drift_psi",  # new in round 3 (late)
     "text_more_like_this", "sink_jsonl_roundtrip",  # new in round 3 (late)
-    "text_char_entropy",  # new in round 3 (late)
+    "text_char_entropy", "event_anomaly_mad",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

@@ -1127,7 +1127,73 @@ TABLE_SKEW_SQL = " UNION ALL ".join(
 )
 
 
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the event stream: per-type median and
+    MAD (median absolute deviation — the outlier-resistant spread that a
+    mean/stddev monitor loses to the outliers themselves), then count the
+    events whose modified z-score |x − med| / (1.4826·MAD) exceeds 3.5
+    (the Iglewicz–Hoban cut). Two grouped exact percentiles (the second
+    over the broadcast-joined residuals) + one conditional count; at
+    corpus scale both swap to percentile_approx with the same plan shape.
+    The per-type medians are a tiny dim, so the join back is broadcast."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    resid = e.join(broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+        F.max("med").alias("med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    flagged = (
+        resid.drop("med")
+        .join(broadcast(mad.select("event_type", "mad")), "event_type")
+        .filter(F.col("ad") > 3.5 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
+    return (
+        mad.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_events",
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_ANOMALY_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), resid AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad, max(med) AS med,
+         count(*) AS n_events
+  FROM resid GROUP BY event_type
+), flagged AS (
+  SELECT r.event_type, count(*) AS n_anomalies
+  FROM resid r JOIN mad m USING (event_type)
+  WHERE r.ad > 3.5 * 1.4826 * m.mad
+  GROUP BY r.event_type
+)
+SELECT m.event_type, round(m.med, 4) AS med, round(m.mad, 4) AS mad,
+       m.n_events, coalesce(f.n_anomalies, 0) AS n_anomalies
+FROM mad m LEFT JOIN flagged f USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 QUERIES = {
+    "event_anomaly_mad": (event_anomaly_mad, EVENT_ANOMALY_MAD_SQL),
     "event_scd2_intervals": (event_scd2_intervals, EVENT_SCD2_SQL),
     "table_skew_report": (table_skew_report, TABLE_SKEW_SQL),
     "approx_event_stats": (approx_event_stats, APPROX_EVENT_STATS_SQL),
