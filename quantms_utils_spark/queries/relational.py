@@ -1192,7 +1192,58 @@ ORDER BY m.event_type
 """
 
 
+def incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators.diff.
+    maintain_count_sum): the per-customer (order count, revenue) rollup is
+    maintained from snapshot A to snapshot B by applying ONLY the changed
+    rows' retractions/additions to the standing view — O(delta), no rescan
+    of B. The snapshots are the snapshot_diff scenario (late orders
+    inserted, every-97th key deleted, urgent orders repriced). The ORACLE
+    is a direct rebuild of the view over snapshot B — hash equality proves
+    the incremental path bit-equal to recomputation (sums run in
+    DECIMAL(18,2) so no float-order drift)."""
+    from quantms_utils_spark.operators.diff import maintain_count_sum
+
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderdate") <= "1995-01-01")
+    snap_b = o.filter(
+        (F.col("o_orderdate") <= "1996-01-01") & (F.col("o_orderkey") % 97 != 0)
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") + 10.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = maintain_count_sum(
+        snap_a, snap_b, keys=["o_orderkey"], group_col="o_custkey",
+        value_col="o_totalprice",
+    )
+    return out.select(
+        "o_custkey",
+        "n_rows",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
+
+
+INCREMENTAL_VIEW_SQL = """
+WITH snap_b AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderdate <= DATE '1996-01-01' AND o_orderkey % 97 <> 0
+)
+SELECT o_custkey,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM snap_b
+GROUP BY o_custkey
+"""
+
+
 QUERIES = {
+    "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_anomaly_mad": (event_anomaly_mad, EVENT_ANOMALY_MAD_SQL),
     "event_scd2_intervals": (event_scd2_intervals, EVENT_SCD2_SQL),
     "table_skew_report": (table_skew_report, TABLE_SKEW_SQL),

@@ -92,3 +92,42 @@ def test_table_diff_rejects_map_columns(spark):
         table_diff(old, new, ["k"])
     with pytest.raises(ValueError, match="map-typed"):
         table_diff(old, new, ["k"], exact=True)
+
+
+def test_maintain_count_sum_matches_direct_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.diff import maintain_count_sum
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g2", 5.0)],
+        "k long, g string, v double",
+    )
+    # 1 deleted; 2 updated in place; 3 updated AND MOVED g2->g1; 5 inserted
+    new = spark.createDataFrame(
+        [(2, "g1", 25.0), (3, "g1", 31.0), (4, "g2", 5.0), (5, "g3", 7.0)],
+        "k long, g string, v double",
+    )
+    got = {
+        r["g"]: (r["n_rows"], float(r["total"]))
+        for r in maintain_count_sum(old, new, ["k"], "g", "v").collect()
+    }
+    direct = {
+        r["g"]: (r["n"], float(r["s"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == direct
+    assert got["g1"] == (2, 56.0)  # moved row lands in its NEW group
+
+
+def test_maintain_count_sum_drops_emptied_groups(spark):
+    from quantms_utils_spark.operators.diff import maintain_count_sum
+
+    old = spark.createDataFrame([(1, "g1", 10.0)], "k long, g string, v double")
+    new = spark.createDataFrame([], "k long, g string, v double")
+    assert maintain_count_sum(old, new, ["k"], "g", "v").count() == 0
