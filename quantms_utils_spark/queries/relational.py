@@ -993,9 +993,14 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quantms_utils_spark.operators.joins import interval_overlap_join
 
     e = load(spark, sf_dir, "events")
-    sec = F.col("ts").cast("double")
+    # integer MICROSECONDS, not float seconds: the per-viewer overlap sum
+    # adds ~10^3 terms, and float-second accumulation error flips the
+    # 3-decimal rounding on ~0.5% of rows at sf0.1 — long-µs sums are exact
+    # (≲ 10^16 « 2^63) and both engines derive the identical quotient
+    usec = F.unix_micros(F.col("ts"))
     iv = e.groupBy("user_id", "event_type").agg(
-        F.min(sec).alias("lo"), F.max(sec).alias("hi")
+        F.min(usec).cast("double").alias("lo"),
+        F.max(usec).cast("double").alias("hi"),
     )
     views = iv.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("user_a"), "lo", "hi"
@@ -1004,20 +1009,22 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_b"), "lo", "hi"
     )
     pairs = interval_overlap_join(
-        views, buys, lo_col="lo", hi_col="hi", bin_width=7 * 86400.0
+        views, buys, lo_col="lo", hi_col="hi", bin_width=7 * 86400.0 * 1e6
     ).where(F.col("user_a") != F.col("user_b_r"))
-    ov = F.least(F.col("hi"), F.col("hi_r")) - F.greatest(
-        F.col("lo"), F.col("lo_r")
-    )
+    ov = (
+        F.least(F.col("hi"), F.col("hi_r"))
+        - F.greatest(F.col("lo"), F.col("lo_r"))
+    ).cast("long")
     return pairs.groupBy(F.col("user_a").cast("long").alias("user_a")).agg(
         F.count(F.lit(1)).alias("n_partners"),
-        F.round(F.sum(ov), 3).alias("overlap_seconds"),
+        F.round(F.sum(ov) / F.lit(1000000.0), 3).alias("overlap_seconds"),
     )
 
 
 INTERVAL_OVERLAP_SQL = """
 WITH iv AS (
-  SELECT user_id, event_type, min(epoch(ts)) AS lo, max(epoch(ts)) AS hi
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
   FROM events GROUP BY user_id, event_type
 ), v AS (
   SELECT user_id AS ua, lo, hi FROM iv WHERE event_type = 'view'
@@ -1026,7 +1033,8 @@ WITH iv AS (
   WHERE event_type = 'purchase'
 )
 SELECT CAST(ua AS BIGINT) AS user_a, CAST(count(*) AS BIGINT) AS n_partners,
-       round(sum(least(hi, hi_r) - greatest(lo, lo_r)), 3) AS overlap_seconds
+       round(sum(least(hi, hi_r) - greatest(lo, lo_r)) / 1000000.0, 3)
+         AS overlap_seconds
 FROM v JOIN p ON lo <= hi_r AND lo_r <= hi AND ua <> ub
 GROUP BY ua
 """
