@@ -124,7 +124,10 @@ def maintain_count_sum(
     inserted/updated rows add their new one — an update that MOVES a row
     between groups is handled for free because retraction uses the old
     row's group and addition the new row's. The changed-key set is
-    O(delta), so both contribution joins broadcast it at scale. Sums run
+    O(delta); the contribution joins are left to AQE, which broadcasts it
+    while it is small and falls back to a shuffle join when a bulk update
+    makes the delta table-sized (a forced broadcast would OOM the driver
+    exactly then). Sums run
     in DECIMAL(18,2) so the incremental path is bit-equal to a direct
     rebuild (float summation order would differ).
 
@@ -138,16 +141,14 @@ def maintain_count_sum(
         F.count(F.lit(1)).alias("n_rows"), F.sum(dec).alias("total")
     )
     retract = old.join(
-        F.broadcast(changed.filter(F.col("status").isin("deleted", "updated"))),
-        keys,
+        changed.filter(F.col("status").isin("deleted", "updated")), keys
     ).select(
         F.col(group_col),
         F.lit(-1).cast("long").alias("dn"),
         (-dec).alias("ds"),
     )
     add = new.join(
-        F.broadcast(changed.filter(F.col("status").isin("inserted", "updated"))),
-        keys,
+        changed.filter(F.col("status").isin("inserted", "updated")), keys
     ).select(
         F.col(group_col),
         F.lit(1).cast("long").alias("dn"),
