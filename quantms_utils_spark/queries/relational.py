@@ -1250,8 +1250,156 @@ GROUP BY o_custkey
 """
 
 
+def supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped blame analysis — the hardest classic relational shape
+    (EXISTS + NOT EXISTS against the same fact): suppliers who were the
+    ONLY late-delivering supplier on a multi-supplier order ("late" =
+    shipped more than 90 days after the order date — the synthetic schema
+    has no receipt/commit dates). Spark-first: both correlated subqueries
+    become per-orderkey aggregates computed in ONE pass over the
+    fact-joined lineitem (count distinct suppliers, count distinct LATE
+    suppliers), then a single equi-join back — the double self-join the
+    SQL implies collapses to one shuffle + one join. Top-10 by blame
+    count."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blamed = (
+        l.filter(late)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        blamed.join(broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+SUPPLIER_WAIT_BLAME_SQL = """
+WITH fact AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                             THEN l_suppkey END) AS n_late_supp
+  FROM fact GROUP BY l_orderkey
+), blamed AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM fact f
+  JOIN per_order p ON f.l_orderkey = p.l_orderkey
+  WHERE f.l_shipdate > f.o_orderdate + INTERVAL 90 DAY
+    AND p.n_supp > 1 AND p.n_late_supp = 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped correlated minimum — "the supplier offering each part at
+    its minimum cost" — WITHOUT the correlated subquery: a min window over
+    partition(p_partkey) ranks every (part, supplier) offer in the same
+    shuffle that would have computed the join, then one equality filter.
+    The synthetic schema has no partsupp table, so the offer cost is a
+    deterministic md5-derived function of (partkey, suppkey) both engines
+    recompute. The offer predicate (p_partkey + s_suppkey) % 7 = 0 is a
+    THETA join as written, but factors into an equi-join on the derived
+    residue class — p % 7 = (7 - s % 7) % 7 — so it plans as a broadcast
+    HASH join, not a nested loop (pinned below by the oracle row set).
+    Top-20 parts by id."""
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    offers = (
+        p.select("p_partkey")
+        .join(
+            broadcast(s.select("s_suppkey", "s_name")),
+            F.pmod(F.col("p_partkey"), F.lit(7))
+            == F.pmod(
+                F.lit(7) - F.pmod(F.col("s_suppkey"), F.lit(7)), F.lit(7)
+            ),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("p_partkey").cast("string"),
+                                F.lit("/"),
+                                F.col("s_suppkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100000
+            ).alias("cost_cents"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    best = offers.withColumn(
+        "min_cost", F.min("cost_cents").over(w)
+    ).filter(F.col("cost_cents") == F.col("min_cost"))
+    return (
+        best.select("p_partkey", "s_suppkey", "s_name", "cost_cents")
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH offers AS (
+  SELECT p_partkey, s_suppkey, s_name,
+         ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '/'
+                         || CAST(s_suppkey AS VARCHAR)), 1, 6))::BIGINT
+           % 100000 AS cost_cents
+  FROM part JOIN supplier ON p_partkey % 7 = (7 - s_suppkey % 7) % 7
+), best AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM offers
+)
+SELECT p_partkey, s_suppkey, s_name, cost_cents
+FROM best WHERE cost_cents = min_cost
+ORDER BY p_partkey, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
+    "supplier_wait_blame": (supplier_wait_blame, SUPPLIER_WAIT_BLAME_SQL),
+    "cheapest_supplier_per_part": (
+        cheapest_supplier_per_part,
+        CHEAPEST_SUPPLIER_SQL,
+    ),
     "event_anomaly_mad": (event_anomaly_mad, EVENT_ANOMALY_MAD_SQL),
     "event_scd2_intervals": (event_scd2_intervals, EVENT_SCD2_SQL),
     "table_skew_report": (table_skew_report, TABLE_SKEW_SQL),

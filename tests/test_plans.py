@@ -522,3 +522,16 @@ def test_scd2_two_windows_one_exchange_one_sort(spark):
     plan = explain_str(event_scd2_intervals(spark, SF), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_cheapest_supplier_theta_join_factored_to_hash(spark):
+    """The (p+s) % 7 = 0 offer predicate must plan as a broadcast HASH join
+    on the derived residue class — not a nested loop over part x supplier."""
+    from quantms_utils_spark.queries.relational import (
+        cheapest_supplier_per_part,
+    )
+
+    plan = explain_str(cheapest_supplier_per_part(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
