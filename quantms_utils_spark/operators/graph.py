@@ -27,7 +27,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degree_stats"]
+__all__ = ["pagerank", "degree_stats", "label_propagation"]
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each round it adopts the most frequent
+    label among its neighbors (undirected — each edge counts both ways),
+    ties broken toward the SMALLEST label so every round is deterministic
+    (the fixed tie-break is what makes an unrolled-SQL oracle possible);
+    isolated nodes keep their label. Fixed iteration count — classic LPA
+    oscillates, so callers pick the budget.
+
+    Per round: one join of the (symmetrized, persisted) edge list with the
+    |V|-row label vector, one (node, label) count aggregate, one per-node
+    window top-1. Same asset discipline as :func:`pagerank` — edges are
+    partitioned once, labels are the only per-round shuffle.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    und = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v"))
+        )
+        .repartition("__v")
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("label"))
+    from pyspark.sql import Window
+
+    for it in range(iterations):
+        neigh = und.join(
+            labels, und["__v"] == labels[id_col]
+        ).select(F.col("__u"), F.col("label"))
+        counted = neigh.groupBy("__u", "label").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = Window.partitionBy("__u").orderBy(
+            F.col("__cnt").desc(), F.col("label").asc()
+        )
+        top = (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__u"), F.col("label").alias("__new"))
+        )
+        labels = (
+            nodes.join(top, nodes[id_col] == top["__u"], "left")
+            .select(
+                nodes[id_col],
+                F.coalesce(F.col("__new"), nodes[id_col]).alias("label"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
 
 
 def pagerank(

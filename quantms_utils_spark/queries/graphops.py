@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from quantms_utils_spark.operators.graph import degree_stats, pagerank
+from quantms_utils_spark.operators.graph import (
+    degree_stats,
+    label_propagation,
+    pagerank,
+)
 from quantms_utils_spark.tables import load
 
 _DAMPING = 0.85
@@ -139,7 +143,52 @@ SELECT * FROM outd UNION ALL SELECT * FROM ind
 """
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round synchronous label propagation over the derived doc-link
+    graph (operators.graph.label_propagation) — community detection with
+    the deterministic smallest-label tie-break, which is exactly what lets
+    the oracle UNROLL both rounds (neighbor join → count → window top-1 →
+    left-join default) and value-check every node's final label."""
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    return label_propagation(_edges(spark, sf_dir), nodes, iterations=2)
+
+
+def _lpa_round_sql(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""n{k} AS (
+  SELECT u.u AS id, l.label, count(*) AS cnt
+  FROM und u JOIN {prev} l ON l.id = u.v
+  GROUP BY 1, 2
+), t{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM n{k}
+  ) WHERE rn = 1
+), l{k} AS (
+  SELECT d.doc_id AS id, coalesce(t.label, d.doc_id) AS label
+  FROM documents d LEFT JOIN t{k} t ON t.id = d.doc_id
+)"""
+
+
+GRAPH_LPA_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL
+  SELECT dst AS u, src AS v FROM edges
+),
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+{_lpa_round_sql(1)},
+{_lpa_round_sql(2)}
+SELECT id, label FROM l2
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
+    "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
 }

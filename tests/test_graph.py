@@ -87,3 +87,55 @@ def test_degree_stats_histogram(spark):
         ("in", 2): 1,
         ("in", 1): 2,
     }
+
+
+def test_label_propagation_two_triangles(spark):
+    # two triangles joined by one bridge edge: after 2 rounds each triangle
+    # converges to its minimum member's label
+    from quantms_utils_spark.operators.graph import label_propagation
+
+    e = _edges(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+    )
+    n = _nodes(spark, range(6))
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, n, iterations=2).collect()
+    }
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[4] == labels[5]
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    # a 2-cycle oscillates under synchronous LPA (documented): odd rounds
+    # swap the pair's labels, even rounds restore them; the isolated node
+    # keeps its own label at any budget
+    from quantms_utils_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(0, 1)])
+    n = _nodes(spark, [0, 1, 9])
+    odd = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, n, iterations=3).collect()
+    }
+    even = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, n, iterations=2).collect()
+    }
+    assert odd[9] == 9 and even[9] == 9
+    assert odd[0] == 1 and odd[1] == 0
+    assert even[0] == 0 and even[1] == 1
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    # node 2 has neighbors 0 and 1 (one edge each): tie -> label 0
+    from quantms_utils_spark.operators.graph import label_propagation
+
+    e = _edges(spark, [(0, 2), (1, 2)])
+    n = _nodes(spark, [0, 1, 2])
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, n, iterations=1).collect()
+    }
+    assert labels[2] == 0
