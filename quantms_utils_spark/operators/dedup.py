@@ -938,3 +938,69 @@ def estimate_prefix_candidates(
         sample, id_col, text_col, threshold=threshold, shingle_n=shingle_n
     )
     return cand.count() / (fraction * fraction)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment |A∩B| / |A| ≥ threshold —
+    the quote/subset case symmetric Jaccard misses by construction: a
+    paragraph lifted into a much longer document scores near-zero Jaccard
+    but containment 1.0. No length filter can prune candidates here (a tiny
+    document may be contained in any large one), so candidate generation is
+    the df-capped inverted-shingle join (the winnowing-family discipline):
+    pairs must share at least one shingle with document frequency
+    ≤ ``max_df``. That cap is the documented contract — a pair overlapping
+    ONLY in ubiquitous shingles is not a candidate (and at threshold-worthy
+    containment of a ≥ ``shingle_n``-word quote, rare shingles exist in
+    practice). Verify computes the TRUE intersection over all shingles for
+    candidates only.
+
+    Directed output: (doc_small, doc_host, containment) — one row per
+    ordered pair with containment of doc_small in doc_host. Two shuffles
+    for candidates (df window + pair distinct), O(candidates) verify.
+    """
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    w_df = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= max_df)
+        .select(id_col, "shingle")
+    )
+    a = rare.select(F.col(id_col).alias("_ia"), "shingle")
+    b = rare.select(F.col(id_col).alias("_ib"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    sets_ = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_set"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sa = sets_.select(
+        F.col(id_col).alias("_ia"), F.col("_set").alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    sb = sets_.select(
+        F.col(id_col).alias("_ib"), F.col("_set").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "_ia")
+        .join(sb, "_ib")
+        .withColumn("containment", inter / F.col("_na"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("_ia").alias("doc_small"),
+            F.col("_ib").alias("doc_host"),
+            F.round("containment", 4).alias("containment"),
+        )
+    )

@@ -53,7 +53,7 @@ _FRONT = [
     "text_char_entropy", "event_anomaly_mad",  # new in round 3 (late)
     "incremental_view_refresh",  # new in round 3 (late)
     "supplier_wait_blame", "cheapest_supplier_per_part",  # new in round 3 (late)
-    "graph_label_propagation",  # new in round 3 (late)
+    "graph_label_propagation", "dedup_containment_pairs",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

@@ -539,7 +539,59 @@ FROM c, t, h
 )
 
 
+
+
+def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators.dedup.containment_pairs,
+    |A∩B|/|A| >= 0.8): the quote/subset detector symmetric Jaccard misses —
+    a lifted paragraph scores near-zero Jaccard but containment ~1.
+    Candidates from the df-capped inverted-shingle join (the documented
+    cap contract: a pair overlapping only in ubiquitous shingles is not a
+    candidate), exact intersection verify on candidates only. The oracle
+    replicates BOTH stages, cap included."""
+    from quantms_utils_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", threshold=0.8, shingle_n=3, max_df=50
+    )
+
+
+CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), rare AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfreq USING (shingle)
+  WHERE df <= 50
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.ia, c.ib, count(*) AS nc
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.ia
+  JOIN sh b ON b.doc_id = c.ib AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT ia AS doc_small, ib AS doc_host,
+       round(nc / CAST(sa.n AS DOUBLE), 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = ia
+WHERE nc / CAST(sa.n AS DOUBLE) >= 0.8
+"""
+
+
 QUERIES = {
+    "dedup_containment_pairs": (containment, CONTAINMENT_SQL),
     "dedup_lsh_recall_report": (lsh_recall_report, LSH_RECALL_REPORT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (incremental, INCREMENTAL_SQL),
