@@ -204,7 +204,7 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 
 def assign_to_centroids(
-    vec_col: str, centroids: list[tuple[int, list[float]]]
+    vec_col: str | Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """Nearest-centroid id as a Catalyst expression: per-centroid squared
     distances folded into ``array_min`` over (distance, cid) structs — struct
@@ -221,7 +221,8 @@ def assign_to_centroids(
 
     # let-bound: the cast array is referenced by every centroid's distance
     # fold — unbound it would be re-cast k times per row
-    return let_once(_to_double(F.col(vec_col)), _argmin)
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return let_once(_to_double(vec), _argmin)
 
 
 def kmeans_train(
@@ -759,3 +760,94 @@ def kmeans_train_fast(
             for c, (n, s) in sorted(agg.items())
         ]
     return centroids
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    id_col: str = "vec_id",
+    dim: int,
+    n_subspaces: int,
+    k: int,
+    n_iter: int = 2,
+    round_decimals: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the vector into
+    ``n_subspaces`` contiguous sub-vectors and train an independent
+    k-means codebook per subspace (:func:`kmeans_train` — driver-held
+    centroids, map-only assignment, one partial-aggregated shuffle per
+    iteration). Init per subspace = the sub-vectors of ids < k
+    (deterministic, the IVF seeding rule); per-update rounding keeps every
+    codebook oracle-reproducible. Returns one centroid list per subspace.
+
+    Total driver state is n_subspaces × k × (dim/n_subspaces) doubles —
+    the whole point of PQ: an 8-byte-ish code per vector referencing
+    codebooks that fit anywhere."""
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must divide evenly into subspaces")
+    sub_d = dim // n_subspaces
+    books: list[list[tuple[int, list[float]]]] = []
+    vec = _to_double(F.col(vec_col))
+    for m in range(n_subspaces):
+        sub = df.select(
+            F.col(id_col), F.slice(vec, m * sub_d + 1, sub_d).alias("_sub")
+        )
+        init_rows = sub.filter(F.col(id_col) < k).collect()
+        init = [
+            (int(r[id_col]), [float(x) for x in r["_sub"]])
+            for r in sorted(init_rows, key=lambda r: r[id_col])
+        ]
+        books.append(
+            kmeans_train(
+                sub, "_sub", init, n_iter=n_iter, round_decimals=round_decimals
+            )
+        )
+    return books
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    books: list[list[tuple[int, list[float]]]],
+    *,
+    id_col: str = "vec_id",
+    dim: int,
+) -> DataFrame:
+    """Assign every vector its PQ code word: per subspace, the nearest
+    codebook centroid (struct-fold argmin — pure codegen, map-only, no
+    shuffle). Output: (id, code_0..code_{M-1})."""
+    sub_d = dim // len(books)
+    vec = _to_double(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for m, book in enumerate(books):
+        sub = F.slice(vec, m * sub_d + 1, sub_d)
+        cols.append(assign_to_centroids(sub, book).alias(f"code_{m}"))
+    return df.select(*cols)
+
+
+def pq_adc_score(
+    books: list[list[tuple[int, list[float]]]],
+    query: list[float],
+) -> Column:
+    """Asymmetric-distance (ADC) squared-L2 approximation as a pure
+    Catalyst expression over the code columns: per subspace a
+    code→distance literal map (k entries, computed driver-side from the
+    query sub-vector), summed across subspaces — scanning codes only, the
+    vectors never load. The map entries are plain Python float sums in
+    subspace-dim order so an engine replicating the same arithmetic gets
+    identical doubles."""
+    n_sub = len(books)
+    sub_d = len(query) // n_sub
+    total: Column | None = None
+    for m, book in enumerate(books):
+        q_sub = query[m * sub_d : (m + 1) * sub_d]
+        entries: list[Column] = []
+        for cid, cent in book:
+            d = 0.0
+            for a, b in zip(q_sub, cent):
+                d += (a - b) * (a - b)
+            entries.extend([F.lit(int(cid)), F.lit(float(d))])
+        lookup = F.create_map(*entries)[F.col(f"code_{m}")]
+        total = lookup if total is None else total + lookup
+    return total

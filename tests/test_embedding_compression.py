@@ -106,3 +106,76 @@ def test_ann_batch_topk_matches_per_query_bruteforce(spark):
         want = list(np.argsort(-s, kind="stable")[:5])
         got = list(out[out["q_id"] == q].sort_values("rank")["vec_id"])
         assert got == want, (q, got, want)
+
+
+class TestProductQuantization:
+    def _books(self, spark):
+        from quantms_utils_spark.operators.similarity import pq_train
+        from quantms_utils_spark.tables import load
+
+        e = load(spark, "/root/testdata/sf0.001", "embeddings")
+        return e, pq_train(
+            e, "embedding", dim=64, n_subspaces=4, k=8, n_iter=2
+        )
+
+    def test_codes_in_range_and_duplicates_share_codes(self, spark):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.similarity import pq_codes
+
+        e, books = self._books(spark)
+        # duplicate vec 0 under a new id: codes must be identical
+        dup = e.filter(F.col("vec_id") == 0).select(
+            F.lit(999999).alias("vec_id"), "embedding", "label"
+        )
+        codes = pq_codes(
+            e.unionByName(dup), "embedding", books, dim=64
+        ).collect()
+        by_id = {r["vec_id"]: tuple(r[f"code_{m}"] for m in range(4)) for r in codes}
+        for cs in by_id.values():
+            assert all(0 <= c < 8 for c in cs)
+        assert by_id[0] == by_id[999999]
+
+    def test_adc_prefers_the_query_itself(self, spark):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.similarity import (
+            pq_adc_score,
+            pq_codes,
+        )
+
+        e, books = self._books(spark)
+        q = e.filter(F.col("vec_id") == 7).collect()[0]
+        query = [float(x) for x in q["embedding"]]
+        scored = (
+            pq_codes(e, "embedding", books, dim=64)
+            .select("vec_id", pq_adc_score(books, query).alias("d"))
+            .orderBy("d", "vec_id")
+            .collect()
+        )
+        # the query vector itself must land in the nearest handful (its own
+        # codes reconstruct it best up to quantization)
+        top_ids = [r["vec_id"] for r in scored[:5]]
+        assert 7 in top_ids
+
+    def test_pq_codes_is_map_only(self, spark):
+        from quantms_utils_spark.operators.similarity import pq_codes
+
+        e, books = self._books(spark)
+        plan = (
+            pq_codes(e, "embedding", books, dim=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_pq_train_rejects_uneven_split(self, spark):
+        import pytest as _pytest
+
+        from quantms_utils_spark.operators.similarity import pq_train
+        from quantms_utils_spark.tables import load
+
+        e = load(spark, "/root/testdata/sf0.001", "embeddings")
+        with _pytest.raises(ValueError, match="divide"):
+            pq_train(e, "embedding", dim=64, n_subspaces=5, k=4)
