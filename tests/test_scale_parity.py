@@ -31,6 +31,10 @@ ALWAYS_ON = [
 # test (its tests/test_commands.py marks the large-scale case "run locally").
 SCALE_SENSITIVE = [
     "graph_pagerank",
+    "graph_label_propagation",
+    "dedup_containment_pairs",
+    "ann_pq_codes",
+    "supplier_wait_blame",
     "text_inverted_index",
     "dedup_lsh_recall_report",
     "rag_chunk_retrieve",
