@@ -1393,8 +1393,57 @@ LIMIT 20
 """
 
 
+def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value`
+    (α = 0.3) — a RECURSIVE per-key fold no window frame can express
+    (each state depends on the previous state, not a fixed frame).
+    Spark-first: one shuffle groups each user's (ts, event_id, value)
+    structs, sort_array orders them in-row, and a pure-Catalyst
+    F.aggregate folds the tail onto the head (seeded with the first
+    element) — per-group O(n), no Python, no driver iteration. DuckDB's
+    list_reduce replays the identical left fold in the identical order,
+    so the doubles agree before rounding. At whale-key scale the
+    per-group array is the bound to watch — a hot-key corpus would
+    pre-aggregate to coarser ticks first."""
+    from quantms_utils_spark.functions.core import let_once
+
+    e = load(spark, sf_dir, "events")
+    alpha = 0.3
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_seq"),
+    )
+    vals_expr = F.transform(F.col("_seq"), lambda st: st["value"])
+
+    def _fold(vals):
+        return F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+        )
+
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(let_once(vals_expr, _fold), 6).alias("ewma"),
+    )
+
+
+EVENT_EWMA_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
+    "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
     "supplier_wait_blame": (supplier_wait_blame, SUPPLIER_WAIT_BLAME_SQL),
     "cheapest_supplier_per_part": (
         cheapest_supplier_per_part,
