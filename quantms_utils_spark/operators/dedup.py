@@ -1004,3 +1004,79 @@ def containment_pairs(
             F.round("containment", 4).alias("containment"),
         )
     )
+
+
+def simhash_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash64",
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from 64-bit SimHash fingerprints at Hamming distance
+    ≤ ``max_hamming`` via pigeonhole banding: split the fingerprint into
+    ``n_bands`` equal bit bands — any pair within distance n_bands−1 must
+    agree EXACTLY on at least one band (≤ n_bands−1 differing bits cannot
+    touch every band), so candidates come from a band-value equi-join and
+    only candidates pay the bit_count(xor) verify. Exact (no false
+    negatives) whenever ``max_hamming < n_bands``; a larger budget needs
+    more bands — enforced.
+
+    The fingerprint frame feeds three consumers (banding + both verify
+    sides) and Catalyst shares no subplans across a self-join, so it is
+    persisted here — for SimHash the upstream is an Arrow UDF over the
+    whole corpus, the one thing you never want recomputed 3x.
+    Arithmetic-shift + mask band extraction matches any engine's signed
+    64-bit semantics, which is what lets the DuckDB oracle re-derive the
+    bands from its HUGEINT-built fingerprints.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "pigeonhole banding needs max_hamming < n_bands (k differing "
+            "bits can otherwise touch every band)"
+        )
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    fps = fps.select(F.col(id_col), F.col(fp_col)).persist()
+    bands = fps.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(fp_col), b * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b", "_bv"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x._b") == F.col("y._b"))
+            & (F.col("x._bv") == F.col("y._bv"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col(id_col).alias("doc_a"), F.col(fp_col).alias("_fa")
+    )
+    fb = fps.select(
+        F.col(id_col).alias("doc_b"), F.col(fp_col).alias("_fb")
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

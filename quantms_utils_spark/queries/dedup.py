@@ -590,7 +590,70 @@ WHERE nc / CAST(sa.n AS DOUBLE) >= 0.8
 """
 
 
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at Hamming ≤ 3 (operators.dedup.simhash_pairs):
+    pigeonhole 16-bit banding makes candidates a band-value equi-join —
+    exact for max_hamming < n_bands — and only candidates pay the
+    bit_count(xor) verify. The oracle rebuilds the fingerprints with the
+    HUGEINT nibble arithmetic of `dedup_simhash`, re-derives the bands with
+    the same arithmetic-shift+mask, and replays the pigeonhole join."""
+    from quantms_utils_spark.operators.dedup import simhash_pairs
+
+    fps = simhash_fingerprints(spark, sf_dir)
+    return simhash_pairs(fps, "doc_id", "simhash64", max_hamming=3, n_bands=4)
+
+
+SIMHASH_PAIRS_SQL = """
+
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), hx AS (
+  SELECT doc_id, substr(md5(tok), 1, 16) AS hex FROM toks2
+), hv AS (
+  -- big-endian uint64 of the first 8 md5 bytes, via per-nibble arithmetic
+  SELECT doc_id,
+    (SELECT sum((strpos('0123456789abcdef', substr(hex, i, 1)) - 1)::HUGEINT
+                << (4 * (16 - i)))
+     FROM generate_series(1, 16) g(i)) AS h
+  FROM hx
+), bits AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS s
+  FROM hv, generate_series(0, 63) t(b)
+), acc AS (
+  SELECT doc_id, b, sum(s) AS a FROM bits GROUP BY 1, 2
+), v AS (
+  SELECT doc_id, sum(CASE WHEN a > 0 THEN 1::HUGEINT << b ELSE 0 END) AS u
+  FROM acc GROUP BY doc_id
+)
+, fp AS (
+  SELECT doc_id,
+       CAST(CASE WHEN u >= (1::HUGEINT << 63) THEN u - (1::HUGEINT << 64)
+                 ELSE u END AS BIGINT) AS simhash64
+FROM v
+), bands AS (
+  SELECT doc_id, b, (simhash64 >> (16 * b)) & 65535 AS bv
+  FROM fp, generate_series(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.simhash64, fb.simhash64)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash64, fb.simhash64)) <= 3
+"""
+
+
 QUERIES = {
+    "dedup_simhash_pairs": (simhash_hamming_pairs, SIMHASH_PAIRS_SQL),
     "dedup_containment_pairs": (containment, CONTAINMENT_SQL),
     "dedup_lsh_recall_report": (lsh_recall_report, LSH_RECALL_REPORT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

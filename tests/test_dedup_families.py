@@ -290,3 +290,36 @@ def test_estimate_prefix_candidates_tracks_truth(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         estimate_prefix_candidates(df, "doc_id", "text", fraction=0.0)
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Constructed fingerprints: pairs within hamming<=3 are found exactly;
+    a pair at distance 4 spread across all four bands is correctly absent
+    from candidates; max_hamming >= n_bands is rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.dedup import simhash_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, signed(base)),
+        (2, signed(base ^ 0b101)),      # hamming 2, same band differs
+        (3, signed(base ^ (1 << 63))),  # hamming 1 in the top band
+        # hamming 4, one flipped bit in EACH 16-bit band -> no shared band
+        (4, signed(base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48)))),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash64 long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(fps, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 3
+    assert (1, 4) not in got  # correct: distance 4 exceeds the budget
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(fps, max_hamming=4, n_bands=4)
