@@ -1441,9 +1441,93 @@ GROUP BY user_id
 """
 
 
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join under the correctness gate: events (the skewed big
+    side — event_type is a classic hot key) equi-join a tiny event_type
+    weight dim through operators.skew.salted_join (big side seeded-salted
+    into 8 sub-keys, small side exploded across salts), then aggregate
+    weighted value per type. The ORACLE is the PLAIN join+aggregate —
+    hash equality IS the row-identity guarantee salting must preserve.
+    Weighted sums run in DECIMAL so salt-dependent partial-sum order
+    cannot drift the float result."""
+    from quantms_utils_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 10), ("signup", 5),
+         ("error", -3)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(e, dim, on=["event_type"], n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("v") * F.col("weight")).cast("double"), 4
+            ).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT * FROM (VALUES ('view', 1), ('click', 2), ('purchase', 10),
+                        ('signup', 5), ('error', -3)) AS t(event_type, weight)
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)) * weight) AS DOUBLE), 4)
+         AS weighted_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def event_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each event_type's share of total value — the
+    percent-of-total window over the AGGREGATED frame (rows = distinct
+    types), so the window costs nothing; sums in DECIMAL for an exact
+    numerator/denominator before the one rounded division."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("tot")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "event_type",
+        F.round(F.col("tot").cast("double"), 4).alias("type_value"),
+        F.round(
+            (F.col("tot") / F.sum("tot").over(w)).cast("double"), 6
+        ).alias("share"),
+    ).orderBy("event_type")
+
+
+EVENT_TYPE_SHARE_SQL = """
+WITH agg AS (
+  SELECT event_type, sum(CAST(value AS DECIMAL(18,6))) AS tot
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(CAST(tot AS DOUBLE), 4) AS type_value,
+       round(CAST(tot / sum(tot) OVER () AS DOUBLE), 6) AS share
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
+    "skew_salted_join_agg": (skew_salted_join_agg, SKEW_SALTED_JOIN_SQL),
+    "event_type_revenue_share": (
+        event_type_revenue_share,
+        EVENT_TYPE_SHARE_SQL,
+    ),
     "supplier_wait_blame": (supplier_wait_blame, SUPPLIER_WAIT_BLAME_SQL),
     "cheapest_supplier_per_part": (
         cheapest_supplier_per_part,
