@@ -28,12 +28,18 @@ def write_bucketed(
     key: str | Sequence[str],
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table."""
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+    ``path`` makes it an external table at that location (keeps artifacts
+    out of the session warehouse dir — the oracle-gated query uses a
+    tempdir)."""
     keys = [key] if isinstance(key, str) else list(key)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

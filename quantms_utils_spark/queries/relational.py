@@ -1441,6 +1441,60 @@ GROUP BY user_id
 """
 
 
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed exchange-free join under the correctness gate: lineitem
+    and orders are WRITTEN as identically-bucketed catalog tables (8
+    buckets on the join key, bucket-sorted, external path in a tempdir —
+    operators.bucketing.write_bucketed), then sort-merge-joined with no
+    Exchange on either side (plan pinned in tests/test_bucketing.py) and
+    aggregated to revenue per order priority. The oracle is the plain
+    join+aggregate over the original parquet — hash equality proves the
+    bucketed write→read→join path loses/duplicates nothing. This is the
+    shuffle-once-at-write-time amortization every repeated fact⋈fact
+    workload buys at 100 TB."""
+    import tempfile
+
+    from quantms_utils_spark.operators.bucketing import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (1 - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS bj_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bj_orders")
+    write_bucketed(l, "bj_lineitem", 8, "l_orderkey", path=base + "/l")
+    write_bucketed(o, "bj_orders", 8, "o_orderkey", path=base + "/o")
+    j = spark.table("bj_lineitem").join(
+        spark.table("bj_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted join under the correctness gate: events (the skewed big
     side — event_type is a classic hot key) equi-join a tiny event_type
@@ -1523,6 +1577,7 @@ ORDER BY event_type
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
+    "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_SQL),
     "skew_salted_join_agg": (skew_salted_join_agg, SKEW_SALTED_JOIN_SQL),
     "event_type_revenue_share": (
         event_type_revenue_share,
