@@ -57,7 +57,7 @@ _FRONT = [
     "ann_pq_codes", "ann_pq_topk",  # new in round 3 (late)
     "event_value_ewma", "dedup_simhash_pairs",  # new in round 3 (late)
     "skew_salted_join_agg", "event_type_revenue_share",  # new in round 3 (late)
-    "bucketed_join_revenue",  # new in round 3 (late)
+    "bucketed_join_revenue", "text_top_terms",  # new in round 3 (late)
     "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
     "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
     "layout_compaction_plan",  # new in round 3

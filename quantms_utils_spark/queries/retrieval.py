@@ -388,3 +388,65 @@ LIMIT 10
 
 
 QUERIES["text_more_like_this"] = (more_like_this, MORE_LIKE_THIS_SQL)
+
+
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF weight
+    (rounded before ranking, term tiebreak — engine-deterministic), from
+    the same posting weights the more-like-this query scores with. One
+    window per doc partition over the postings — never a global sort; at
+    corpus scale this is the keywords column written at ingest. Bounded
+    slice (doc_id < 100) keeps the demonstration row count tight."""
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    post = inverted_postings(d, id_col="doc_id", text_col="text", min_df=1)
+    n_dim = d.agg(F.count(F.lit(1)).alias("__n"))
+    wpost = post.crossJoin(F.broadcast(n_dim)).select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+        ).alias("w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term")
+    )
+    return (
+        wpost.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "w")
+    )
+
+
+TOP_TERMS_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM d
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS t
+  FROM norm
+), pos AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), wpost AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT count(*) FROM d) / CAST(df AS DOUBLE)), 6) AS w
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, rnk, term, w FROM (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rnk
+  FROM wpost
+) WHERE rnk <= 3
+"""
+
+
+QUERIES["text_top_terms"] = (top_terms_per_doc, TOP_TERMS_SQL)
