@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degree_stats", "label_propagation"]
+__all__ = ["pagerank", "degree_stats", "label_propagation", "triangle_count"]
 
 
 def label_propagation(
@@ -182,3 +182,78 @@ def degree_stats(
         .select(F.lit("in").alias("direction"), "degree", "n_vertices")
     )
     return out_deg.unionByName(in_deg)
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an (arbitrary, possibly directed/multi)
+    edge list, treated as a simple undirected graph: one row with
+    ``n_edges`` (canonical undirected, self-loops dropped), ``n_wedges``
+    (open two-paths, Σ_v C(deg v, 2)), ``n_triangles``, and the global
+    clustering coefficient 3·triangles/wedges.
+
+    Spark shape — the standard two-join MR triangle algorithm on the
+    ID-ORIENTED edge list (every edge stored once as u<v, every triangle
+    a<b<c counted exactly once):
+
+    - wedges come from a DEGREE AGGREGATE, not a join (Σ C(d,2) — one
+      hash aggregate over the canonical edge list, both directions);
+    - triangles are one self-join on the wedge pivot (``a<b`` ⋈ ``b<c``)
+      followed by one semi-join probing the closing edge ``(a, c)`` — the
+      wedge stream never materializes beyond the shuffle, and the probe
+      side ships only (a, c) pairs.
+
+    At web scale the classic refinement is to orient edges from
+    low-degree to high-degree vertex instead of by id (caps the pivot
+    fan-out at O(sqrt(|E|)) per vertex, which tames power-law hubs); the
+    id orientation keeps this oracle-replayable and is fine for bounded-
+    degree graphs like the doc-link fixture. The census row is the
+    pre-flight community-structure scan next to `degree_stats` — a
+    near-zero coefficient says LPA will find nothing worth the rounds.
+    """
+    canon = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("x"))
+        .unionByName(canon.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            canon,
+            (F.col("a") == canon["u"]) & (F.col("c") == canon["v"]),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

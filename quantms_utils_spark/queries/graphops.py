@@ -187,8 +187,49 @@ SELECT id, label FROM l2
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census (operators.graph.triangle_count) of the
+    derived doc-link graph: canonical undirected edges, wedge count from
+    the degree aggregate (never a join), triangles via the two-join MR
+    algorithm on the id-oriented edge list, global clustering coefficient.
+    The oracle replays the identical canonicalization + joins, so a
+    double-counted triangle, a surviving self-loop, or a wedge formula
+    slip all hash-mismatch."""
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir))
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY 1
+),
+wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM canon e1
+  JOIN canon e2 ON e2.u = e1.v
+  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ne AS (SELECT count(*) AS n_edges FROM canon)
+SELECT n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0 END, 6)
+         AS clustering_coeff
+FROM ne, wedges, tri
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
+    "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLES_SQL),
 }
