@@ -1,0 +1,119 @@
+"""Event-path / sequence analytics over the events stream table: Markov
+transition matrices and rolling-window distinct counts.
+
+Both are classic clickstream questions the reference's tabular surface
+cannot ask but a 100 TB event store needs daily. Scale shapes:
+
+- Transitions: the lag() shuffle is partitionBy(user) — state per key is
+  one user's history; the probability normalization is a window over the
+  AGGREGATED (from, to) matrix, |types|² rows, never the event stream.
+- Rolling distinct: the trailing-window distinct-count is re-expressed as
+  a bounded covering EXPLODE (each (hour, user) row covers the w hours it
+  can influence) + one distinct + one count — an equi-join-shaped plan
+  instead of the range self-join a naive TRAILING WINDOW DISTINCT needs.
+  Work scales with rows × window hours; no BroadcastNestedLoopJoin, no
+  per-hour rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from quantms_utils_spark.tables import load
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    session stream: lag(event_type) over (user, time) gives the (from, to)
+    stream; one aggregate gives counts; transition probability normalizes
+    per from-state with a window over the aggregated matrix (≤ |types|²
+    rows). The oracle replays lag + normalization verbatim."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH trans AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM trans WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS prob
+FROM counts
+"""
+
+_WINDOW_HOURS = 3
+
+
+def event_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour distinct active users per hour — the sliding
+    engagement metric. A window frame cannot express DISTINCT, and the
+    naive form is a range self-join (hour × events BNLJ); instead every
+    distinct (hour, user) pair EXPLODES to the 3 target hours it covers
+    (bounded ×3 fan-out), one distinct collapses multi-hour users, one
+    count per target hour finishes. Target hours are semi-joined to hours
+    that actually exist so the fan-out cannot mint phantom buckets. The
+    oracle recomputes with the equivalent covering unnest."""
+    e = load(spark, sf_dir, "events")
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    hours = hu.select("h").distinct()
+    cov = hu.select(
+        F.explode(
+            F.array(
+                *[
+                    F.col("h") + F.expr(f"INTERVAL {k} HOUR")
+                    for k in range(_WINDOW_HOURS)
+                ]
+            )
+        ).alias("hour"),
+        "user_id",
+    ).distinct()
+    return (
+        cov.join(hours, cov["hour"] == hours["h"], "left_semi")
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_users_3h"))
+    )
+
+
+EVENT_ROLLING_DISTINCT_SQL = """
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+), hours AS (
+  SELECT DISTINCT h FROM hu
+), cov AS (
+  SELECT DISTINCT h + to_hours(d) AS hour, user_id
+  FROM hu, (SELECT unnest([0, 1, 2]) AS d)
+)
+SELECT CAST(c.hour AS TIMESTAMP) AS hour, count(*) AS n_users_3h
+FROM cov c JOIN hours ON hours.h = c.hour
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "event_rolling_distinct": (event_rolling_distinct, EVENT_ROLLING_DISTINCT_SQL),
+}
