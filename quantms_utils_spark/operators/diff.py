@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import MapType
 
-__all__ = ["table_diff"]
+__all__ = ["table_diff", "maintain_count_sum", "merge_upsert"]
 
 
 def table_diff(
@@ -173,3 +173,44 @@ def maintain_count_sum(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a batch DataFrame transform: source rows
+    overwrite matching target rows (matched → update), unmatched source
+    rows append (not matched → insert), untouched target rows carry over;
+    with ``delete_col``, source rows whose boolean flag is true DELETE the
+    matching target key instead (matched + flag → delete), and flagged
+    rows never insert.
+
+    Source must be key-unique (the SQL MERGE precondition — two source
+    rows hitting one target row is nondeterministic); enforced cheaply at
+    plan level by the caller or via `validation.require_unique_mapping`.
+
+    Spark shape: ONE left-anti join (target keys minus source keys) + a
+    union with the source's surviving rows — no full-outer join, no row
+    comparison; the anti join shuffles only target keys against source
+    keys, and both sides co-partition on the key. At 100 TB this is the
+    foreachBatch upsert kernel (`streaming/diff.py`) in batch form:
+    bucket the target by key and the per-batch merge goes exchange-free;
+    storage formats with deletion vectors would push the anti join into
+    the commit instead.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    data_cols = [c for c in source.columns if c != delete_col]
+    if set(target.columns) != set(data_cols):
+        raise ValueError("source data columns must match target schema")
+    kept = target.join(source.select(*keys), keys, "left_anti")
+    incoming = source
+    if delete_col is not None:
+        incoming = incoming.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
+    return kept.unionByName(incoming.select(*data_cols))

@@ -1574,6 +1574,60 @@ ORDER BY event_type
 """
 
 
+def snapshot_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a batch transform (operators.diff.merge_upsert):
+    target = orders through 1995-01-01; the source CHANGE FEED carries only
+    the delta — urgent repricings (matched → update), the 1995→1996
+    arrivals (not matched → insert), and delete markers for every 97th
+    key (matched + flag → delete). Applying the feed must reproduce
+    exactly the 1996 snapshot of `snapshot_diff`'s scenario, which the
+    oracle builds DIRECTLY — so a dropped delete, a double-applied update,
+    or an anti-join slip all shift the per-priority DECIMAL rollup and
+    hash-mismatch. The merge itself is one left-anti join + union — no
+    full-outer, no row comparison."""
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderdate") <= "1995-01-01")
+    in_range = o.filter(F.col("o_orderdate") <= "1996-01-01")
+    repriced = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") + 10.0
+    ).otherwise(F.col("o_totalprice"))
+    deleted = F.col("o_orderkey") % 97 == 0
+    arriving = F.col("o_orderdate") > "1995-01-01"
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    source = (
+        in_range.filter(
+            (deleted & ~arriving) | (~deleted & (urgent | arriving))
+        )
+        .withColumn("o_totalprice", repriced)
+        .withColumn("is_deleted", deleted)
+    )
+    merged = merge_upsert(
+        target, source, keys=["o_orderkey"], delete_col="is_deleted"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+SNAPSHOT_MERGE_SQL = """
+WITH snap_b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderdate <= TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+       sum(o_orderkey) AS key_sum
+FROM snap_b GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
@@ -1618,4 +1672,5 @@ QUERIES = {
     "layout_zorder_stats": (zorder_bucket_stats, ZORDER_BUCKET_STATS_SQL),
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "snapshot_diff_exact": (snapshot_diff_exact, SNAPSHOT_DIFF_EXACT_SQL),
+    "snapshot_merge_apply": (snapshot_merge_apply, SNAPSHOT_MERGE_SQL),
 }

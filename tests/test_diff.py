@@ -131,3 +131,63 @@ def test_maintain_count_sum_drops_emptied_groups(spark):
     old = spark.createDataFrame([(1, "g1", 10.0)], "k long, g string, v double")
     new = spark.createDataFrame([], "k long, g string, v double")
     assert maintain_count_sum(old, new, ["k"], "g", "v").count() == 0
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    )
+    got = {(r.k, r.v) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_merge_upsert_delete_flag(spark):
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", False), (3, "x", True), (9, "zz", True)],
+        "k long, v string, dead boolean",
+    )
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(
+            target, source, ["k"], delete_col="dead"
+        ).collect()
+    }
+    # 3 deleted; 9's flagged row never inserts; 2 updated; 1 kept
+    assert got == {(1, "a"), (2, "B")}
+
+
+def test_merge_upsert_null_delete_flag_means_keep(spark):
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame(
+        [(1, "A", None)], "k long, v string, dead boolean"
+    )
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(
+            target, source, ["k"], delete_col="dead"
+        ).collect()
+    }
+    assert got == {(1, "A")}
+
+
+def test_merge_upsert_validation(spark):
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    with pytest.raises(ValueError, match="source data columns"):
+        merge_upsert(target, bad, ["k"])
+    with pytest.raises(ValueError, match="keys"):
+        merge_upsert(target, target, [])

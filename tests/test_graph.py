@@ -139,3 +139,41 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
         for r in label_propagation(e, n, iterations=1).collect()
     }
     assert labels[2] == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    # K4 minus one edge: vertices 1..4, all pairs except (3,4).
+    # 5 edges; degrees 3,3,2,2 -> wedges 3+3+1+1=8; triangles 123,124 -> 2.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (5, 8, 2)
+    assert row.clustering_coeff == round(6 / 8, 6)
+
+
+def test_triangle_count_dedups_and_drops_self_loops(spark):
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    # same triangle listed in both orientations + duplicates + self loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (2, 2)],
+        "src long, dst long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (3, 3, 1)
+    assert row.clustering_coeff == 1.0
+
+
+def test_triangle_count_triangle_free(spark):
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    # star graph: wedges but zero triangles
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_wedges, row.n_triangles) == (3, 0)
+    assert row.clustering_coeff == 0.0
