@@ -1,0 +1,95 @@
+"""Record linkage / entity resolution: blocked fuzzy matching.
+
+The classic ER pipeline is (1) collapse records to candidate ENTITIES,
+(2) generate candidate pairs inside cheap blocks, (3) score candidates
+with an expensive similarity, (4) keep matches. The quadratic stage (3)
+must only ever see blocked candidates — the same discipline as every
+dedup family in `operators/dedup.py` (LSH bands, winnow buckets, prefix
+tokens), here with edit distance as the verifier.
+
+Scale shape:
+- The record table first collapses to the DISTINCT (block, name) entity
+  table (one hash aggregate). Real-world name vocabularies follow Heaps'
+  law — the entity table is orders of magnitude smaller than the record
+  table, and pair cost depends on it alone, exactly like the BPE
+  word-type collapse (`operators/text.py:bpe_merges`).
+- Candidates come from a block equi-join; the length filter
+  |len(a)−len(b)| ≤ d (an edit-distance lower bound) rides INSIDE the
+  join condition so hopeless pairs die before the levenshtein evaluates.
+- `levenshtein` is a JVM builtin (codegen'd, no Python) — the verify
+  stage is CPU on candidates only.
+- A hot block (one giant city/first-token) is the known failure mode;
+  `max_block` drops non-discriminative blocks, mirroring the LSH
+  `max_bucket` guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["fuzzy_name_pairs"]
+
+
+def fuzzy_name_pairs(
+    records: DataFrame,
+    name_col: str,
+    block: Column,
+    *,
+    max_distance: int = 3,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Fuzzy-match pairs of distinct names within blocks at Levenshtein
+    distance 1..``max_distance``; returns ``(block, name_a, name_b,
+    distance, n_a, n_b)`` where ``n_*`` are the record counts behind each
+    name (the entities a merge decision would collapse).
+
+    Identical names are distance 0 and deliberately excluded — exact
+    duplicates are the hash-dedup family's job; this operator finds what
+    exact matching misses.
+    """
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    names = (
+        records.select(block.alias("block"), F.col(name_col).alias("name"))
+        .groupBy("block", "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if max_block is not None:
+        counts = names.groupBy("block").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        names = (
+            names.join(counts, "block")
+            .filter(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
+    # distinct column names on each side: a self-join on a shared-lineage
+    # column silently degrades to a trivially-true predicate (Spark resolves
+    # both sides to the same attribute), turning the block join into a
+    # cross join of the whole entity table.
+    a = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.length("name").alias("__la"),
+    )
+    b = names.select(
+        F.col("block").alias("__block_b"),
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.length("name").alias("__lb"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("__block_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_distance)
+            ),
+        )
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select("block", "name_a", "name_b", "distance", "n_a", "n_b")
+    )

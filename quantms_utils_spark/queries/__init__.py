@@ -26,13 +26,14 @@ from quantms_utils_spark.queries import (
     mlops,
     webops,
     pathops,
+    linkage,
     textops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops, graphops, pathops):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops, graphops, pathops, linkage):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")

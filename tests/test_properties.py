@@ -210,3 +210,48 @@ def test_cms_never_undercounts(spark, tokens):
     exact = Counter(tokens)
     for tok, cnt in exact.items():
         assert est[tok] >= cnt
+
+
+def test_fuzzy_name_pairs_basic(spark):
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.linkage import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "small ring"),
+            (2, "small ring"),   # exact dup of 1 -> same entity, no pair
+            (3, "small rings"),  # distance 1 from "small ring"
+            (4, "small wing"),   # distance 2 from "small ring"
+            (5, "large bolt"),   # different block
+            (6, "small completely-different"),  # same block, too far
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.name_a, r.name_b, r.distance, r.n_a, r.n_b)
+        for r in fuzzy_name_pairs(
+            df, "name", F.split("name", " ").getItem(0), max_distance=2
+        ).collect()
+    }
+    assert got == {
+        ("small ring", "small rings", 1, 2, 1),
+        ("small ring", "small wing", 1, 2, 1),
+        ("small rings", "small wing", 2, 1, 1),
+    }
+
+
+def test_fuzzy_name_pairs_max_block_guard(spark):
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.linkage import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"blk name{i}") for i in range(5)] + [(9, "ok pear"), (10, "ok bear")],
+        "id long, name string",
+    )
+    got = fuzzy_name_pairs(
+        df, "name", F.split("name", " ").getItem(0), max_distance=2,
+        max_block=3,
+    ).collect()
+    assert {(r.name_a, r.name_b) for r in got} == {("ok bear", "ok pear")}
