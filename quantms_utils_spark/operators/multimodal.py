@@ -354,3 +354,76 @@ def sample_video_frames(media: DataFrame, decode_stub: bool | None = None) -> Da
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash64", LongType(), True),
+    ]
+)
+
+
+def average_hash(media: DataFrame, decode_stub: bool | None = None) -> DataFrame:
+    """64-bit perceptual average-hash (aHash) per image payload: decode →
+    grayscale → 8×8 downsample → bit i set iff cell i is brighter than the
+    image mean. Near-identical images (re-encodes, small edits) land
+    within a few bits, so the SimHash pigeonhole banding
+    (`operators/dedup.simhash_pairs`) applies unchanged to the output —
+    THE scalable image near-dup pipeline: map-only hashing, one banding
+    shuffle, bit_count verify on candidates only.
+
+    Determinism contract (what the oracle leans on): grayscale is the
+    exact channel mean, the 8×8 reduction is the exact box average when
+    both dimensions divide by 8 (nearest-neighbor otherwise), and bit
+    index = row*8 + col from the top-left, LSB first; the unsigned bit
+    vector is reinterpreted as a signed int64 (two's complement), same
+    convention as SimHash fingerprints. Stub path (no decodable payload):
+    sha256-derived bits, still deterministic.
+    """
+
+    def _hash_pixels(px) -> int:
+        import numpy as np
+
+        gray = px.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        if h % 8 == 0 and w % 8 == 0:
+            cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        else:
+            cells = media_codecs.resize_nearest(
+                px, 8, 8
+            ).astype(np.float64).mean(axis=2)
+        mean = cells.mean()
+        u = 0
+        for i, v in enumerate(cells.ravel()):
+            if v > mean:
+                u |= 1 << i
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None))
+                    continue
+                payload = bytes(payload)
+                if decode_stub is not True and media_codecs.sniff(
+                    payload
+                ) in _IMAGE_FORMATS:
+                    fp = _hash_pixels(media_codecs.decode_image_pixels(payload))
+                elif decode_stub is False:
+                    raise ValueError(
+                        "un-decodable image payload in strict mode "
+                        f"(media_id={media_id})"
+                    )
+                else:
+                    digest = hashlib.sha256(payload).digest()
+                    u = int.from_bytes(digest[:8], "big")
+                    fp = u - (1 << 64) if u >= (1 << 63) else u
+                rows.append((media_id, fp))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash64"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )

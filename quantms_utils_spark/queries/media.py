@@ -152,8 +152,164 @@ WHERE doc_id < 100
 """
 
 
+_PH_GROUPS = 60
+_PH_DOCS = 240
+
+
+@F.pandas_udf(BinaryType())
+def _encode_pattern_bmp(bits: pd.Series) -> pd.Series:
+    out = []
+    for b in bits:
+        grid = np.asarray(b, dtype=np.int64).reshape(8, 8)
+        px8 = np.where(grid == 1, 200, 40).astype(np.uint8)
+        big = np.repeat(np.repeat(px8, 2, axis=0), 2, axis=1)
+        out.append(mc.encode_bmp(np.stack([big] * 3, axis=2)))
+    return pd.Series(out)
+
+
+def _phash_fingerprints(spark: SparkSession, sf_dir: str):
+    """Shared front-end for the aHash queries: 240 docs → 60 base bit
+    patterns × 4 one-bit-flip variants → 16×16 BMP payloads (2×2 uniform
+    blocks) → REAL decode → 8×8 box average → aHash. The bit patterns are
+    md5-derived Catalyst expressions, so the oracle rebuilds them exactly
+    and the decode+pool+threshold chain is what a hash match proves."""
+    from quantms_utils_spark.operators.multimodal import average_hash
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _PH_DOCS)
+    g = (F.col("doc_id") % _PH_GROUPS).cast("string")
+    v = F.expr(f"doc_id DIV {_PH_GROUPS}")
+
+    def bit(i: int):
+        if i == 0:
+            return F.lit(1)
+        if i == 63:
+            return F.lit(0)
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(g, F.lit(f":{i}"))), 1, 2), 16, 10
+            ).cast("int")
+            % 2
+        )
+
+    flip = F.when(
+        v > 0,
+        F.lit(1)
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("flip:"), g, F.lit(":"), v.cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 62,
+    ).otherwise(F.lit(-1))
+    # two steps: _flip must be a resolvable column before the transform
+    # lambda references it
+    spec = d.select(
+        F.col("doc_id"), flip.alias("_flip")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array(*[bit(i) for i in range(64)]),
+            lambda b, i: F.when(
+                i.cast("long") == F.col("_flip"), 1 - b
+            ).otherwise(b),
+        ).alias("bits"),
+    )
+    media = spec.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        _encode_pattern_bmp("bits").alias("payload"),
+    )
+    return average_hash(media)
+
+
+def media_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of constructed BMP images (operators.
+    multimodal.average_hash): the oracle recomputes every bit from the md5
+    pattern formula, so a decode slip, a pooling off-by-one, or a bit-order
+    mismatch flips the signed-int64 fingerprint and hash-mismatches."""
+    return _phash_fingerprints(spark, sf_dir)
+
+
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: aHash fingerprints through the SimHash
+    pigeonhole banding (operators.dedup.simhash_pairs) at Hamming ≤ 3 —
+    each group's one-bit-flip variants must pair up (distance ≤ 2 by
+    construction), random cross-group patterns must not (~32 bits apart).
+    The oracle rebuilds fingerprints AND replays the banding join."""
+    from quantms_utils_spark.operators.dedup import simhash_pairs
+
+    fps = _phash_fingerprints(spark, sf_dir)
+    pairs = simhash_pairs(
+        fps, "media_id", "ahash64", max_hamming=3, n_bands=4
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
+_PH_FP_SQL = f"""
+spec AS (
+  SELECT doc_id, CAST(doc_id % {_PH_GROUPS} AS VARCHAR) AS g,
+         doc_id // {_PH_GROUPS} AS v
+  FROM documents WHERE doc_id < {_PH_DOCS}
+), bits AS (
+  SELECT doc_id, i,
+         CASE WHEN i = 0 THEN 1 WHEN i = 63 THEN 0
+              ELSE ('0x' || substr(md5(g || ':' || CAST(i AS VARCHAR)),
+                                   1, 2))::INT % 2 END AS b,
+         CASE WHEN v > 0
+              THEN 1 + ('0x' || substr(md5('flip:' || g || ':'
+                                           || CAST(v AS VARCHAR)),
+                                       1, 4))::BIGINT % 62
+              ELSE -1 END AS flip
+  FROM spec, generate_series(0, 63) t(i)
+), fb AS (
+  SELECT doc_id, i, CASE WHEN i = flip THEN 1 - b ELSE b END AS b FROM bits
+), u AS (
+  SELECT doc_id,
+         sum(CASE WHEN b = 1 THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS u
+  FROM fb GROUP BY doc_id
+), fp AS (
+  SELECT doc_id AS media_id,
+         CAST(CASE WHEN u >= (1::HUGEINT << 63) THEN u - (1::HUGEINT << 64)
+                   ELSE u END AS BIGINT) AS ahash64
+  FROM u
+)
+"""
+
+MEDIA_AHASH_SQL = f"""
+WITH {_PH_FP_SQL}
+SELECT media_id, ahash64 FROM fp
+"""
+
+MEDIA_PHASH_PAIRS_SQL = f"""
+WITH {_PH_FP_SQL},
+bands AS (
+  SELECT media_id, b, (ahash64 >> (16 * b)) & 65535 AS bv
+  FROM fp, generate_series(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.bv = b2.bv AND a.media_id < b2.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(fa.ahash64, fb.ahash64)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.media_id = media_a
+JOIN fp fb ON fb.media_id = media_b
+WHERE bit_count(xor(fa.ahash64, fb.ahash64)) <= 3
+"""
+
+
 QUERIES = {
     "media_wav_features": (media_wav_features, MEDIA_WAV_FEATURES_SQL),
     "media_bmp_features": (media_bmp_features, MEDIA_BMP_FEATURES_SQL),
     "media_y4m_frames": (media_y4m_frames, MEDIA_Y4M_FRAMES_SQL),
+    "media_ahash_fingerprints": (media_ahash_fingerprints, MEDIA_AHASH_SQL),
+    "media_phash_pairs": (media_phash_pairs, MEDIA_PHASH_PAIRS_SQL),
 }

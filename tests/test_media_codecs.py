@@ -245,3 +245,54 @@ def test_strict_mode_raises_on_undecodable(spark):
     )
     with pytest.raises(Exception, match="strict mode"):
         extract_image_features(media, decode_stub=False).collect()
+
+
+def test_average_hash_known_pattern(spark):
+    import numpy as np
+
+    from quantms_utils_spark.functions import media_codecs as mc
+    from quantms_utils_spark.operators.multimodal import average_hash
+
+    # 8x8 image, first row bright, rest dark -> bits 0..7 set
+    px8 = np.full((8, 8), 10, dtype=np.uint8)
+    px8[0, :] = 250
+    img = np.stack([px8] * 3, axis=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(mc.encode_bmp(img)))], "media_id long, payload binary"
+    )
+    row = average_hash(media).collect()[0]
+    assert row.ahash64 == 0xFF
+
+    # 16x16 upscale (2x2 blocks) must give the SAME hash via box pooling
+    big = np.repeat(np.repeat(px8, 2, axis=0), 2, axis=1)
+    media2 = spark.createDataFrame(
+        [(2, bytearray(mc.encode_bmp(np.stack([big] * 3, axis=2))))],
+        "media_id long, payload binary",
+    )
+    assert average_hash(media2).collect()[0].ahash64 == 0xFF
+
+
+def test_average_hash_sign_convention(spark):
+    import numpy as np
+
+    from quantms_utils_spark.functions import media_codecs as mc
+    from quantms_utils_spark.operators.multimodal import average_hash
+
+    # only the LAST cell bright -> bit 63 set -> negative signed int64
+    px8 = np.full((8, 8), 10, dtype=np.uint8)
+    px8[7, 7] = 250
+    media = spark.createDataFrame(
+        [(1, bytearray(mc.encode_bmp(np.stack([px8] * 3, axis=2))))],
+        "media_id long, payload binary",
+    )
+    row = average_hash(media).collect()[0]
+    assert row.ahash64 == (1 << 63) - (1 << 64)
+
+
+def test_average_hash_null_payload(spark):
+    from quantms_utils_spark.operators.multimodal import average_hash
+
+    media = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    assert average_hash(media).collect()[0].ahash64 is None
