@@ -80,6 +80,12 @@ HEADLINE = [
     ("q_more_like_this", "text_more_like_this"),
     ("q_weighted_sample", "text_weighted_sample"),
     ("q_drift_psi", "corpus_drift_psi"),
+    ("q_triangles", "graph_triangle_count"),
+    ("q_transitions", "event_transitions"),
+    ("q_rolling_distinct", "event_rolling_distinct"),
+    ("q_merge_upsert", "snapshot_merge_apply"),
+    ("q_er_fuzzy", "er_fuzzy_part_names"),
+    ("q_phash_pairs", "media_phash_pairs"),
 ]
 
 

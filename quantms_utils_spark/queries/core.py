@@ -903,6 +903,69 @@ GROUP BY lang
 """
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators.expectations) over
+    orders: six rules — nullability, key uniqueness, a numeric floor, two
+    vocabulary checks (one passing, one deliberately failing on the 'P'
+    status so the failure path is value-checked too), a regex, and a
+    table-size floor — ALL evaluated in one aggregate pass over one scan.
+    The oracle computes each violation count independently and stacks the
+    same six rows."""
+    from quantms_utils_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    rules = [
+        Expectation("custkey_not_null", "not_null", "o_custkey"),
+        Expectation("orderkey_unique", "unique", "o_orderkey"),
+        Expectation("price_nonnegative", "min", "o_totalprice", (0.0,)),
+        Expectation(
+            "priority_vocab",
+            "accepted",
+            "o_orderpriority",
+            ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        ),
+        Expectation("status_fo_only", "accepted", "o_orderstatus", ("F", "O")),
+        Expectation("status_shape", "matches", "o_orderstatus", (r"^[A-Z]$",)),
+        Expectation("at_least_1k_rows", "row_count_min", None, (1000,)),
+    ]
+    return check_expectations(o, rules)
+
+
+DATA_QUALITY_SQL = """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+         count(CASE WHEN o_totalprice < 0.0 THEN 1 END) AS v2,
+         count(CASE WHEN o_orderpriority IS NOT NULL
+                     AND o_orderpriority NOT IN
+                       ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                    THEN 1 END) AS v3,
+         count(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F','O') THEN 1 END) AS v4,
+         count(CASE WHEN o_orderstatus IS NOT NULL
+                     AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+                    THEN 1 END) AS v5,
+         greatest(0, 1000 - count(*)) AS v6
+  FROM orders
+)
+SELECT r.rule, r.kind, r."column", s.n AS n_checked,
+       r.v AS n_violations, r.v = 0 AS passed
+FROM s, LATERAL (
+  VALUES ('custkey_not_null',  'not_null',      'o_custkey',       s.v0),
+         ('orderkey_unique',   'unique',        'o_orderkey',      s.v1),
+         ('price_nonnegative', 'min',           'o_totalprice',    s.v2),
+         ('priority_vocab',    'accepted',      'o_orderpriority', s.v3),
+         ('status_fo_only',    'accepted',      'o_orderstatus',   s.v4),
+         ('status_shape',      'matches',       'o_orderstatus',   s.v5),
+         ('at_least_1k_rows',  'row_count_min', NULL,              s.v6)
+) AS r(rule, kind, "column", v)
+"""
+
+
 QUERIES = {
     "sink_orc_roundtrip": (orc_roundtrip_stats, ORC_ROUNDTRIP_SQL),
     "sink_jsonl_roundtrip": (jsonl_roundtrip_stats, JSONL_ROUNDTRIP_SQL),
@@ -933,4 +996,5 @@ QUERIES = {
     "json_extract": (json_extract, JSON_EXTRACT_SQL),
     "event_hourly_agg": (event_hourly_agg, EVENT_HOURLY_AGG_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "data_quality_report": (data_quality_report, DATA_QUALITY_SQL),
 }

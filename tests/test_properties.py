@@ -255,3 +255,75 @@ def test_fuzzy_name_pairs_max_block_guard(spark):
         max_block=3,
     ).collect()
     assert {(r.name_a, r.name_b) for r in got} == {("ok bear", "ok pear")}
+
+
+def test_check_expectations_kinds(spark):
+    from quantms_utils_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, "b", -1.0),
+            (2, None, 50.0),
+            (3, "zz", 7.0),
+        ],
+        "k long, s string, v double",
+    )
+    rules = [
+        Expectation("s_not_null", "not_null", "s"),
+        Expectation("k_unique", "unique", "k"),
+        Expectation("v_min", "min", "v", (0.0,)),
+        Expectation("v_max", "max", "v", (10.0,)),
+        Expectation("s_vocab", "accepted", "s", ("a", "b")),
+        Expectation("s_shape", "matches", "s", (r"^[a-z]$",)),
+        Expectation("enough", "row_count_min", None, (10,)),
+    ]
+    got = {
+        r.rule: (r.n_checked, r.n_violations, r.passed)
+        for r in check_expectations(df, rules).collect()
+    }
+    assert got == {
+        "s_not_null": (4, 1, False),
+        "k_unique": (4, 1, False),   # k=2 twice -> 1 surplus duplicate
+        "v_min": (4, 1, False),
+        "v_max": (4, 1, False),
+        "s_vocab": (4, 1, False),    # "zz" not accepted; NULL not counted
+        "s_shape": (4, 1, False),    # "zz" fails regex; NULL not counted
+        "enough": (4, 6, False),     # shortfall of 6 rows
+    }
+
+
+def test_check_expectations_all_pass_and_validation(spark):
+    import pytest as _pytest
+
+    from quantms_utils_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    out = check_expectations(
+        df,
+        [
+            Expectation("nn", "not_null", "k"),
+            Expectation("rc", "row_count_min", None, (1,)),
+        ],
+    ).collect()
+    assert all(r.passed for r in out)
+    with _pytest.raises(ValueError, match="unknown expectation kind"):
+        Expectation("x", "nope", "k")
+    with _pytest.raises(ValueError, match="needs a column"):
+        Expectation("x", "min", None, (0,))
+    with _pytest.raises(ValueError, match="non-empty"):
+        check_expectations(df, [])
+    with _pytest.raises(ValueError, match="unique"):
+        check_expectations(
+            df,
+            [
+                Expectation("dup", "not_null", "k"),
+                Expectation("dup", "not_null", "s"),
+            ],
+        )
