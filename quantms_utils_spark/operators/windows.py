@@ -103,3 +103,43 @@ def interpolate_at(
         .otherwise(lerp)
     )
     return df.withColumn(out_col, interp)
+
+
+def weighted_quantile(
+    df,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    order_tiebreak: Sequence[str] = (),
+):
+    """Per-group weighted quantile: the smallest ``value_col`` whose
+    running weight (ordered by value, then ``order_tiebreak`` for
+    determinism under ties) reaches ``q`` of the group's total weight —
+    the weighted median at q=0.5. percentile() has no weighted form, so
+    this is the canonical two-window formulation: one cumulative sum and
+    one total over the SAME partition key (one Exchange, one Sort), then
+    the first qualifying row per group via a min-by aggregate. Output:
+    group cols + ``(<value_col>_q, total_weight)``; per-group state is a
+    running scalar, so skew is bounded by the hottest single group.
+    """
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    order = [F.col(value_col), *[F.col(c) for c in order_tiebreak]]
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = df.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum(weight_col).over(wc).alias("__cw"),
+        F.sum(weight_col).over(wt).alias("__tw"),
+    )
+    hit = cum.filter(F.col("__cw") >= F.lit(q) * F.col("__tw"))
+    return hit.groupBy(*group_cols).agg(
+        F.min(value_col).alias(f"{value_col}_q"),
+        F.max("__tw").alias("total_weight"),
+    )

@@ -315,3 +315,145 @@ FROM j, tot
 
 
 QUERIES["corpus_drift_psi"] = (corpus_drift_psi, CORPUS_DRIFT_PSI_SQL)
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the trained classifier: decile bins of the
+    ROUNDED score vs the empirical positive rate — the reliability diagram
+    behind every score-threshold decision. One aggregate collapses the
+    corpus to ≤10 bins; mean predicted probability sums in DECIMAL so the
+    cross-engine average is exact before the final double division. Bin
+    assignment uses the rounded score (both engines bin identical doubles,
+    so the edges cannot drift)."""
+    from quantms_utils_spark.operators.ml import logreg_score
+
+    w = _train(spark, sf_dir)
+    p = F.round(logreg_score(_FEATURES, w), 4)
+    scored = _feature_frame(spark, sf_dir).select(
+        p.alias("p"), F.col("y").cast("long").alias("y")
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        F.col("p").cast("decimal(8,4)").alias("pd"),
+        "y",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pd").alias("sp"),
+        F.sum("y").alias("n_pos"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        F.round(F.col("sp").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_p"
+        ),
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n_docs").cast("double"), 6).alias(
+            "pos_rate"
+        ),
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH {_D_SQL},
+{_iter_sql(LOGREG_ITER)},
+s AS (
+  SELECT round(1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))), 4) AS p, y
+  FROM d, w{LOGREG_ITER}
+), b AS (
+  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         CAST(p AS DECIMAL(8,4)) AS pd, y
+  FROM s
+), g AS (
+  SELECT bin, count(*) AS n_docs, sum(pd) AS sp,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY bin
+)
+SELECT bin, n_docs,
+       round(CAST(sp AS DOUBLE) / n_docs, 6) AS mean_p,
+       n_pos,
+       round(n_pos / CAST(n_docs AS DOUBLE), 6) AS pos_rate
+FROM g
+"""
+
+QUERIES["text_quality_calibration"] = (
+    quality_calibration_bins,
+    QUALITY_CALIBRATION_SQL,
+)
+
+
+_TREND_EPOCH0 = 1704067200  # 2024-01-01 UTC — keeps x small enough that
+# the DECIMAL moment sums stay well inside 38 digits
+
+
+def event_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope + intercept) —
+    distributed regression as ONE map-side-combinable moment aggregate
+    (n, Σx, Σy, Σxy, Σx²), the treeAggregate shape every per-group model
+    fit reduces to. Cross-engine determinism: the moments accumulate in
+    DECIMAL (exact), and the closed-form solution is evaluated in DOUBLE
+    from identical exact inputs with identical operand order — so the
+    doubles agree bit-for-bit before rounding. x is integer seconds since
+    2024-01-01 (small offsets keep the decimal moments narrow); a
+    float-summed covar_pop would NOT hash-match across engines, which is
+    exactly why this query exists."""
+    e = load(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH0)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    g = e.select(
+        "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "event_type",
+        F.col("n"),
+        F.round(slope * 86400, 8).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 8).alias("intercept"),
+    )
+
+
+EVENT_TREND_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                  AS DECIMAL(18,0))) AS sx,
+         sum(CAST(value AS DECIMAL(18,2))) AS sy,
+         sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                  AS DECIMAL(18,0))
+             * CAST(value AS DECIMAL(18,2))) AS sxy,
+         sum(CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                  AS DECIMAL(18,0))
+             * CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0}
+                    AS DECIMAL(18,0))) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 86400, 8)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8)
+         AS intercept
+FROM m
+"""
+
+QUERIES["event_trend_slopes"] = (event_trend_slopes, EVENT_TREND_SQL)

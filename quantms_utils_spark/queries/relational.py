@@ -1628,6 +1628,59 @@ FROM snap_b GROUP BY o_orderpriority
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag QUANTITY-weighted median of extended price
+    (operators.windows.weighted_quantile): percentile() has no weighted
+    form, so the engine runs the canonical cumulative-weight window (one
+    Exchange + one Sort per group, deterministic tiebreak on the line
+    key) and takes the first value reaching half the group's weight. The
+    oracle replays the identical two windows, so an off-by-one in the
+    running frame (exclusive vs inclusive) or a tie mis-order flips the
+    picked value and hash-mismatches. Weights sum in DECIMAL so the ≥
+    threshold compare is exact in both engines."""
+    from quantms_utils_spark.operators.windows import weighted_quantile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = weighted_quantile(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "w",
+        q=0.5,
+        order_tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice_q", 2).alias("wmedian_price"),
+        F.col("total_weight").cast("decimal(18,2)").alias("total_qty"),
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(l_extendedprice), 2) AS wmedian_price,
+       CAST(max(tw) AS DECIMAL(18,2)) AS total_qty
+FROM cum WHERE cw >= 0.5 * tw
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
@@ -1673,4 +1726,5 @@ QUERIES = {
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "snapshot_diff_exact": (snapshot_diff_exact, SNAPSHOT_DIFF_EXACT_SQL),
     "snapshot_merge_apply": (snapshot_merge_apply, SNAPSHOT_MERGE_SQL),
+    "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
 }
