@@ -113,7 +113,84 @@ GROUP BY 1
 """
 
 
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-type affinity matrix (bipartite co-occurrence projection):
+    which event types are performed by the same users. One distinct
+    (user, type) aggregate, a user-co-partitioned self-join with the
+    ordered-pair predicate (per-user fan-out ≤ C(|types|,2) — bounded by
+    the type vocabulary, never user volume), per-type user counts joined
+    back broadcast-style, Jaccard + cosine affinities on the counts. The
+    |types|² output makes this the recommender-style "projection of a
+    bipartite graph" kernel in miniature; the oracle replays every stage."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("__uid_b"), F.col("event_type").alias("type_b")
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("__uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n_per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    nb = n_per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        co.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+EVENT_AFFINITY_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), npt AS (
+  SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1
+), co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, na.n_users AS n_a, nb.n_users AS n_b,
+       round(n_both / CAST(na.n_users + nb.n_users - n_both AS DOUBLE), 6)
+         AS jaccard,
+       round(n_both / sqrt(CAST(na.n_users AS DOUBLE) * nb.n_users), 6)
+         AS cosine
+FROM co
+JOIN npt na ON na.event_type = type_a
+JOIN npt nb ON nb.event_type = type_b
+"""
+
+
 QUERIES = {
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "event_rolling_distinct": (event_rolling_distinct, EVENT_ROLLING_DISTINCT_SQL),
+    "event_type_affinity": (event_type_affinity, EVENT_AFFINITY_SQL),
 }

@@ -52,6 +52,13 @@ SCALE_SENSITIVE = [
     "text_duplicate_spans",
     "text_bigram_logprob",
     "text_bpe_vocab",
+    "graph_triangle_count",
+    "event_rolling_distinct",
+    "snapshot_merge_apply",
+    "er_fuzzy_part_names",
+    "media_phash_pairs",
+    "weighted_median_price",
+    "event_trend_slopes",
 ]
 
 pytestmark = pytest.mark.skipif(
