@@ -21,7 +21,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "zorder_layout"]
+__all__ = ["zorder_key", "zorder_layout", "compact_partitions"]
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
@@ -69,3 +69,77 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def compact_partitions(
+    df: DataFrame,
+    partition_col: str,
+    out_dir: str,
+    *,
+    target_bytes: int,
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Execute the small-files compaction the planner
+    (`queries/sketchops.py:compaction_plan`) prices: rewrite ``df`` to
+    ``out_dir`` hive-partitioned by ``partition_col`` with each partition
+    packed into ``ceil(partition_bytes / target_bytes)`` roughly even
+    files — the OPTIMIZE-style maintenance job.
+
+    Distributed shape: one aggregate prices each partition (``size_col``
+    defaults to the row's total octet length over string columns — a
+    cheap in-row proxy; storage-level accounting would come from the
+    table format's file manifest); the tiny plan broadcasts back; every
+    row picks a deterministic file slot (``xxhash64 % n_files`` — no RNG,
+    stable under repartitioning) and ONE shuffle on (partition, slot)
+    co-locates each output file's rows. A slot-hash collision inside a
+    task merges two slots into one larger file (never loses rows, never
+    splits a slot) — file counts are upper-bounded by the plan, sizes
+    approximate the target, which is the industry contract for
+    bin-packing OPTIMIZE.
+
+    Returns the plan (partition, n_rows, est_bytes, n_files) so callers
+    can audit what was executed.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    if size_col is None:
+        str_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        size_col = sum(
+            (F.coalesce(F.octet_length(F.col(c)), F.lit(0)) for c in str_cols),
+            F.lit(8) * len(df.columns),
+        )
+    plan = (
+        df.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(size_col).cast("long").alias("est_bytes"),
+        )
+        .select(
+            partition_col,
+            "n_rows",
+            "est_bytes",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("est_bytes") / F.lit(target_bytes)),
+            )
+            .cast("int")
+            .alias("n_files"),
+        )
+    )
+    slot = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.col("n_files")
+    ).alias("__slot")
+    (
+        df.join(F.broadcast(plan.select(partition_col, "n_files")), partition_col)
+        .withColumn("__slot", slot)
+        .repartition(partition_col, "__slot")
+        .drop("n_files", "__slot")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )
+    return plan
