@@ -46,6 +46,12 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
 # to a hash-checkable tolerance oracle). The rest keep their round-2 order.
 _FRONT = [
     "snapshot_diff", "approx_event_stats",
+    "graph_triangle_count", "event_transitions",  # new in round 3 (session 2)
+    "event_rolling_distinct", "snapshot_merge_apply",  # new in r3 (session 2)
+    "er_fuzzy_part_names", "media_ahash_fingerprints",  # new in r3 (session 2)
+    "media_phash_pairs", "data_quality_report",  # new in r3 (session 2)
+    "weighted_median_price", "text_quality_calibration",  # new in r3 (s2)
+    "event_trend_slopes", "event_type_affinity",  # new in r3 (session 2)
     "graph_pagerank", "graph_degree_stats",  # new in round 3 (late)
     "text_weighted_sample", "event_scd2_intervals",  # new in round 3 (late)
     "table_skew_report", "rag_chunk_retrieve",  # new in round 3 (late)
