@@ -123,3 +123,80 @@ def test_normalize_url(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def _register_warc(spark):
+    from quantms_utils_spark.sources.warc_datasource import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+
+
+def test_warc_datasource_reads_files(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_archive())
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(_archive()))
+    _register_warc(spark)
+    df = spark.read.format("warc").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    resp = [r for r in rows if r["warc_type"] == "response"]
+    assert len(resp) == 2
+    for r in resp:
+        assert r["http_status"] == 200
+        assert bytes(r["body"]) == (
+            b"<html><body><p>hello crawl</p></body></html>"
+        )
+    # parity with the mapInPandas reader on identical input
+    legacy = read_warc(spark, str(tmp_path) + "/*")
+    a = sorted((r["record_id"], r["warc_type"]) for r in rows)
+    b = sorted((r["record_id"], r["warc_type"]) for r in legacy.collect())
+    assert a == b
+
+
+def test_warc_datasource_pushdown(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(_archive())
+    _register_warc(spark)
+    from quantms_utils_spark.sources.warc_datasource import (
+        EqualTo,
+        WarcDataSourceReader,
+    )
+
+    # contract: both crawl filters are claimed, others returned
+    reader = WarcDataSourceReader.__new__(WarcDataSourceReader)
+    reader.http_status = None
+    reader.warc_type = None
+    remaining = list(
+        reader.pushFilters(
+            [
+                EqualTo(("warc_type",), "response"),
+                EqualTo(("http_status",), 200),
+                EqualTo(("content_type",), "application/http"),
+            ]
+        )
+    )
+    assert reader.warc_type == "response" and reader.http_status == 200
+    assert len(remaining) == 1
+
+    # end-to-end: filtered scan returns only the qualifying record
+    df = (
+        spark.read.format("warc")
+        .load(str(tmp_path))
+        .filter("warc_type = 'response'")
+        .filter("http_status = 200")
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["target_uri"] == "https://x.org/a"
+
+
+def test_warc_datasource_no_files_errors(spark, tmp_path):
+    _register_warc(spark)
+    from quantms_utils_spark.sources.warc_datasource import (
+        WarcDataSourceReader,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resolved no files"):
+        WarcDataSourceReader(None, {"path": str(tmp_path / "none*")})
+    with _pytest.raises(ValueError, match="needs .load"):
+        WarcDataSourceReader(None, {})
