@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degree_stats", "label_propagation", "triangle_count"]
+__all__ = ["pagerank", "degree_stats", "label_propagation", "triangle_count", "tree_depths"]
 
 
 def label_propagation(
@@ -257,3 +257,63 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def tree_depths(
+    parents: DataFrame,
+    *,
+    node: str = "node",
+    parent: str = "parent",
+    root: object = 0,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Depth of every node in a rooted forest given (node, parent) rows —
+    the hierarchical-traversal primitive (BOM explosion, org charts,
+    category trees) SQL expresses with a recursive CTE and Spark has no
+    native form for.
+
+    POINTER DOUBLING, not per-level iteration: the state frame
+    (node, ancestor, steps) starts at the parent pointer (1 step) and each
+    round self-joins so every node's known ancestor jumps twice as far
+    (steps add). Depth d resolves in ceil(log2 d) rounds — 10 rounds reach
+    depth 1024, where a per-level walk (the naive translation of the
+    recursive CTE) needs d rounds and dies on deep chains. The root's
+    (root, root, 0) row is the fixpoint absorbing every chain. Each round
+    is ONE equi-join + project on a |V|-row frame partitioned by the
+    ancestor key; lineage is truncated with a localCheckpoint every few
+    rounds like `pagerank`.
+
+    Returns (node, depth) with depth 0 at the root. Nodes whose chain is
+    longer than 2^max_rounds raise (their ancestor never reaches root) —
+    the bound is explicit, not silent truncation.
+    """
+    f = parents.select(
+        F.col(node).alias("n"),
+        F.col(parent).alias("a"),
+        F.when(F.col(node) == F.lit(root), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("s"),
+    )
+    # normalize the root row to the absorbing self-loop
+    f = f.withColumn(
+        "a", F.when(F.col("n") == F.lit(root), F.lit(root)).otherwise(F.col("a"))
+    )
+    for r in range(max_rounds):
+        nxt = f.select(F.col("n").alias("a"), F.col("a").alias("a2"), F.col("s").alias("s2"))
+        f = (
+            f.join(nxt, "a")
+            .select("n", F.col("a2").alias("a"), (F.col("s") + F.col("s2")).alias("s"))
+        )
+        # no per-round action: absorbed rows are fixpoints under further
+        # joins (they meet the root self-loop and gain 0 steps), so extra
+        # rounds are cheap joins, and the single unresolved check below is
+        # the only driver-side action
+        if (r + 1) % 4 == 0:
+            f = f.localCheckpoint(eager=True)
+    unresolved = f.filter(F.col("a") != F.lit(root)).limit(1).count()
+    if unresolved:
+        raise ValueError(
+            f"chains longer than 2^{max_rounds} steps remain; raise max_rounds"
+        )
+    return f.select(F.col("n").alias(node), F.col("s").alias("depth"))

@@ -227,9 +227,58 @@ FROM ne, wedges, tri
 """
 
 
+
+
+def graph_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram of a derived random recursive forest
+    (parent(i) = md5-uniform in [0, i), root 0) computed by POINTER
+    DOUBLING (operators.graph.tree_depths) — the hierarchy-traversal
+    query SQL needs a recursive CTE for, resolved here in O(log depth)
+    self-joins instead of O(depth) rounds. The oracle IS the recursive
+    CTE (DuckDB walks every chain to the root), so a missed jump, a
+    mis-accumulated step count, or a truncated chain shifts the histogram
+    and hash-mismatches."""
+    from quantms_utils_spark.operators.graph import tree_depths
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    parents = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(0))
+        .otherwise(h % F.col("doc_id"))
+        .alias("parent"),
+    )
+    depths = tree_depths(parents, max_rounds=10)
+    return depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+GRAPH_TREE_DEPTHS_SQL = """
+WITH RECURSIVE pr AS (
+  SELECT doc_id AS n,
+         CASE WHEN doc_id = 0 THEN 0
+              ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % doc_id END AS parent
+  FROM documents
+), walk(n, cur, d) AS (
+  SELECT n, n, 0 FROM pr
+  UNION ALL
+  SELECT w.n, p.parent, w.d + 1
+  FROM walk w JOIN pr p ON p.n = w.cur
+  WHERE w.cur <> 0
+), depth AS (
+  SELECT n, max(d) AS depth FROM walk GROUP BY n
+)
+SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes
+FROM depth GROUP BY depth
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
     "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLES_SQL),
+    "graph_tree_depths": (graph_tree_depths, GRAPH_TREE_DEPTHS_SQL),
 }

@@ -177,3 +177,32 @@ def test_triangle_count_triangle_free(spark):
     row = triangle_count(edges).collect()[0]
     assert (row.n_wedges, row.n_triangles) == (3, 0)
     assert row.clustering_coeff == 0.0
+
+
+def test_tree_depths_chain_and_star(spark):
+    from quantms_utils_spark.operators.graph import tree_depths
+
+    # chain 0<-1<-2<-3 plus star leaves 4,5 under 0
+    parents = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2), (4, 0), (5, 0)],
+        "node long, parent long",
+    )
+    got = {r.node: r.depth for r in tree_depths(parents).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_tree_depths_deep_chain_needs_log_rounds(spark):
+    from quantms_utils_spark.operators.graph import tree_depths
+
+    n = 40
+    parents = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(n)], "node long, parent long"
+    )
+    # depth 39 resolves in 6 doubling rounds (2^6 = 64 >= 39)
+    got = {r.node: r.depth for r in tree_depths(parents, max_rounds=6).collect()}
+    assert got[n - 1] == n - 1 and got[0] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chains longer"):
+        tree_depths(parents, max_rounds=3).collect()
