@@ -457,3 +457,113 @@ FROM m
 """
 
 QUERIES["event_trend_slopes"] = (event_trend_slopes, EVENT_TREND_SQL)
+
+
+# Poisson(1) inverse-CDF thresholds on a 24-bit md5 uniform (integer
+# compares — no float boundary can disagree across engines); k caps at 7
+_BOOT_T = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247, 16775819]
+_BOOT_B = 50
+
+
+def event_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean of `value` with a POISSON BOOTSTRAP 96% CI —
+    the distributed bootstrap: resampling-with-replacement is approximated
+    by independent per-row Poisson(1) weights, so all B=50 replicates
+    compute in ONE pass over the data (explode ×B, one aggregate) with no
+    global resample shuffle — the standard trick for CIs at 100 TB
+    (Chamandy et al., Google, 2012). Determinism: weights come from
+    md5(event_id:b) through integer inverse-CDF thresholds (no RNG, no
+    float compares); replicate sums accumulate in DECIMAL; the CI bounds
+    are ORDER STATISTICS (2nd / 49th of 50 sorted replicate means —
+    explicit nearest-rank, no interpolation formula to disagree on). The
+    oracle replays every stage including the threshold table."""
+    e = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    rows = e.select("event_type", "event_id", vdec.alias("v")).select(
+        "event_type", "event_id", "v", b
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(hv < _BOOT_T[k], F.lit(k)).otherwise(w)
+    rep = (
+        rows.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("v")).alias("swv"),
+        )
+        .select(
+            "event_type",
+            (F.col("swv").cast("double") / F.nullif(F.col("sw"), F.lit(0))).alias(
+                "m"
+            ),
+        )
+    )
+    ci = rep.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(vdec).alias("sv"),
+    )
+    return (
+        point.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sv").cast("double") / F.col("n_events"), 6).alias(
+                "mean_value"
+            ),
+            F.round(F.element_at("ms", 2), 6).alias("boot_lo"),
+            F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
+        )
+    )
+
+
+_BOOT_W_SQL = " ".join(
+    f"WHEN hv < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+)
+
+EVENT_BOOTSTRAP_SQL = f"""
+WITH r AS (
+  SELECT event_type, b, CAST(value AS DECIMAL(18,2)) AS v,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                          || CAST(b AS VARCHAR)), 1, 6))::BIGINT AS hv
+  FROM events, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+), wr AS (
+  SELECT event_type, b, v, CASE {_BOOT_W_SQL} ELSE 7 END AS w FROM r
+), rep AS (
+  SELECT event_type, b,
+         CAST(sum(w * v) AS DOUBLE) / nullif(sum(w), 0) AS m
+  FROM wr GROUP BY event_type, b
+), ci AS (
+  SELECT event_type, list_sort(list(m)) AS ms FROM rep GROUP BY event_type
+), point AS (
+  SELECT event_type, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_events,
+       round(CAST(sv AS DOUBLE) / n_events, 6) AS mean_value,
+       round(ms[2], 6) AS boot_lo,
+       round(ms[{_BOOT_B - 1}], 6) AS boot_hi
+FROM point p JOIN ci USING (event_type)
+"""
+
+QUERIES["event_bootstrap_ci"] = (event_bootstrap_ci, EVENT_BOOTSTRAP_SQL)
