@@ -1681,6 +1681,84 @@ GROUP BY l_returnflag
 """
 
 
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 intervals that
+    `event_scd2_intervals` builds: for each (user, probe timestamp) the
+    version row whose validity covers the probe — feature-store
+    "as-of correctness" (no leakage from future versions). The probe grid
+    is 4 fixed daily timestamps per user; the lookup is the union+window
+    as-of (operators.joins.asof_join) — ONE shuffle on user, no
+    interval explosion, no correlated subquery. Because SCD2 intervals
+    abut by construction, as-of on valid_from IS the interval-containment
+    lookup; the oracle states the containment form directly (valid_from ≤
+    t < coalesce(valid_to, ∞)) plus an anti-null check, so the two
+    formulations cross-validate."""
+    from quantms_utils_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(~F.col("__prev").eqNullSafe(F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("version_type"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    probes = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(f"2024-01-{d:02d} 12:00:00").cast("timestamp")
+                        for d in (2, 5, 8, 11)
+                    ]
+                )
+            ).alias("probe_ts"),
+        )
+    )
+    return asof_join(
+        probes,
+        dim,
+        on=["user_id"],
+        left_ts="probe_ts",
+        right_ts="valid_from",
+        right_value_cols=["version_type", "valid_from"],
+    ).select("user_id", "probe_ts", "version_type", "valid_from")
+
+
+SCD2_POINT_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), dim AS (
+  SELECT user_id, event_type AS version_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM t WHERE prev IS DISTINCT FROM event_type
+), probes AS (
+  SELECT DISTINCT user_id,
+         CAST(p AS TIMESTAMP) AS probe_ts
+  FROM events, (SELECT unnest(['2024-01-02 12:00:00',
+                               '2024-01-05 12:00:00',
+                               '2024-01-08 12:00:00',
+                               '2024-01-11 12:00:00']) AS p)
+)
+SELECT p.user_id, p.probe_ts, d.version_type, d.valid_from
+FROM probes p LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.probe_ts
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+"""
+
+
 QUERIES = {
     "incremental_view_refresh": (incremental_view_refresh, INCREMENTAL_VIEW_SQL),
     "event_value_ewma": (event_value_ewma, EVENT_EWMA_SQL),
@@ -1727,4 +1805,5 @@ QUERIES = {
     "snapshot_diff_exact": (snapshot_diff_exact, SNAPSHOT_DIFF_EXACT_SQL),
     "snapshot_merge_apply": (snapshot_merge_apply, SNAPSHOT_MERGE_SQL),
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
+    "scd2_point_in_time": (scd2_point_in_time, SCD2_POINT_SQL),
 }
