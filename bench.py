@@ -86,6 +86,11 @@ HEADLINE = [
     ("q_merge_upsert", "snapshot_merge_apply"),
     ("q_er_fuzzy", "er_fuzzy_part_names"),
     ("q_phash_pairs", "media_phash_pairs"),
+    ("q_tree_depths", "graph_tree_depths"),
+    ("q_bootstrap", "event_bootstrap_ci"),
+    ("q_scd2_lookup", "scd2_point_in_time"),
+    ("q_quality_rules", "data_quality_report"),
+    ("q_wmedian", "weighted_median_price"),
 ]
 
 

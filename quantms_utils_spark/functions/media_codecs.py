@@ -352,3 +352,37 @@ def decode_y4m(payload: bytes):
         frames.append(payload[fnl + 1 : fnl + 1 + w * h])  # Y plane only
         pos = fnl + 1 + frame_len
     return w, h, fps_num / fps_den, frames
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, raw integer samples) from a PCM WAV payload — the
+    sample-level sibling of :func:`decode_wav` for DSP-style features
+    (zero crossings, peaks) where the aggregate RMS is not enough.
+    16-bit returns the signed ints as stored; 8-bit returns center-shifted
+    ints; multi-channel interleaving is preserved (callers that need mono
+    average or slice)."""
+    if sniff(payload) != "wav":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    sample_rate = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return sample_rate, x

@@ -427,3 +427,66 @@ def average_hash(media: DataFrame, decode_stub: bool | None = None) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AHASH_SCHEMA
     )
+
+
+AUDIO_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("mean_abs", DoubleType(), True),
+    ]
+)
+
+
+def audio_signal_stats(media: DataFrame) -> DataFrame:
+    """Sample-level DSP statistics over WAV payloads: zero-crossing count
+    (sign changes between consecutive samples — the cheap
+    voiced/unvoiced + frequency proxy), peak amplitude, and mean absolute
+    amplitude. Unlike `extract_audio_features` (aggregate RMS), this
+    depends on sample ORDER — a decoder that reorders, drops, or
+    byte-swaps samples changes the crossing count, which is exactly what
+    the oracle query pins. Real-decode only (stdlib RIFF parser); all
+    statistics are integer-exact until the final mean division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None))
+                    continue
+                _, x = media_codecs.decode_wav_samples(bytes(payload))
+                n = int(x.size)
+                if n == 0:
+                    rows.append((media_id, 0, 0, 0, 0.0))
+                    continue
+                neg = x < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                ab = np.abs(x)
+                rows.append(
+                    (
+                        media_id,
+                        n,
+                        zc,
+                        int(ab.max()),
+                        round(int(ab.sum()) / n, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "zero_crossings",
+                    "peak_abs",
+                    "mean_abs",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_SIGNAL_SCHEMA
+    )

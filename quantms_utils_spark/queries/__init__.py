@@ -52,6 +52,8 @@ _FRONT = [
     "media_phash_pairs", "data_quality_report",  # new in r3 (session 2)
     "weighted_median_price", "text_quality_calibration",  # new in r3 (s2)
     "event_trend_slopes", "event_type_affinity",  # new in r3 (session 2)
+    "graph_tree_depths", "event_bootstrap_ci",  # new in r3 (session 2)
+    "scd2_point_in_time",  # new in r3 (session 2)
     "graph_pagerank", "graph_degree_stats",  # new in round 3 (late)
     "text_weighted_sample", "event_scd2_intervals",  # new in round 3 (late)
     "table_skew_report", "rag_chunk_retrieve",  # new in round 3 (late)

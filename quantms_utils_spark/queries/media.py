@@ -306,10 +306,71 @@ WHERE bit_count(xor(fa.ahash64, fb.ahash64)) <= 3
 """
 
 
+
+
+@F.pandas_udf(BinaryType())
+def _encode_wav_ordered_udf(samples: pd.Series) -> pd.Series:
+    return samples.map(
+        lambda arr: mc.encode_wav(np.asarray(arr, dtype=np.int16), WAV_RATE)
+    )
+
+
+def media_wav_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ORDER-sensitive audio statistics: per-user signed PCM signal
+    (event order by event_id, alternating sign so the waveform actually
+    crosses zero) → WAV encode → real decode → zero crossings / peak /
+    mean-abs (operators.multimodal.audio_signal_stats). The oracle
+    recomputes every statistic from the event stream with a lag window —
+    so any reorder, drop, or byte-swap inside the codec path shifts the
+    crossing count and hash-mismatches. Complements `media_wav_features`,
+    which is order-insensitive (RMS aggregate)."""
+    from quantms_utils_spark.operators.multimodal import audio_signal_stats
+
+    e = load(spark, sf_dir, "events")
+    sgn = F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    sample = (F.round(F.col("value") * 50) * sgn).cast("int")
+    per_user = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("event_id", sample.alias("s")))
+            ),
+            lambda st: st["s"],
+        ).alias("samples")
+    )
+    media = per_user.select(
+        F.col("user_id").cast("long").alias("media_id"),
+        _encode_wav_ordered_udf("samples").alias("payload"),
+    )
+    return audio_signal_stats(media)
+
+
+MEDIA_WAV_SIGNAL_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 50) AS INT)
+           * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) AS smp
+  FROM events
+), lagged AS (
+  SELECT user_id, smp,
+         lag(smp) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM s
+)
+SELECT user_id AS media_id,
+       count(*) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                      AND (prev < 0) <> (smp < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+       round(CAST(sum(abs(smp)) AS DOUBLE) / count(*), 6) AS mean_abs
+FROM lagged GROUP BY user_id
+"""
+
+
 QUERIES = {
     "media_wav_features": (media_wav_features, MEDIA_WAV_FEATURES_SQL),
     "media_bmp_features": (media_bmp_features, MEDIA_BMP_FEATURES_SQL),
     "media_y4m_frames": (media_y4m_frames, MEDIA_Y4M_FRAMES_SQL),
     "media_ahash_fingerprints": (media_ahash_fingerprints, MEDIA_AHASH_SQL),
     "media_phash_pairs": (media_phash_pairs, MEDIA_PHASH_PAIRS_SQL),
+    "media_wav_signal": (media_wav_signal, MEDIA_WAV_SIGNAL_SQL),
 }

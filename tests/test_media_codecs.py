@@ -296,3 +296,31 @@ def test_average_hash_null_payload(spark):
         [(1, None)], "media_id long, payload binary"
     )
     assert average_hash(media).collect()[0].ahash64 is None
+
+
+def test_decode_wav_samples_roundtrip():
+    import numpy as np
+
+    from quantms_utils_spark.functions import media_codecs as mc
+
+    sig = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    rate, back = mc.decode_wav_samples(mc.encode_wav(sig, 8000))
+    assert rate == 8000
+    assert back.tolist() == sig.astype(np.int64).tolist()
+
+
+def test_audio_signal_stats_known_signal(spark):
+    import numpy as np
+
+    from quantms_utils_spark.functions import media_codecs as mc
+    from quantms_utils_spark.operators.multimodal import audio_signal_stats
+
+    # signs: + + - - + : 2 crossings; peak 4; mean |.| = (1+2+3+4+2)/5
+    sig = np.array([1, 2, -3, -4, 2], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(7, bytearray(mc.encode_wav(sig, 16000)))],
+        "media_id long, payload binary",
+    )
+    r = audio_signal_stats(media).collect()[0]
+    assert (r.n_samples, r.zero_crossings, r.peak_abs) == (5, 2, 4)
+    assert r.mean_abs == round(12 / 5, 6)
