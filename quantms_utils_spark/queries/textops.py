@@ -1172,3 +1172,115 @@ GROUP BY doc_id
 
 
 QUERIES["text_char_entropy"] = (char_entropy, CHAR_ENTROPY_SQL)
+
+
+def novelty_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs boilerplate: the fraction of a document's
+    3-gram shingles that are corpus-UNIQUE (df = 1 — novel content) and the
+    fraction shared by ≥ 20 documents (template/boilerplate) — the two
+    ends of the shingle-df spectrum that drive keep/trim curation calls.
+    One shingle scan + one df window + one per-doc aggregate (the
+    prefix-filter family's df-window idiom, `operators/dedup.py`); no
+    joins back to the corpus. The oracle recomputes df from scratch."""
+    from quantms_utils_spark.operators.dedup import word_shingles
+
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    w = Window.partitionBy("shingle")
+    per = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("_df") == 1).alias("_novel"),
+            F.count_if(F.col("_df") >= 20).alias("_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        F.round(F.col("_novel") / F.col("n_shingles"), 6).alias("novel_frac"),
+        F.round(F.col("_boiler") / F.col("n_shingles"), 6).alias(
+            "boilerplate_frac"
+        ),
+    )
+
+
+NOVELTY_BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_shingles,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novel_frac,
+       round(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS boilerplate_frac
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY doc_id
+"""
+
+QUERIES["text_novelty_boilerplate"] = (
+    novelty_boilerplate,
+    NOVELTY_BOILERPLATE_SQL,
+)
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regexp counts — words
+    (whitespace tokens), sentences (terminal-punctuation runs, floored at
+    1), syllables (vowel-group runs, the standard heuristic) — all
+    codegen'd, map-only, zero shuffle; the formula is plain arithmetic on
+    the counts so both engines agree bit-for-bit before rounding."""
+    from quantms_utils_spark.operators.text import ws_token_count
+
+    d = load(spark, sf_dir, "documents")
+    words = ws_token_count(F.col("text")).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+    )
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences.cast("double"))
+        - F.lit(84.6) * (syllables / words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(words > 0, F.round(flesch, 4)).alias("flesch"),
+    )
+
+
+READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CASE WHEN w > 0
+            THEN round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                       - 84.6 * (y / CAST(w AS DOUBLE)), 4)
+            END AS flesch
+FROM c
+"""
+
+QUERIES["text_readability"] = (readability_scores, READABILITY_SQL)
