@@ -883,3 +883,92 @@ LIMIT 10
 
 QUERIES["ann_pq_codes"] = (ann_pq_codes, ANN_PQ_CODES_SQL)
 QUERIES["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_TOPK_SQL)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS IVFPQ; Jégou et al.):
+    the coarse quantizer prunes the corpus to the nprobe=2 cells nearest
+    the query (partition pruning at 100 TB — the cell id is the table's
+    cluster key), and within the probed cells the scan reads ONLY the 4
+    PQ code columns, ranking by asymmetric distance (code→distance
+    literal maps from the query sub-vectors). Composes the two
+    independently-oracle-verified components (`ann_ivf_topk`,
+    `ann_pq_topk`); the oracle here replays BOTH training loops and the
+    composed probe+ADC, so a drift in either quantizer or in the cell
+    filter breaks the hash. Scan cost: 4 bytes/vector over nprobe/k of
+    the corpus — the multiplicative win neither component gets alone."""
+    import numpy as np
+
+    from quantms_utils_spark.operators.similarity import (
+        assign_to_centroids,
+        pq_adc_score,
+        pq_codes,
+    )
+
+    e, centroids = _ivf_centroids(spark, sf_dir)
+    _, books = _pq_books(spark, sf_dir)
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query = [float(x) for x in qrow["embedding"]]
+    qv = np.asarray(query, dtype=np.float64)
+    order = sorted(
+        centroids,
+        key=lambda c: (float(((np.asarray(c[1]) - qv) ** 2).sum()), c[0]),
+    )
+    probe_ids = [cid for cid, _ in order[:IVF_NPROBE]]
+    probed = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("_cid", assign_to_centroids("embedding", centroids))
+        .filter(F.col("_cid").isin(probe_ids))
+    )
+    codes = pq_codes(probed, "embedding", books, dim=64)
+    return (
+        codes.select(
+            "vec_id", F.round(pq_adc_score(books, query), 4).alias("adc_dist")
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+# oracle: the IVF Lloyd prelude (e, c0..c2) + the PQ preludes (e{m},
+# c2_{m}, codes_{m}) share the one `e` CTE — strip the duplicate WITH
+_PQ_TAIL = _pq_prelude().split(
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)", 1
+)[1]
+
+ANN_IVFPQ_TOPK_SQL = f"""
+{_KMEANS_PRELUDE}{_PQ_TAIL},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM c2, q ORDER BY list_distance(qv, c), cid LIMIT {IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c2.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c2.c), c2.cid
+           ) AS rn
+    FROM e, c2
+  ) WHERE rn = 1
+),
+{",".join(
+    f'''q{m} AS (SELECT v[{m * PQ_SUBD + 1}:{(m + 1) * PQ_SUBD}] AS qv
+            FROM e WHERE vec_id = 0),
+dtab{m} AS (
+  SELECT cid, list_sum(list_transform(generate_series(1, {PQ_SUBD}),
+                       i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS d
+  FROM c2_{m}, q{m}
+)''' for m in range(PQ_M)
+)}
+SELECT co.vec_id,
+       round({" + ".join(f"d{m}.d" for m in range(PQ_M))}, 4) AS adc_dist
+FROM (SELECT * FROM {_PQ_CODES_JOIN}) co
+JOIN assign a ON a.vec_id = co.vec_id
+{" ".join(f"JOIN dtab{m} d{m} ON d{m}.cid = co.code_{m}" for m in range(PQ_M))}
+WHERE co.vec_id <> 0 AND a.cid IN (SELECT cid FROM probes)
+ORDER BY adc_dist, co.vec_id
+LIMIT 10
+"""
+
+QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_TOPK_SQL)
