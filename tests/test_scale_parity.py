@@ -59,6 +59,13 @@ SCALE_SENSITIVE = [
     "media_phash_pairs",
     "weighted_median_price",
     "event_trend_slopes",
+    "graph_tree_depths",
+    "event_bootstrap_ci",
+    "scd2_point_in_time",
+    "media_wav_signal",
+    "text_novelty_boilerplate",
+    "ann_ivfpq_topk",
+    "event_type_affinity",
 ]
 
 pytestmark = pytest.mark.skipif(
