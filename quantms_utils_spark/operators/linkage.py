@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["fuzzy_name_pairs"]
+__all__ = ["fuzzy_name_pairs", "edit_distance_pairs"]
 
 
 def fuzzy_name_pairs(
@@ -92,4 +92,88 @@ def fuzzy_name_pairs(
         .withColumn("distance", dist)
         .filter(F.col("distance") <= max_distance)
         .select("block", "name_a", "name_b", "distance", "n_a", "n_b")
+    )
+
+
+def edit_distance_pairs(
+    records: DataFrame,
+    name_col: str,
+    *,
+    max_distance: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join WITHOUT blocking — the
+    q-gram count-filter family (EDJoin, Xiao et al., VLDB 2008): one edit
+    operation destroys at most ``q`` of a string's positional q-grams, so
+    two strings within distance d must share at least
+    ``max(|a|,|b|) − q + 1 − d·q`` q-grams — any pair below that floor is
+    provably out of range and never reaches the levenshtein verify.
+
+    Candidate generation is the inverted q-gram equi-join with the length
+    lower bound in the join condition and a GROUP-BY count applying the
+    floor (one shuffle each); the quadratic all-pairs stage never exists.
+    Like :func:`fuzzy_name_pairs`, records first collapse to DISTINCT
+    names (Heaps'-law small). Returns (name_a, name_b, distance, n_a,
+    n_b) for 1 ≤ distance ≤ ``max_distance``. Against fuzzy_name_pairs,
+    this is the no-blocking-key variant: nothing escapes because of a
+    block boundary, at the price of q-gram join fan-out — the standard
+    recall/cost trade documented by the family.
+    """
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    names = (
+        records.select(F.col(name_col).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("len", F.length("name"))
+        .filter(F.col("len") >= q)
+    )
+    grams = names.select(
+        "name",
+        "n",
+        "len",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("len") - q + 1),
+                lambda i: F.col("name").substr(i, F.lit(q)),
+            )
+        ).alias("gram"),
+    )
+    a = grams.select(
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.col("len").alias("la"),
+        "gram",
+    )
+    b = grams.select(
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.col("len").alias("lb"),
+        F.col("gram").alias("gram_b"),
+    )
+    shared = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.col("la") - F.col("lb")) <= F.lit(max_distance)
+            ),
+        )
+        .groupBy("name_a", "name_b", "n_a", "n_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    floor = (
+        F.greatest(F.col("la"), F.col("lb"))
+        - F.lit(q - 1)
+        - F.lit(max_distance * q)
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        shared.filter(F.col("shared") >= floor)
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance", "n_a", "n_b")
     )

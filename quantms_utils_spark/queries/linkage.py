@@ -45,3 +45,45 @@ WHERE levenshtein(a.name, b.name) <= 3
 QUERIES = {
     "er_fuzzy_part_names": (er_fuzzy_part_names, ER_FUZZY_PART_SQL),
 }
+
+
+def er_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free exact edit-distance join on part names
+    (operators.linkage.edit_distance_pairs, the EDJoin q-gram
+    count-filter family): candidates from the inverted 2-gram join with
+    the count floor max(|a|,|b|)−q+1−d·q — provably no false negatives,
+    so unlike `er_fuzzy_part_names` nothing can escape across a block
+    boundary. The oracle replays gram explosion, the (inflated-by-
+    duplicates but verify-safe) shared counts, the floor, and DuckDB's
+    levenshtein."""
+    from quantms_utils_spark.operators.linkage import edit_distance_pairs
+
+    p = load(spark, sf_dir, "part")
+    return edit_distance_pairs(p, "p_name", max_distance=2, q=2)
+
+
+ER_EDJOIN_SQL = """
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n, length(p_name) AS len
+  FROM part GROUP BY 1 HAVING length(p_name) >= 2
+), grams AS (
+  SELECT name, n, len, substr(name, i, 2) AS gram
+  FROM names, UNNEST(generate_series(1, len - 1)) AS t(i)
+), shared AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         a.n AS n_a, b.n AS n_b, a.len AS la, b.len AS lb,
+         count(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.name < b.name
+   AND abs(a.len - b.len) <= 2
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT name_a, name_b,
+       levenshtein(name_a, name_b) AS distance, n_a, n_b
+FROM shared
+WHERE shared >= greatest(la, lb) - 1 - 4
+  AND levenshtein(name_a, name_b) <= 2
+"""
+
+
+QUERIES["er_edit_distance_pairs"] = (er_edit_distance_pairs, ER_EDJOIN_SQL)

@@ -194,3 +194,71 @@ QUERIES = {
     "event_rolling_distinct": (event_rolling_distinct, EVENT_ROLLING_DISTINCT_SQL),
     "event_type_affinity": (event_type_affinity, EVENT_AFFINITY_SQL),
 }
+
+
+def event_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry retry dedup: collapse bursts of the same (user, type)
+    arriving within 1 second of the previous kept occurrence's burst into
+    one row — the batch twin of the streaming
+    `dropDuplicatesWithinWatermark` dedup. A lag() time-delta over
+    (user, type) marks burst STARTS (gap > 1s or first row); a running
+    count of starts assigns burst ids IN THE SAME window (one Exchange +
+    one Sort for both); one aggregate keeps the first event and sums the
+    burst. Output is per-burst: first event id/ts, burst size, summed
+    value (DECIMAL)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.sum(is_start).over(wr).alias("burst"),
+    )
+    return b.groupBy("user_id", "event_type", "burst").agg(
+        F.min(F.struct("ts", "event_id")).alias("_first"),
+        F.count(F.lit(1)).alias("n_collapsed"),
+        F.sum("v").alias("value_sum"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("_first.event_id").alias("first_event_id"),
+        F.col("_first.ts").alias("first_ts"),
+        "n_collapsed",
+        "value_sum",
+    )
+
+
+EVENT_RETRY_COLLAPSE_SQL = """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), b AS (
+  SELECT *, sum(is_start) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+  FROM g
+)
+SELECT user_id, event_type,
+       min(event_id ORDER BY ts, event_id) AS first_event_id,
+       min(ts) AS first_ts,
+       count(*) AS n_collapsed,
+       sum(v) AS value_sum
+FROM b GROUP BY user_id, event_type, burst
+"""
+
+QUERIES["event_retry_collapse"] = (
+    event_retry_collapse,
+    EVENT_RETRY_COLLAPSE_SQL,
+)
