@@ -185,7 +185,11 @@ def degree_stats(
 
 
 def triangle_count(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    orientation: str = "id",
 ) -> DataFrame:
     """Global triangle census of an (arbitrary, possibly directed/multi)
     edge list, treated as a simple undirected graph: one row with
@@ -204,14 +208,25 @@ def triangle_count(
       wedge stream never materializes beyond the shuffle, and the probe
       side ships only (a, c) pairs.
 
-    At web scale the classic refinement is to orient edges from
-    low-degree to high-degree vertex instead of by id (caps the pivot
-    fan-out at O(sqrt(|E|)) per vertex, which tames power-law hubs); the
-    id orientation keeps this oracle-replayable and is fine for bounded-
-    degree graphs like the doc-link fixture. The census row is the
-    pre-flight community-structure scan next to `degree_stats` — a
-    near-zero coefficient says LPA will find nothing worth the rounds.
+    ``orientation`` picks the pivot strategy — both count the SAME
+    triangles (property-tested on random graphs):
+
+    - ``"id"`` (default): edges oriented u<v, pivot at the middle vertex.
+      Oracle-replayable in plain SQL; fine for bounded-degree graphs.
+    - ``"degree"``: edges oriented low-degree → high-degree (tie-break by
+      id), pivot at the LOWEST vertex of each triangle over its
+      out-neighbor pairs. The oriented out-degree is O(sqrt(|E|)) for
+      every vertex (a vertex only points at neighbors of equal-or-higher
+      degree), so pivot fan-out — C(outdeg, 2), the quadratic term — is
+      capped even on power-law hubs where id orientation lets a celebrity
+      vertex fan out to its full degree. This is the web-scale default.
+
+    The census row is the pre-flight community-structure scan next to
+    `degree_stats` — a near-zero coefficient says LPA will find nothing
+    worth the rounds.
     """
+    if orientation not in ("id", "degree"):
+        raise ValueError(f"orientation must be 'id' or 'degree', got {orientation!r}")
     canon = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -230,17 +245,51 @@ def triangle_count(
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
     )
-    ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tri = (
-        ab.join(bc, "b")
-        .join(
-            canon,
-            (F.col("a") == canon["u"]) & (F.col("c") == canon["v"]),
-            "left_semi",
+    if orientation == "id":
+        ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tri = (
+            ab.join(bc, "b")
+            .join(
+                canon,
+                (F.col("a") == canon["u"]) & (F.col("c") == canon["v"]),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    else:
+        # degree orientation: lo → hi under the total order (deg, id);
+        # the oriented graph is a DAG, every triangle a ≺ b ≺ c has
+        # out-edges a→b, a→c at its least vertex plus closing edge b→c
+        du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+        ed = canon.join(du, "u").join(dv, "v")
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
+        )
+        e1 = oriented.select(
+            F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("dhi").alias("db")
+        )
+        e2 = oriented.select(
+            F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("dhi").alias("dc")
+        )
+        wedge_at_lo = e1.join(e2, "a").filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        tri = (
+            wedge_at_lo.join(
+                oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+                ["b", "c"],
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
     n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         n_edges.crossJoin(F.broadcast(wedges))
@@ -285,8 +334,31 @@ def tree_depths(
 
     Returns (node, depth) with depth 0 at the root. Nodes whose chain is
     longer than 2^max_rounds raise (their ancestor never reaches root) —
-    the bound is explicit, not silent truncation.
+    the bound is explicit, not silent truncation. Dangling pointers —
+    a parent id with no node row — would VANISH under the inner
+    self-join (the row simply stops matching), which the unresolved-chain
+    check cannot see; they are therefore rejected up front with ONE
+    left-anti probe of the distinct parent set against the node set
+    (broadcast-sized: distinct parents ≤ |V|), keeping the 'explicit
+    error, not silent truncation' contract for arbitrary inputs.
     """
+    dangling = (
+        parents.select(F.col(parent).alias("a"))
+        .filter(F.col("a") != F.lit(root))
+        .distinct()
+        .join(
+            parents.select(F.col(node).alias("a")).distinct(),
+            "a",
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if dangling:
+        raise ValueError(
+            f"dangling parent pointer {dangling[0]['a']!r}: parent id has no "
+            f"node row — rows below it would be silently dropped"
+        )
     f = parents.select(
         F.col(node).alias("n"),
         F.col(parent).alias("a"),

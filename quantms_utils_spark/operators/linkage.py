@@ -118,18 +118,50 @@ def edit_distance_pairs(
     this is the no-blocking-key variant: nothing escapes because of a
     block boundary, at the price of q-gram join fan-out — the standard
     recall/cost trade documented by the family.
+
+    SHORT STRINGS: the count floor is only a filter when it is ≥ 1, i.e.
+    when ``max(|a|,|b|) > q−1+d·q``; below that, within-range pairs may
+    share ZERO q-grams (and strings shorter than ``q`` have no grams at
+    all), so the inverted join would silently miss them. Completeness is
+    preserved by splitting on that exact threshold: the gram join keeps
+    only pairs with ``greatest(la,lb) > q−1+d·q`` (where the floor is
+    provably sound), and names with ``len ≤ q−1+d·q`` go through a
+    brute-force levenshtein branch instead — the short set is bounded by
+    the alphabet (only strings of ≤ q·(d+1)−1 chars), so its self-join is
+    a broadcast of a tiny side, not a scale risk. A pair spanning the
+    threshold with one side shorter than ``q`` cannot be within range
+    (its length gap alone exceeds ``d``), so the two branches cover all
+    qualifying pairs exactly once.
     """
     if max_distance < 1:
         raise ValueError("max_distance must be >= 1")
     if q < 1:
         raise ValueError("q must be >= 1")
-    names = (
+    thresh = q - 1 + max_distance * q
+    names_all = (
         records.select(F.col(name_col).alias("name"))
         .groupBy("name")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("len", F.length("name"))
-        .filter(F.col("len") >= q)
     )
+    short = names_all.filter(F.col("len") <= F.lit(thresh))
+    sa = short.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), F.col("len").alias("la")
+    )
+    sb = short.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), F.col("len").alias("lb")
+    )
+    short_pairs = (
+        sa.join(
+            F.broadcast(sb),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(max_distance)),
+        )
+        .withColumn("distance", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance", "n_a", "n_b")
+    )
+    names = names_all.filter(F.col("len") >= q)
     grams = names.select(
         "name",
         "n",
@@ -171,9 +203,11 @@ def edit_distance_pairs(
         - F.lit(max_distance * q)
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        shared.filter(F.col("shared") >= floor)
+    long_pairs = (
+        shared.filter(F.greatest(F.col("la"), F.col("lb")) > F.lit(thresh))
+        .filter(F.col("shared") >= floor)
         .withColumn("distance", dist)
         .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance", "n_a", "n_b")
     )
+    return long_pairs.unionByName(short_pairs)

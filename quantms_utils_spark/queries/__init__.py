@@ -40,46 +40,57 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
         REGISTRY[_name] = _pair
 
 # Front-load the queries that most need a fresh driver row, so a capped or
-# time-budgeted checker covers them first. Round-3 priorities lead:
-# snapshot_diff (added after the r02 run — the only registry query never
-# driver-checked) and approx_event_stats (reworked in round 3 from rows-only
-# to a hash-checkable tolerance oracle). The rest keep their round-2 order.
+# time-budgeted checker covers them first. Round-4 priorities lead: the 23
+# registry queries that never received a driver CORRECTNESS row across
+# r1–r3 (green only in the local pytest oracle suite / the 149-query clone
+# sweep), plus the two r3 reds (snapshot_merge_apply, weighted_median_price
+# — dtype canonicalization, fixed this round). Everything after slot 25
+# keeps its prior order; new round-4 queries go AFTER these so existing
+# green history is never orphaned.
 _FRONT = [
+    # -- the 23 never-driver-checked (r4 item 2) --
+    "text_quality_logreg_scores", "text_quality_logreg_eval",
+    "dedup_cluster_sizes", "event_retention_cohorts",
+    "event_value_winsorized", "warc_roundtrip_stats",
+    "web_url_canonical", "embedding_negative_samples",
+    "text_unicode_normalize", "interval_overlap_pairs",
+    "ann_recall_report", "snapshot_diff_exact",
+    "text_bpe_vocab", "text_duplicate_spans",
+    "text_bigram_logprob", "text_remove_duplicate_spans",
+    "ann_knn_graph", "ann_ivfpq_topk",
+    "text_novelty_boilerplate", "text_readability",
+    "media_wav_signal", "event_retry_collapse",
+    "er_edit_distance_pairs",
+    # -- the two r3 canonicalization reds, fixed this round (r4 item 1) --
+    "snapshot_merge_apply", "weighted_median_price",
+    # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
-    "graph_triangle_count", "event_transitions",  # new in round 3 (session 2)
-    "event_rolling_distinct", "snapshot_merge_apply",  # new in r3 (session 2)
-    "er_fuzzy_part_names", "media_ahash_fingerprints",  # new in r3 (session 2)
-    "media_phash_pairs", "data_quality_report",  # new in r3 (session 2)
-    "weighted_median_price", "text_quality_calibration",  # new in r3 (s2)
-    "event_trend_slopes", "event_type_affinity",  # new in r3 (session 2)
-    "graph_tree_depths", "event_bootstrap_ci",  # new in r3 (session 2)
-    "scd2_point_in_time",  # new in r3 (session 2)
-    "graph_pagerank", "graph_degree_stats",  # new in round 3 (late)
-    "text_weighted_sample", "event_scd2_intervals",  # new in round 3 (late)
-    "table_skew_report", "rag_chunk_retrieve",  # new in round 3 (late)
-    "text_inverted_index", "sink_orc_roundtrip",  # new in round 3 (late)
-    "dedup_lsh_recall_report", "corpus_drift_psi",  # new in round 3 (late)
-    "text_more_like_this", "sink_jsonl_roundtrip",  # new in round 3 (late)
-    "text_char_entropy", "event_anomaly_mad",  # new in round 3 (late)
-    "incremental_view_refresh",  # new in round 3 (late)
-    "supplier_wait_blame", "cheapest_supplier_per_part",  # new in round 3 (late)
-    "graph_label_propagation", "dedup_containment_pairs",  # new in round 3 (late)
-    "ann_pq_codes", "ann_pq_topk",  # new in round 3 (late)
-    "event_value_ewma", "dedup_simhash_pairs",  # new in round 3 (late)
-    "skew_salted_join_agg", "event_type_revenue_share",  # new in round 3 (late)
-    "bucketed_join_revenue", "text_top_terms",  # new in round 3 (late)
-    "dedup_semantic", "text_bloom_decontaminate",  # new in round 3
-    "text_heavy_hitters_cms", "text_length_histogram",  # new in round 3
-    "layout_compaction_plan",  # new in round 3
-    "text_quality_logreg_weights", "text_quality_logreg_scores",  # new in round 3
-    "text_quality_logreg_eval", "dedup_cluster_sizes",  # new in round 3
-    "event_retention_cohorts", "event_value_winsorized",  # new in round 3
-    "warc_roundtrip_stats", "web_url_canonical",  # new in round 3
-    "embedding_negative_samples", "text_unicode_normalize",  # new in round 3
-    "interval_overlap_pairs", "ann_recall_report",  # new in round 3
-    "snapshot_diff_exact", "text_bpe_vocab",  # new in round 3
-    "text_duplicate_spans", "text_bigram_logprob",  # new in round 3
-    "text_remove_duplicate_spans", "ann_knn_graph",  # new in round 3
+    "graph_triangle_count", "event_transitions",
+    "event_rolling_distinct",
+    "er_fuzzy_part_names", "media_ahash_fingerprints",
+    "media_phash_pairs", "data_quality_report",
+    "text_quality_calibration",
+    "event_trend_slopes", "event_type_affinity",
+    "graph_tree_depths", "event_bootstrap_ci",
+    "scd2_point_in_time",
+    "graph_pagerank", "graph_degree_stats",
+    "text_weighted_sample", "event_scd2_intervals",
+    "table_skew_report", "rag_chunk_retrieve",
+    "text_inverted_index", "sink_orc_roundtrip",
+    "dedup_lsh_recall_report", "corpus_drift_psi",
+    "text_more_like_this", "sink_jsonl_roundtrip",
+    "text_char_entropy", "event_anomaly_mad",
+    "incremental_view_refresh",
+    "supplier_wait_blame", "cheapest_supplier_per_part",
+    "graph_label_propagation", "dedup_containment_pairs",
+    "ann_pq_codes", "ann_pq_topk",
+    "event_value_ewma", "dedup_simhash_pairs",
+    "skew_salted_join_agg", "event_type_revenue_share",
+    "bucketed_join_revenue", "text_top_terms",
+    "dedup_semantic", "text_bloom_decontaminate",
+    "text_heavy_hitters_cms", "text_length_histogram",
+    "layout_compaction_plan",
+    "text_quality_logreg_weights",
     "returned_items_topk", "big_orders_having", "rollup_revenue",
     "moving_avg_range", "ann_bruteforce_topk", "ann_partitioned_topk",
     "ann_lsh_bucketed", "embedding_norms", "dedup_embedding_cosine",

@@ -51,11 +51,15 @@ def er_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-free exact edit-distance join on part names
     (operators.linkage.edit_distance_pairs, the EDJoin q-gram
     count-filter family): candidates from the inverted 2-gram join with
-    the count floor max(|a|,|b|)−q+1−d·q — provably no false negatives,
+    the count floor max(|a|,|b|)−q+1−d·q, which is only sound when the
+    floor ≥ 1 — so the gram branch keeps pairs with max(len) > q−1+d·q
+    and names at or below that threshold (≤ 5 chars here; none exist in
+    the part table, but the branch is real code, not a precondition)
+    take a brute-force levenshtein branch. Together: no false negatives,
     so unlike `er_fuzzy_part_names` nothing can escape across a block
     boundary. The oracle replays gram explosion, the (inflated-by-
-    duplicates but verify-safe) shared counts, the floor, and DuckDB's
-    levenshtein."""
+    duplicates but verify-safe) shared counts, the floor, the threshold
+    split, the short brute branch, and DuckDB's levenshtein."""
     from quantms_utils_spark.operators.linkage import edit_distance_pairs
 
     p = load(spark, sf_dir, "part")
@@ -63,9 +67,11 @@ def er_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_EDJOIN_SQL = """
-WITH names AS (
+WITH names_all AS (
   SELECT p_name AS name, count(*) AS n, length(p_name) AS len
-  FROM part GROUP BY 1 HAVING length(p_name) >= 2
+  FROM part GROUP BY 1
+), names AS (
+  SELECT * FROM names_all WHERE len >= 2
 ), grams AS (
   SELECT name, n, len, substr(name, i, 2) AS gram
   FROM names, UNNEST(generate_series(1, len - 1)) AS t(i)
@@ -77,12 +83,23 @@ WITH names AS (
     ON a.gram = b.gram AND a.name < b.name
    AND abs(a.len - b.len) <= 2
   GROUP BY 1, 2, 3, 4, 5, 6
+), long_pairs AS (
+  SELECT name_a, name_b,
+         levenshtein(name_a, name_b) AS distance, n_a, n_b
+  FROM shared
+  WHERE greatest(la, lb) > 5
+    AND shared >= greatest(la, lb) - 1 - 4
+    AND levenshtein(name_a, name_b) <= 2
+), short_pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         levenshtein(a.name, b.name) AS distance,
+         a.n AS n_a, b.n AS n_b
+  FROM names_all a JOIN names_all b
+    ON a.name < b.name AND abs(a.len - b.len) <= 2
+  WHERE a.len <= 5 AND b.len <= 5
+    AND levenshtein(a.name, b.name) <= 2
 )
-SELECT name_a, name_b,
-       levenshtein(name_a, name_b) AS distance, n_a, n_b
-FROM shared
-WHERE shared >= greatest(la, lb) - 1 - 4
-  AND levenshtein(name_a, name_b) <= 2
+SELECT * FROM long_pairs UNION ALL SELECT * FROM short_pairs
 """
 
 

@@ -476,7 +476,11 @@ def event_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     float compares); replicate sums accumulate in DECIMAL; the CI bounds
     are ORDER STATISTICS (2nd / 49th of 50 sorted replicate means —
     explicit nearest-rank, no interpolation formula to disagree on). The
-    oracle replays every stage including the threshold table."""
+    oracle replays every stage including the threshold table. A replicate
+    whose weights all land on 0 for a tiny group yields a NULL mean;
+    Spark's collect_list drops NULLs while DuckDB's list() keeps them, so
+    BOTH sides filter NULL replicate means explicitly before sorting —
+    the order-statistic indices then read identical lists."""
     e = load(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(18,2)")
     b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
@@ -515,8 +519,10 @@ def event_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ci = rep.groupBy("event_type").agg(
-        F.sort_array(F.collect_list("m")).alias("ms")
+    ci = (
+        rep.filter(F.col("m").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
     )
     point = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -553,7 +559,8 @@ WITH r AS (
          CAST(sum(w * v) AS DOUBLE) / nullif(sum(w), 0) AS m
   FROM wr GROUP BY event_type, b
 ), ci AS (
-  SELECT event_type, list_sort(list(m)) AS ms FROM rep GROUP BY event_type
+  SELECT event_type, list_sort(list(m)) AS ms FROM rep
+  WHERE m IS NOT NULL GROUP BY event_type
 ), point AS (
   SELECT event_type, count(*) AS n_events,
          sum(CAST(value AS DECIMAL(18,2))) AS sv

@@ -205,7 +205,9 @@ def event_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of starts assigns burst ids IN THE SAME window (one Exchange +
     one Sort for both); one aggregate keeps the first event and sums the
     burst. Output is per-burst: first event id/ts, burst size, summed
-    value (DECIMAL)."""
+    value (accumulated in DECIMAL, emitted as rounded DOUBLE per the
+    house canonicalization convention — raw DECIMAL output hashes
+    differently across engines)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
@@ -231,7 +233,7 @@ def event_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_first.event_id").alias("first_event_id"),
         F.col("_first.ts").alias("first_ts"),
         "n_collapsed",
-        "value_sum",
+        F.round(F.col("value_sum").cast("double"), 2).alias("value_sum"),
     )
 
 
@@ -254,7 +256,7 @@ SELECT user_id, event_type,
        min(event_id ORDER BY ts, event_id) AS first_event_id,
        min(ts) AS first_ts,
        count(*) AS n_collapsed,
-       sum(v) AS value_sum
+       round(CAST(sum(v) AS DOUBLE), 2) AS value_sum
 FROM b GROUP BY user_id, event_type, burst
 """
 

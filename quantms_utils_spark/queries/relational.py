@@ -1608,7 +1608,9 @@ def snapshot_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
         F.sum("o_orderkey").alias("key_sum"),
     )
 
@@ -1622,8 +1624,8 @@ WITH snap_b AS (
   WHERE o_orderdate <= TIMESTAMP '1996-01-01' AND o_orderkey % 97 <> 0
 )
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
-       sum(o_orderkey) AS key_sum
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM snap_b GROUP BY o_orderpriority
 """
 
@@ -1658,7 +1660,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         F.round("l_extendedprice_q", 2).alias("wmedian_price"),
-        F.col("total_weight").cast("decimal(18,2)").alias("total_qty"),
+        F.round(F.col("total_weight").cast("double"), 2).alias("total_qty"),
     )
 
 
@@ -1675,7 +1677,7 @@ WITH cum AS (
 )
 SELECT l_returnflag,
        round(min(l_extendedprice), 2) AS wmedian_price,
-       CAST(max(tw) AS DECIMAL(18,2)) AS total_qty
+       round(CAST(max(tw) AS DOUBLE), 2) AS total_qty
 FROM cum WHERE cw >= 0.5 * tw
 GROUP BY l_returnflag
 """

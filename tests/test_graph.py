@@ -206,3 +206,64 @@ def test_tree_depths_deep_chain_needs_log_rounds(spark):
 
     with _pytest.raises(ValueError, match="chains longer"):
         tree_depths(parents, max_rounds=3).collect()
+
+
+def test_triangle_degree_orientation_matches_id(spark):
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    # K4 minus one edge again: both orientations must produce the same census
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    a = triangle_count(edges, orientation="id").collect()[0]
+    b = triangle_count(edges, orientation="degree").collect()[0]
+    assert a == b
+
+
+def test_triangle_degree_orientation_property_random(spark):
+    """Property: id- and degree-orientation count identical triangles on
+    random graphs, including a power-law-ish hub where degree orientation
+    actually reorders edges."""
+    import random
+
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 24
+        # hub vertex 0 connects to most; the rest are sparse random
+        pairs = {(0, v) for v in range(1, n) if rng.random() < 0.7}
+        pairs |= {
+            (min(u, v), max(u, v))
+            for _ in range(60)
+            for u, v in [(rng.randrange(n), rng.randrange(n))]
+            if u != v
+        }
+        edges = spark.createDataFrame(
+            [(u, v) for u, v in sorted(pairs)], "src long, dst long"
+        )
+        a = triangle_count(edges, orientation="id").collect()[0]
+        b = triangle_count(edges, orientation="degree").collect()[0]
+        assert a.n_triangles == b.n_triangles, f"trial {trial}"
+        assert a.n_edges == b.n_edges and a.n_wedges == b.n_wedges
+
+
+def test_triangle_count_rejects_bad_orientation(spark):
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="orientation"):
+        triangle_count(edges, orientation="nope")
+
+
+def test_tree_depths_dangling_parent_raises(spark):
+    """A parent id with no node row must raise up front — under the inner
+    self-join the row would silently vanish (the unresolved-chain check
+    cannot see rows that no longer exist)."""
+    from quantms_utils_spark.operators.graph import tree_depths
+
+    parents = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 99)], "node long, parent long"
+    )
+    with pytest.raises(ValueError, match="dangling parent"):
+        tree_depths(parents)

@@ -327,3 +327,49 @@ def test_check_expectations_all_pass_and_validation(spark):
                 Expectation("dup", "not_null", "s"),
             ],
         )
+
+
+def test_edit_distance_pairs_short_strings_complete(spark):
+    """Short strings (len <= q-1+d*q) may share ZERO q-grams while being
+    within edit distance — the brute-force branch must still find them,
+    and names shorter than q must not be dropped (they have no grams at
+    all)."""
+    from quantms_utils_spark.operators.linkage import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab"),    # shares no 2-gram with "cd" yet distance 2
+            (2, "cd"),
+            (3, "a"),     # shorter than q=2: zero grams
+            (4, "b"),     # distance 1 from "a"
+            (5, "abcdefgh"),  # long: gram branch only
+            (6, "abcdefgx"),  # distance 1 from above
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.name_a, r.name_b, r.distance)
+        for r in edit_distance_pairs(df, "name", max_distance=2, q=2).collect()
+    }
+    assert ("ab", "cd", 2) in got           # zero shared grams, short branch
+    assert ("a", "b", 1) in got             # below-q names kept
+    assert ("a", "ab", 1) in got
+    assert ("ab", "b", 1) in got
+    assert ("abcdefgh", "abcdefgx", 1) in got  # gram branch intact
+    # no cross-branch pair can be in range: "ab" vs "abcdefgh" is distance 6
+    assert all(d <= 2 for (_, _, d) in got)
+
+
+def test_edit_distance_pairs_no_duplicate_across_branches(spark):
+    """A pair must be emitted by exactly one branch (threshold split is a
+    partition, not an overlap)."""
+    from quantms_utils_spark.operators.linkage import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(["abc", "abd", "abcdef", "abcdeg"])],
+        "id long, name string",
+    )
+    rows = edit_distance_pairs(df, "name", max_distance=1, q=2).collect()
+    pairs = [(r.name_a, r.name_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {("abc", "abd"), ("abcdef", "abcdeg")}
