@@ -7,6 +7,23 @@ JSON line:
 
 Each query is forced to full execution with a count-style action (write-free,
 so the number is plan execution, not sink I/O).
+
+Flags (bench methodology, round-4):
+
+    --only q_a,q_b   run only these headline keys (still one JSON line)
+    --isolated       run each selected key in its OWN fresh JVM (a
+                     subprocess re-invoking this script with --only), so a
+                     regression is attributable to the query, not to
+                     GC/suite-composition effects of the 64-query shared
+                     JVM; prints one JSON line with per-query medians
+    --repeat N       timed samples per query (default 5, median reported)
+    --warmup N       untimed warmup executions per query (default 1 in
+                     suite mode; use ~6 with --isolated — a fresh JVM
+                     needs ~5 executions of a query to reach C2-JIT
+                     steady state, measured: 18.0 -> 6.4 -> 4.5 -> 4.8 ->
+                     3.2 -> 2.0 -> 1.75 -> 1.79 s for q_minhash_lsh at
+                     sf0.1, so a 1-warmup isolated median reads ~2.6x
+                     above steady state)
 """
 
 from __future__ import annotations
@@ -94,7 +111,62 @@ HEADLINE = [
 ]
 
 
+def _parse_args(argv: list[str]):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default="", help="comma-separated headline keys")
+    p.add_argument("--isolated", action="store_true")
+    p.add_argument("--repeat", type=int, default=5)
+    p.add_argument("--warmup", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
+    """One fresh JVM per query: re-invoke this script with --only per key
+    and merge the single-query JSON lines. Attribution mode — the shared
+    64-query JVM accumulates GC/codegen-cache state that can swing a
+    single query 1.5x; a fresh process is the ground truth for
+    regressions."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        out = subprocess.run(
+            [
+                sys.executable, __file__, "--only", key,
+                "--repeat", str(repeat), "--warmup", str(warmup),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            env=os.environ,
+        ).stdout.strip().splitlines()[-1]
+        timings.update(json.loads(out)["queries"])
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "mode": "isolated",
+                "repeat": repeat,
+                "warmup": warmup,
+            }
+        )
+    )
+
+
 def main() -> None:
+    args = _parse_args(sys.argv[1:])
+    only = [k for k in args.only.split(",") if k] or None
+    if args.isolated:
+        _run_isolated(only or [k for k, _ in HEADLINE], args.repeat, args.warmup)
+        return
     from quantms_utils_spark.session import get_spark
     from quantms_utils_spark.queries import REGISTRY
     from quantms_utils_spark.queries.dedup import minhash_lsh_pairs_fast
@@ -190,21 +262,24 @@ def main() -> None:
     # q_clusters pair reuse); each timed run executes its full plan.
     timings: dict[str, float] = {}
     for key, name in HEADLINE:
+        if only is not None and key not in only:
+            continue
         if key in OVERRIDES:
             setup, fn, clear_cache = OVERRIDES[key]
             if setup is not None:
                 setup()
         else:
             fn, clear_cache = REGISTRY[name][0], True
-        fn(spark, SF_DIR).count()
-        # Drop any persist() the warmup materialized (CacheManager matches
-        # canonicalized plans, so the timed run would silently reuse it and
+        # Warmups drop any persist() they materialized (CacheManager matches
+        # canonicalized plans, so the next run would silently reuse it and
         # measure only the post-cache stages). Skipped for queries whose
         # setup deliberately persists a shared input.
-        if clear_cache:
-            spark.catalog.clearCache()
+        for _ in range(max(args.warmup, 1)):
+            fn(spark, SF_DIR).count()
+            if clear_cache:
+                spark.catalog.clearCache()
         samples = []
-        for _ in range(5):
+        for _ in range(args.repeat):
             # Collect the previous run's garbage (broadcasts, arrow batches)
             # OUTSIDE the timed region — measured: a heavy query right after
             # an allocation burst pays a 2-3x major-GC penalty that is
@@ -215,7 +290,7 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
             if clear_cache:
                 spark.catalog.clearCache()
-        timings[key] = round(sorted(samples)[2], 3)
+        timings[key] = round(sorted(samples)[len(samples) // 2], 3)
         if key in OVERRIDES and not clear_cache:
             spark.catalog.clearCache()
 

@@ -21,7 +21,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -489,4 +489,148 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_SIGNAL_SCHEMA
+    )
+
+
+WAV_CHUNK_STATS_SCHEMA = StructType(
+    [
+        StructField("n_samples", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("first_sample", IntegerType(), True),
+        StructField("last_sample", IntegerType(), True),
+    ]
+)
+
+
+def wav_signal_stats_chunked(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    sample_col: str,
+    *,
+    sample_rate: int = 8000,
+    chunk_size: int = 65536,
+) -> DataFrame:
+    """Whale-key-safe variant of the per-key WAV signal pipeline
+    (`media_wav_signal`): the naive form collects a key's ENTIRE ordered
+    sample history into one array before encoding one giant WAV — a
+    1M-event user is a 1M-element aggregation buffer. The signal
+    statistics are SEGMENTABLE: zero crossings, peak, and sum-abs merge
+    associatively across segments if each segment also reports its
+    boundary samples (a crossing between chunk j's last sample and chunk
+    j+1's first is the only cross-chunk state).
+
+    Plan: one streaming window ranks rows per key (no array state) and
+    assigns ``chunk = rank // chunk_size``; each (key, chunk) collects a
+    BOUNDED sample array, round-trips it through the REAL codec
+    (encode_wav → RIFF parse → stats, Arrow-batched pandas path exactly
+    like `audio_signal_stats`); the final per-key aggregate sums counts,
+    maxes peaks, and folds the ≤ n/chunk_size chunk-stat structs in chunk
+    order to add boundary crossings. Peak per-key state is
+    max(chunk_size, n/chunk_size) rows. Output schema matches
+    `audio_signal_stats`: (media_id, n_samples, zero_crossings, peak_abs,
+    mean_abs).
+    """
+    if chunk_size < 2:
+        raise ValueError("chunk_size must be >= 2")
+
+    @F.pandas_udf(WAV_CHUNK_STATS_SCHEMA)
+    def _chunk_stats(samples: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for arr in samples:
+            x = np.asarray(arr, dtype=np.int16)
+            payload = media_codecs.encode_wav(x, sample_rate)
+            _, y = media_codecs.decode_wav_samples(payload)
+            n = int(y.size)
+            if n == 0:
+                rows.append((0, 0, 0, 0, None, None))
+                continue
+            neg = y < 0
+            zc = int((neg[1:] != neg[:-1]).sum())
+            ab = np.abs(y.astype(np.int64))
+            rows.append(
+                (n, zc, int(ab.max()), int(ab.sum()), int(y[0]), int(y[-1]))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_samples",
+                "zero_crossings",
+                "peak_abs",
+                "sum_abs",
+                "first_sample",
+                "last_sample",
+            ],
+        )
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    ranked = df.select(
+        F.col(key_col).alias("media_id"),
+        F.struct(*order_cols).alias("_ord"),
+        F.col(sample_col).cast("int").alias("_s"),
+        ((F.row_number().over(w) - 1) / F.lit(chunk_size))
+        .cast("long")
+        .alias("_chunk"),
+    )
+    per_chunk = (
+        ranked.groupBy("media_id", "_chunk")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_ord", "_s"))),
+                lambda st: st["_s"],
+            ).alias("_samples")
+        )
+        .select("media_id", "_chunk", _chunk_stats("_samples").alias("_st"))
+    )
+    boundary_fold = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "_chunk",
+                    F.col("_st")["first_sample"].alias("f"),
+                    F.col("_st")["last_sample"].alias("l"),
+                )
+            )
+        ),
+        F.struct(
+            F.lit(None).cast("int").alias("prev_last"),
+            F.lit(0).cast("long").alias("zc"),
+        ),
+        lambda acc, ch: F.struct(
+            F.coalesce(ch["l"], acc["prev_last"]).alias("prev_last"),
+            (
+                acc["zc"]
+                + F.when(
+                    acc["prev_last"].isNotNull()
+                    & ch["f"].isNotNull()
+                    & ((acc["prev_last"] < 0) != (ch["f"] < 0)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("zc"),
+        ),
+        lambda acc: acc["zc"],
+    )
+    return per_chunk.groupBy("media_id").agg(
+        F.sum(F.col("_st")["n_samples"]).alias("_n"),
+        (F.sum(F.col("_st")["zero_crossings"]) + boundary_fold).alias(
+            "zero_crossings"
+        ),
+        F.max(F.col("_st")["peak_abs"]).alias("peak_abs"),
+        (
+            F.round(
+                F.sum(F.col("_st")["sum_abs"]).cast("double")
+                / F.sum(F.col("_st")["n_samples"]),
+                6,
+            )
+        ).alias("mean_abs"),
+    ).select(
+        "media_id",
+        F.col("_n").alias("n_samples"),
+        "zero_crossings",
+        "peak_abs",
+        "mean_abs",
     )

@@ -323,7 +323,12 @@ def media_wav_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every statistic from the event stream with a lag window —
     so any reorder, drop, or byte-swap inside the codec path shifts the
     crossing count and hash-mismatches. Complements `media_wav_features`,
-    which is order-insensitive (RMS aggregate)."""
+    which is order-insensitive (RMS aggregate). Whale note: the per-user
+    full-history collect here is the oracle-replayable form; the
+    production form is operators.multimodal.wav_signal_stats_chunked
+    (bounded per-chunk codec round-trips + associative merge with
+    boundary-crossing state; 1M-sample whale pinned in
+    tests/test_whale_guards.py)."""
     from quantms_utils_spark.operators.multimodal import audio_signal_stats
 
     e = load(spark, sf_dir, "events")

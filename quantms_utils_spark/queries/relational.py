@@ -1403,8 +1403,11 @@ def event_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     element) — per-group O(n), no Python, no driver iteration. DuckDB's
     list_reduce replays the identical left fold in the identical order,
     so the doubles agree before rounding. At whale-key scale the
-    per-group array is the bound to watch — a hot-key corpus would
-    pre-aggregate to coarser ticks first."""
+    per-group array is the bound to watch — the production form is
+    operators.windows.ewma_chunked (two-level affine-map fold, per-key
+    state bounded at max(chunk, n/chunk); equivalence + 1M-event whale
+    pinned in tests/test_whale_guards.py); this registry form keeps the
+    single fold because DuckDB's list_reduce replays it verbatim."""
     from quantms_utils_spark.functions.core import let_once
 
     e = load(spark, sf_dir, "events")
