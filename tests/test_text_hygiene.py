@@ -507,3 +507,42 @@ def test_unicode_nfc_composes_and_strips_controls(spark):
     assert got[1] == "abc"
     assert got[2] == "keep\nnewline\ttab"
     assert got[3] is None
+
+
+def test_bpe_1000_merges_under_100_rounds(spark):
+    """Round-4 scale contract: n_merges=1000 at batch_size=16 completes
+    in <= 100 driver rounds (measured 63 with the precise instance-
+    sharing conflict rule; the old any-shared-symbol rule took 81) and
+    under a wall bound. The corpus is 1.8k random word types — rounds,
+    not data volume, dominate, which is exactly the property the bound
+    pins."""
+    import random
+    import time
+
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(6, 14)))
+            for _ in range(30)
+        )
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    rounds: list[int] = []
+    t0 = time.time()
+    m = bpe_merges(df, "text", n_merges=1000, batch_size=16, _rounds_out=rounds)
+    got = m.collect()
+    wall = time.time() - t0
+    assert len(got) == 1000
+    assert rounds[0] <= 100, rounds
+    assert wall < 240, f"wall {wall:.0f}s"
+    # merge list is internally consistent: every non-initial symbol used
+    # as a side was produced by an earlier merge
+    produced = set()
+    for r in sorted(got, key=lambda r: r["round"]):
+        for side in (r["left"], r["right"]):
+            assert len(side) == 1 or side in produced, side
+        produced.add(r["merged"])
