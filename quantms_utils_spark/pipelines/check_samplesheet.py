@@ -136,21 +136,37 @@ def check_samplesheet(
             )
         logger.warning(
             "sdrf-pipelines is not importable: falling back to the native "
-            "template tier (structural + value checks; OLS ontology lookups "
-            "skipped)."
+            "template tier (structural + value checks%s).",
+            "; cached-ontology accession tier active"
+            if use_ols_cache_only
+            else "; OLS ontology lookups skipped",
         )
-        return _validate_template(spark, path, template)
+        return _validate_template(
+            spark, path, template, use_ols_cache_only=use_ols_cache_only
+        )
     return _validate_minimal(spark, path)
 
 
 def _validate_template(
-    spark: SparkSession, path: str, template: str
+    spark: SparkSession,
+    path: str,
+    template: str,
+    *,
+    use_ols_cache_only: bool = False,
 ) -> list[str]:
     """Native full-template tier: structural SDRF-Proteomics rules.
 
     Header rules run driver-side (a header is tiny); every cell-level rule is
     folded into ONE Spark aggregate so the sheet is scanned exactly once no
     matter how many rules apply.
+
+    ``use_ols_cache_only`` mirrors the reference knob
+    (/root/reference/quantmsutils/sdrf/check_samplesheet.py:52-56): when
+    set, ``AC=`` accessions whose ontology prefix is covered by the
+    embedded public snapshot (``pipelines.ols_cache`` — PSI-MS, Unimod)
+    must EXIST in that snapshot; accessions under uncached prefixes (EFO,
+    NCBITaxon, …) are structurally checked only — a subset cache must
+    never claim a term it cannot see is invalid.
     """
     if template not in TEMPLATE_REQUIRED_COLUMNS:
         return [
@@ -312,6 +328,27 @@ def _validate_template(
             "that are not ontology accessions (expected PREFIX:ID, e.g. "
             "MS:1001251, UNIMOD:4)."
         )
+        if use_ols_cache_only:
+            from quantms_utils_spark.pipelines import ols_cache
+
+            acc_norm = F.upper(F.trim(ac_value))
+            prefix = F.upper(F.split(F.trim(ac_value), ":").getItem(0))
+            aggs.append(
+                F.sum(
+                    (
+                        structured
+                        & cell.rlike(_AC_PRESENT_RE)
+                        & ac_value.rlike(_AC_VALUE_RE)
+                        & prefix.isin(*ols_cache.CACHED_PREFIXES)
+                        & ~acc_norm.isin(*ols_cache.CACHED_TERMS)
+                    ).cast("long")
+                ).alias(f"ols_{len(aggs)}")
+            )
+            agg_err.append(
+                f"ERROR: Column '{orig.lower()}' contains {{n}} AC= "
+                "accession(s) not found in the cached ontology subset "
+                "(use_ols_cache_only)."
+            )
 
     # --- controlled vocabularies -------------------------------------------
     tech = _col("technology type")

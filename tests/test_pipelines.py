@@ -376,3 +376,65 @@ class TestDiannCfg:
     def test_compound_site_rejected(self):
         with pytest.raises(ConfigError, match="terminal AAs"):
             build_diann_config(None, None, "Oxidation (Protein N-term M)")
+
+
+class TestOlsCacheTier:
+    """use_ols_cache_only: AC= accessions under cached prefixes (PSI-MS,
+    Unimod) must exist in the embedded public snapshot; uncached prefixes
+    (NCIT, EFO, ...) stay structurally-checked only (round-4 item 8)."""
+
+    def _errors(self, spark, tmp_path, content, name="o.sdrf.tsv"):
+        return check_samplesheet(
+            spark,
+            _write(tmp_path, name, content),
+            minimal=False,
+            use_ols_cache_only=True,
+        )
+
+    def test_valid_sheet_passes_cache_tier(self, spark, tmp_path):
+        assert self._errors(spark, tmp_path, SDRF_FULL) == []
+
+    def test_unknown_unimod_accession_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace("AC=UNIMOD:4", "AC=UNIMOD:999999")
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "modification parameters" in e
+            and "not found in the cached ontology subset" in e
+            for e in errors
+        )
+
+    def test_unknown_ms_accession_rejected(self, spark, tmp_path):
+        content = SDRF_FULL.replace("AC=MS:1001251", "AC=MS:9999999")
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "cleavage agent details" in e
+            and "not found in the cached ontology subset" in e
+            for e in errors
+        )
+
+    def test_uncached_prefix_not_flagged(self, spark, tmp_path):
+        # NCIT:C161635 is under an uncached prefix: the subset cache must
+        # not claim it is invalid (it already appears in SDRF_FULL)
+        assert self._errors(spark, tmp_path, SDRF_FULL) == []
+
+    def test_knob_off_skips_existence_check(self, spark, tmp_path):
+        content = SDRF_FULL.replace("AC=UNIMOD:4", "AC=UNIMOD:999999")
+        errors = check_samplesheet(
+            spark,
+            _write(tmp_path, "off.sdrf.tsv", content),
+            minimal=False,
+        )
+        assert not any("cached ontology subset" in e for e in errors)
+
+    def test_case_insensitive_accession(self, spark, tmp_path):
+        content = SDRF_FULL.replace("AC=UNIMOD:4", "AC=unimod:4")
+        assert self._errors(spark, tmp_path, content) == []
+
+    def test_lookup_helpers(self):
+        from quantms_utils_spark.pipelines import ols_cache
+
+        assert ols_cache.lookup("UNIMOD:4") == "Carbamidomethyl"
+        assert ols_cache.lookup("ms:1001251") == "Trypsin"
+        assert ols_cache.lookup("UNIMOD:999999") is None
+        assert ols_cache.is_cached_prefix("MS:1")
+        assert not ols_cache.is_cached_prefix("NCIT:C161635")
