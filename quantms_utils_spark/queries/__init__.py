@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from quantms_utils_spark.queries import (
+    classics,
     core,
     curation,
     dedup,
@@ -33,7 +34,7 @@ from quantms_utils_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops, graphops, pathops, linkage):
+for _mod in (core, dedup, relational, similarity, textops, media, curation, retrieval, sketchops, mlops, webops, graphops, pathops, linkage, classics):
     for _name, _pair in _mod.QUERIES.items():
         if _name in REGISTRY:
             raise ValueError(f"duplicate query name {_name!r}")
@@ -63,6 +64,11 @@ _FRONT = [
     "er_edit_distance_pairs",
     # -- the two r3 canonicalization reds, fixed this round (r4 item 1) --
     "snapshot_merge_apply", "weighted_median_price",
+    # -- new in round 4 (behind the 25 priority slots, per the r3 brief) --
+    "volume_shipping", "market_share", "important_parts",
+    "customer_distribution", "top_supplier", "parts_supplier_relationship",
+    "large_orders", "promotion_revenue", "event_gap_fill",
+    "embedding_centroid_shift", "graph_triangle_degree",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

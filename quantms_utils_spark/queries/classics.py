@@ -1,0 +1,420 @@
+"""Classic warehouse query shapes (TPC-H-derived) over the synthetic
+tables — round-4 breadth: the join/aggregation archetypes a reference
+user's downstream analysts run daily, each expressed shuffle-minimal and
+oracle-paired.
+
+House conventions: monetary aggregates accumulate in DECIMAL, are rounded
+WHILE STILL DECIMAL (HALF_UP is exact and engine-identical on decimals;
+rounding after a double cast diverges at shortest-repr .xx5 boundaries),
+then cast to DOUBLE for hashing — same order on BOTH sides;
+DuckDB ``sum(BIGINT/INTEGER)`` returns HUGEINT, so integer sums are cast
+back to BIGINT in the SQL; every dimension join is an explicit
+``broadcast()`` (nation/region/customer/supplier/part are dimension-sized
+at any scale factor that matters — the fact table is lineitem/orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
+
+from quantms_utils_spark.tables import load
+
+QUERIES: dict = {}
+
+# Revenue accumulates exactly: each INPUT casts to DECIMAL first (inputs
+# carry <= 2 decimals, so the scalar cast is boundary-safe), then the
+# product/sum run in exact decimal arithmetic in BOTH engines. Casting the
+# double product instead would round its 7th digit, where Spark and DuckDB
+# can disagree at half-ulp boundaries (observed: a 1-cent drift at sf0.01).
+_REV = "CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))"
+
+
+def _revenue_col():
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(18,6)")
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): trade volume between every
+    ordered nation pair by ship year. Spark-first plan: lineitem joins
+    orders (fact-to-fact on l_orderkey — the one real shuffle), then
+    BROADCASTS customer, supplier, and nation twice (aliased dims); the
+    nation-pair filter (supp < cust, lexicographic) prunes the symmetric
+    half before the final hash aggregate. At 100 TB the orderkey join is
+    co-partitionable (both facts bucket by orderkey); everything else is
+    map-side. Output: (supp_nation, cust_nation, l_year, revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_col()).alias("_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(CAST({_REV} AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["volume_shipping"] = (volume_shipping, VOLUME_SHIPPING_SQL)
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share), generalized: for each
+    customer REGION and ship year, the share of revenue fulfilled by
+    suppliers whose nation lies in that same region (intra-region
+    fulfillment ratio). The conditional-sum-over-sum idiom: ONE aggregate
+    computes numerator and denominator together (sum(when(...)) /
+    sum(...)) — never two scans, never a self-join. Region dims broadcast
+    twice under different aliases. Output: (region, l_year, mkt_share,
+    total_revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cdim = (
+        c.select("c_custkey", "c_nationkey")
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    sdim = (
+        s.select("s_suppkey", "s_nationkey")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    rev = _revenue_col()
+    joined = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("cust_region").alias("region"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("supp_region") == F.col("cust_region"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("_intra"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "region",
+            "l_year",
+            F.round(
+                F.col("_intra").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT rc.r_name AS region,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST({_REV} AS DECIMAL(18,6)) AS rev,
+         (rs.r_name = rc.r_name) AS intra
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+)
+SELECT region, l_year,
+       round(CAST(sum(CASE WHEN intra THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+FROM j GROUP BY 1, 2
+"""
+
+QUERIES["market_share"] = (market_share, MARKET_SHARE_SQL)
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted to the lineitem fact
+    (the synthetic schema has no partsupp): parts whose total revenue
+    exceeds 0.1% of GLOBAL revenue. The global scalar is a 1-row
+    aggregate broadcast into a cross join — the standard decorrelation of
+    Q11's scalar subquery (Catalyst does this itself for an uncorrelated
+    scalar subquery; stated explicitly here so the plan is pinned). One
+    shuffle for the per-part aggregate, one broadcast for the threshold.
+    Output: (l_partkey, part_value) for qualifying parts."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = _revenue_col()
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("_val").cast("double") > 0.001 * F.col("_tot").cast("double"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PARTS_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST({_REV} AS DECIMAL(18,6))) AS val
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM per_part)
+"""
+
+QUERIES["important_parts"] = (important_parts, IMPORTANT_PARTS_SQL)
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of orders-per-customer
+    INCLUDING zero-order customers — the left-join-then-double-aggregate
+    shape. First aggregate counts orders per customer after a LEFT join
+    (nulls count as 0 via count of the join-side key, not count(*));
+    second aggregates the count distribution. Customers broadcast; the
+    only shuffle is the per-customer count. Output: (c_count, custdist)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+QUERIES["customer_distribution"] = (customer_distribution, CUSTOMER_DISTRIBUTION_SQL)
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose total revenue equals
+    the global maximum — the view-plus-scalar-max shape. ONE fact
+    aggregate produces the per-supplier revenue view (dimension-sized);
+    the global max is a 1-row aggregate of that view broadcast back into
+    it — keeping ties (Q15's correctness subtlety: every supplier at the
+    max survives), with no unpartitioned sort anywhere. Output:
+    (s_suppkey, s_name, total_revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue_col()).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    return (
+        per_supp.crossJoin(broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, sum(CAST({_REV} AS DECIMAL(18,6))) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM per_supp)
+"""
+
+QUERIES["top_supplier"] = (top_supplier, TOP_SUPPLIER_SQL)
+
+
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    suppliers serve each (brand, type, size) part segment, excluding a
+    supplier blacklist — the distinct-pairs + anti-join + countDistinct
+    stack. Distinct (part, supp) pairs reduce the fact first (the Q16
+    partsupp stand-in); the blacklist (suppliers whose name ends in '7')
+    is an anti-join against a broadcast dim; part attributes broadcast.
+    Output: (p_brand, p_type, p_size, supplier_cnt)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_name").endswith("7")).select("s_suppkey")
+    return (
+        pairs.join(broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+PARTS_SUPPLIER_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["parts_supplier_relationship"] = (
+    parts_supplier_relationship,
+    PARTS_SUPPLIER_SQL,
+)
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-quantity orders): orders whose total line quantity
+    exceeds a threshold, with customer attribution — the
+    aggregate-then-semi-join shape. The HAVING aggregate reduces lineitem
+    to qualifying orderkeys FIRST (tiny), which then drive a broadcast
+    semi-probe into orders + customer — never the reverse order (joining
+    first would shuffle the full fact twice). Output: (c_name, o_orderkey,
+    o_orderdate, o_totalprice, total_qty)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        o.join(broadcast(qualifying), o.o_orderkey == qualifying.l_orderkey)
+        .join(broadcast(c.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            F.round(F.col("_qty"), 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_ORDERS_SQL = """
+WITH q AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       CAST(round(qty, 2) AS DOUBLE) AS total_qty
+FROM orders JOIN q ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+QUERIES["large_orders"] = (large_orders, LARGE_ORDERS_SQL)
+
+
+def promotion_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) by ship month: percentage of revenue
+    from PROMO-type parts — conditional-sum ratio in one aggregate, part
+    type broadcast into the fact scan. Output: (l_month, promo_share,
+    total_revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = _revenue_col()
+    return (
+        li.join(broadcast(p.select("p_partkey", "p_type")),
+                li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("l_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "l_month",
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+PROMOTION_REVENUE_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS l_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST({_REV} AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS promo_share,
+       CAST(round(sum(CAST({_REV} AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+QUERIES["promotion_revenue"] = (promotion_revenue, PROMOTION_REVENUE_SQL)

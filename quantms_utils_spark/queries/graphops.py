@@ -229,6 +229,59 @@ FROM ne, wedges, tri
 
 
 
+def graph_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME triangle census as `graph_triangle_count` but through the
+    DEGREE-ORIENTED plan (operators.graph.triangle_count
+    orientation="degree"): edges point low-degree → high-degree (id
+    tie-break), the pivot sits at each triangle's least vertex, and pivot
+    fan-out is C(out-deg, 2) with out-deg ≤ O(√|E|) — the power-law-hub
+    survival property id orientation lacks. Counting identical triangles
+    through a structurally different join tree is itself the check: the
+    oracle replays the orientation (degree table, lo/hi flip, pivot at
+    lo, closing-edge probe), so the two registry rows cross-validate the
+    whole orientation algebra, complementing the random-graph property
+    test in tests/test_graph.py."""
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir), orientation="degree")
+
+
+GRAPH_TRIANGLES_DEGREE_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY 1
+),
+wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS lo,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS hi,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS dhi
+  FROM canon JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.lo = e1.lo
+   AND (e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+  JOIN oriented e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+ne AS (SELECT count(*) AS n_edges FROM canon)
+SELECT n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0 END, 6)
+         AS clustering_coeff
+FROM ne, wedges, tri
+"""
+
+
+
+
 def graph_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth histogram of a derived random recursive forest
     (parent(i) = md5-uniform in [0, i), root 0) computed by POINTER
@@ -280,5 +333,6 @@ QUERIES = {
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
     "graph_triangle_count": (graph_triangle_count, GRAPH_TRIANGLES_SQL),
+    "graph_triangle_degree": (graph_triangle_degree, GRAPH_TRIANGLES_DEGREE_SQL),
     "graph_tree_depths": (graph_tree_depths, GRAPH_TREE_DEPTHS_SQL),
 }

@@ -264,3 +264,83 @@ QUERIES["event_retry_collapse"] = (
     event_retry_collapse,
     EVENT_RETRY_COLLAPSE_SQL,
 )
+
+
+def event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill with forward fill per user — the resample/ffill
+    primitive every feature pipeline needs (pandas ``resample().ffill()``)
+    that SQL expresses with a calendar spine + LOCF window. Spark-first:
+
+    1. collapse events to ONE row per (user, day) keeping the day's last
+       value (max_by on (ts, event_id) — one shuffle);
+    2. build each user's day spine with ``sequence(min_day, max_day)`` +
+       explode — the spine is |user| × span rows, generated, never joined
+       against a calendar table;
+    3. left-join spine to daily rows ON (user, day) — co-partitioned with
+       the aggregate's own partitioning — and forward-fill with
+       ``last(value, ignorenulls=True)`` over (user ORDER BY day).
+
+    Per-user state in every window is one scalar; no as-of range join, no
+    per-day rescans. The oracle replays spine + LOCF with DuckDB's
+    generate_series + last_value IGNORE NULLS. Output one row per (user,
+    day): (user_id, day, filled_value, is_observed)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "value").alias("_o"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("_o").alias("_last"))
+        .select(
+            "user_id", "day", F.col("_last.value").alias("day_value")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("_d0", "_d1")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 6
+            ).alias("filled_value"),
+            F.col("day_value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+EVENT_GAP_FILL_SQL = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (
+  SELECT user_id, day, value AS day_value FROM ranked WHERE rn = 1
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(g.day AS DATE) AS day
+  FROM span, LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(day)
+)
+SELECT s.user_id, s.day,
+       round(last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS filled_value,
+       d.day_value IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+QUERIES["event_gap_fill"] = (event_gap_fill, EVENT_GAP_FILL_SQL)

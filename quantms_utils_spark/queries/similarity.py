@@ -972,3 +972,86 @@ LIMIT 10
 """
 
 QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_TOPK_SQL)
+
+
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    MEAN VECTOR of the first snapshot half (vec_id < median split) and the
+    second — the cheap "did my encoder / corpus shift" check run before
+    re-training ANN indexes. The 100 TB shape is a pure algebraic
+    aggregate: posexplode each vector once, ONE (label, half, dim)
+    hash-aggregate builds both centroids component-wise (d·|labels| rows —
+    never a vector collect), then the cosine folds over the d component
+    rows per label. No pairwise stage exists; cost is one pass + one
+    dimension-sized aggregate, so it scales with corpus size, not
+    corpus². The oracle replays the split, the component means, and the
+    dot/norm fold with DuckDB list functions."""
+    e = load(spark, sf_dir, "embeddings")
+    half = F.when(F.col("vec_id") < 250, F.lit("a")).otherwise(F.lit("b"))
+    comp = e.select(
+        "label",
+        half.alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cent = comp.groupBy("label", "half", "dim").agg(F.avg("x").alias("m"))
+    a = cent.filter(F.col("half") == "a").select(
+        "label", "dim", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("half") == "b").select(
+        "label", "dim", F.col("m").alias("mb")
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") < 250, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vec_id") >= 250, 1).otherwise(0)).alias("n_b"),
+    )
+    dot = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("_dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("_na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("_nb"),
+        )
+    )
+    return (
+        dot.join(broadcast(counts), "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("_dot") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+EMBEDDING_CENTROID_SHIFT_SQL = """
+WITH comp AS (
+  SELECT label,
+         CASE WHEN vec_id < 250 THEN 'a' ELSE 'b' END AS half,
+         t.dim - 1 AS dim, CAST(embedding[t.dim] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS t(dim)
+), cent AS (
+  SELECT label, half, dim, avg(x) AS m FROM comp GROUP BY 1, 2, 3
+), ab AS (
+  SELECT a.label, sum(a.m * b.m) AS dot,
+         sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 'a' AND b.half = 'b'
+  GROUP BY 1
+), counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT ab.label, n_a, n_b, round(dot / (na * nb), 6) AS centroid_cosine
+FROM ab JOIN counts ON ab.label = counts.label
+"""
+
+QUERIES["embedding_centroid_shift"] = (
+    embedding_centroid_shift,
+    EMBEDDING_CENTROID_SHIFT_SQL,
+)
