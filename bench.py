@@ -108,6 +108,13 @@ HEADLINE = [
     ("q_scd2_lookup", "scd2_point_in_time"),
     ("q_quality_rules", "data_quality_report"),
     ("q_wmedian", "weighted_median_price"),
+    ("q_volume_shipping", "volume_shipping"),
+    ("q_market_share", "market_share"),
+    ("q_customer_dist", "customer_distribution"),
+    ("q_large_orders", "large_orders"),
+    ("q_gap_fill", "event_gap_fill"),
+    ("q_centroid_shift", "embedding_centroid_shift"),
+    ("q_triangles_deg", "graph_triangle_degree"),
 ]
 
 
