@@ -251,8 +251,16 @@ def main() -> None:
             threshold=SEMANTIC_DEDUP_THRESHOLD,
         )
 
+    def _bootstrap_fast(spark_, sf_):
+        # engine-default xxhash64 weight family (registry pins md5 for
+        # DuckDB oracle parity; identical pipeline shape)
+        from quantms_utils_spark.queries.mlops import event_bootstrap_ci_fast
+
+        return event_bootstrap_ci_fast(spark_, sf_)
+
     OVERRIDES: dict[str, tuple] = {
         "q_minhash_lsh": (None, minhash_lsh_pairs_fast, True),
+        "q_bootstrap": (None, _bootstrap_fast, True),
         "q_clusters": (_clusters_setup, _clusters_run, False),
         "q_winnow_pairs": (None, _winnow_fast, True),
         "q_semantic_dedup": (None, _semantic_fast, True),

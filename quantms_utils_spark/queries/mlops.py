@@ -574,3 +574,65 @@ FROM point p JOIN ci USING (event_type)
 """
 
 QUERIES["event_bootstrap_ci"] = (event_bootstrap_ci, EVENT_BOOTSTRAP_SQL)
+
+
+# Poisson(1) inverse-CDF thresholds on the signed-64-bit xxhash64 uniform:
+# threshold_k = floor(cdf_k * 2^64) - 2^63 (integer compares, like _BOOT_T).
+_BOOT_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119,
+]
+_BOOT_T64 = [int(p * 2.0**64) - 2**63 for p in _BOOT_CDF]
+
+
+def event_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-default Poisson bootstrap (xxhash64 weight family) —
+    benchmark entry; structure-identical to the oracle-checked md5
+    variant (`event_bootstrap_ci`), with the per-(row, replicate) md5 →
+    hex-window → conv chain replaced by ONE codegen'd xxhash64(event_id,
+    b) and 64-bit integer threshold compares. Same pipeline: explode ×B,
+    one (type, b) aggregate, order-statistic CI. The same
+    oracle/performance family split as the md5/xxhash64 MinHash pair."""
+    e = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    rows = e.select("event_type", "event_id", vdec.alias("v")).select(
+        "event_type", "event_id", "v", b
+    )
+    hv = F.xxhash64(F.col("event_id"), F.col("b"))
+    w = F.lit(7)
+    for k in range(len(_BOOT_T64) - 1, -1, -1):
+        w = F.when(hv < F.lit(_BOOT_T64[k]), F.lit(k)).otherwise(w)
+    rep = (
+        rows.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("v")).alias("swv"),
+        )
+        .select(
+            "event_type",
+            (F.col("swv").cast("double") / F.nullif(F.col("sw"), F.lit(0))).alias(
+                "m"
+            ),
+        )
+    )
+    ci = (
+        rep.filter(F.col("m").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    )
+    point = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(vdec).alias("sv"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sv").cast("double") / F.col("n_events"), 6).alias(
+            "mean_value"
+        ),
+        F.round(F.element_at("ms", 2), 6).alias("boot_lo"),
+        F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
+    )
