@@ -69,6 +69,7 @@ _FRONT = [
     "customer_distribution", "top_supplier", "parts_supplier_relationship",
     "large_orders", "promotion_revenue", "event_gap_fill",
     "embedding_centroid_shift", "graph_triangle_degree",
+    "event_seasonality", "event_dwell_time", "grouping_sets_revenue",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -344,3 +344,109 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 QUERIES["event_gap_fill"] = (event_gap_fill, EVENT_GAP_FILL_SQL)
+
+
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile per event type — the weekly
+    traffic fingerprint (168 cells per type) with a per-type z-score
+    marking which cells run hot/cold. Two bounded aggregates: the event
+    stream collapses to (type, dow, hour) counts in ONE shuffle; mean and
+    population-stddev per type are a window over the AGGREGATED 168-row
+    frame (never the stream). Empty cells are absent rows (not zero
+    cells) — the profile is of observed traffic, and the oracle replays
+    exactly that contract. Epoch-derived dow (days since Thursday
+    1970-01-01) keeps the day numbering engine-independent instead of
+    leaning on locale-sensitive dayofweek(); the arithmetic runs on
+    INTEGER microseconds end-to-end (DuckDB's epoch() returns DOUBLE,
+    whose float floor-div/modulo leaks fractions into the day number —
+    observed as phantom dow=7 cells)."""
+    e = load(spark, sf_dir, "events")
+    eps = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    epd = (eps / F.lit(86400)).cast("long")
+    cells = (
+        e.select(
+            "event_type",
+            (((epd + 4) % 7)).cast("int").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    mean = F.avg("n").over(wt)
+    sd = F.stddev_pop("n").over(wt)
+    return cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round((F.col("n") - mean) / F.nullif(sd, F.lit(0.0)), 6).alias(
+            "z"
+        ),
+    )
+
+
+EVENT_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hod, n,
+       round((n - avg(n) OVER (PARTITION BY event_type))
+             / nullif(stddev_pop(n) OVER (PARTITION BY event_type), 0), 6)
+         AS z
+FROM cells
+"""
+
+QUERIES["event_seasonality"] = (event_seasonality, EVENT_SEASONALITY_SQL)
+
+
+def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution: seconds until the SAME USER's next event,
+    summarized per event type (count, mean, exact median/p90, max). The
+    lead() gap stream shuffles once on user; the percentile summary is a
+    per-type aggregate over the gap rows. Terminal events (no next) are
+    excluded — dwell is defined between consecutive events. Exact
+    percentiles keep the oracle replayable; at 100 TB the same plan swaps
+    in percentile_approx with identical shape."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+            ).alias("_us"),
+        )
+        .filter(F.col("_us").isNotNull())
+        .select("event_type", (F.col("_us") / 1_000_000.0).alias("gap_s"))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("gap_s"), 6).alias("max_s"),
+    )
+
+
+EVENT_DWELL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts)) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_s), 6) AS mean_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS median_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+       round(max(gap_s), 6) AS max_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["event_dwell_time"] = (event_dwell_time, EVENT_DWELL_SQL)

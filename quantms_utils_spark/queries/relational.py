@@ -1812,3 +1812,42 @@ QUERIES = {
     "weighted_median_price": (weighted_median_price, WEIGHTED_MEDIAN_SQL),
     "scd2_point_in_time": (scd2_point_in_time, SCD2_POINT_SQL),
 }
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the sibling surface to `rollup_revenue`
+    (ROLLUP) and the shape BI layers emit: three NON-hierarchical set
+    combinations ((returnflag, linestatus), (returnflag), (linestatus))
+    in ONE pass. Spark plans the set list as a single Expand (each input
+    row replicated once per set) feeding one hash aggregate — never three
+    scans unioned; grouping_id() disambiguates NULL-as-subtotal rows from
+    genuine NULLs. Unlike ROLLUP, the (linestatus)-only set has no
+    hierarchical parent — exactly what ROLLUP cannot express."""
+    l = load(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n_rows,
+               grouping_id(l_returnflag, l_linestatus) AS gid
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS (
+          (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)
+        )
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows,
+       grouping_id(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS (
+  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)
+)
+"""
+
+QUERIES["grouping_sets_revenue"] = (grouping_sets_revenue, GROUPING_SETS_SQL)
