@@ -267,11 +267,13 @@ def triangle_count(
         u_first = (F.col("du") < F.col("dv")) | (
             (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
+        # three consumers (two wedge sides + the closing-edge probe) —
+        # persist like `canon` so the canon⋈deg orientation runs once
         oriented = ed.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
-        )
+        ).persist()
         e1 = oriented.select(
             F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("dhi").alias("db")
         )
