@@ -66,6 +66,18 @@ SCALE_SENSITIVE = [
     "text_novelty_boilerplate",
     "ann_ivfpq_topk",
     "event_type_affinity",
+    # round-4 additions: the shuffle-heavy classics + new event/embedding ops
+    "volume_shipping",
+    "market_share",
+    "large_orders",
+    "parts_supplier_relationship",
+    "event_gap_fill",
+    "embedding_centroid_shift",
+    "graph_triangle_degree",
+    "event_seasonality",
+    "event_dwell_time",
+    "event_retry_collapse",
+    "er_edit_distance_pairs",
 ]
 
 pytestmark = pytest.mark.skipif(
