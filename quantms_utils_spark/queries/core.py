@@ -966,6 +966,64 @@ FROM s, LATERAL (
 """
 
 
+def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through Spark's NATIVE session_window
+    aggregation (the built-in the lag+cumsum formulation in `sessionize`
+    hand-rolls): groupBy(user, session_window(ts, '30 minutes')) merges
+    events whose gap to the session END is < 30 min in ONE aggregation —
+    no window function, no running flag sum, and the identical operator
+    works unchanged on a stream (session_window is the streaming
+    session-aggregation primitive; the batch call here is the same
+    physical SessionWindow node). Boundary contract: an event landing
+    EXACTLY gap after the previous closes the session (t < prev + gap
+    extends), so the oracle's island condition is >= 1800 — one boundary
+    stricter than `sessionize`'s > 1800, which is exactly the subtle
+    semantic the twin queries pin against each other."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max(F.col("ts").cast("double"))
+                - F.min(F.col("ts").cast("double")),
+                3,
+            ).alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            "duration_s",
+        )
+    )
+
+
+SESSIONIZE_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sess_id
+  FROM g
+)
+SELECT user_id, min(ts) AS sess_start,
+       count(*) AS n_events,
+       round(epoch_us(max(ts)) / 1000000.0
+             - epoch_us(min(ts)) / 1000000.0, 3) AS duration_s
+FROM s GROUP BY user_id, sess_id
+"""
+
+
 QUERIES = {
     "sink_orc_roundtrip": (orc_roundtrip_stats, ORC_ROUNDTRIP_SQL),
     "sink_jsonl_roundtrip": (jsonl_roundtrip_stats, JSONL_ROUNDTRIP_SQL),
@@ -996,5 +1054,6 @@ QUERIES = {
     "json_extract": (json_extract, JSON_EXTRACT_SQL),
     "event_hourly_agg": (event_hourly_agg, EVENT_HOURLY_AGG_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "sessionize_session_window": (sessionize_session_window, SESSIONIZE_NATIVE_SQL),
     "data_quality_report": (data_quality_report, DATA_QUALITY_SQL),
 }
