@@ -293,3 +293,37 @@ def stream_classify_against_corpus(
             "match_id",
         )
     )
+
+
+def sessionize_session_window(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessionization through Spark's BUILT-IN session-window
+    aggregation — the declarative sibling of `sessionize_stateful` (which
+    hand-manages state via applyInPandasWithState). One
+    ``groupBy(user, session_window(ts, gap))``: the engine merges
+    events whose gap to the session end is < ``gap``, maintains open
+    sessions in the state store, and closes them when the watermark
+    passes. Works identically on batch and streaming frames (same
+    SessionWindow node), which is exactly what the batch-vs-stream
+    parity test pins — the batch result IS the ground truth for the
+    drained stream."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            "user_id", F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

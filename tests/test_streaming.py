@@ -635,3 +635,44 @@ def test_continuous_drift_matches_batch_psi(spark, tmp_path):
     assert set(streamed) == set(twin)
     for k in twin:
         assert abs(streamed[k] - twin[k]) < 1e-12
+
+
+def test_session_window_stream_matches_batch(spark, event_files):
+    """Native session_window aggregation: the drained stream (complete
+    mode, availableNow) must equal the batch run of the SAME operator on
+    the same files — the declarative sibling of the stateful sessionizer
+    parity, exercising Spark's built-in session state store."""
+    from quantms_utils_spark.streaming.events import sessionize_session_window
+
+    path, _ = event_files
+    stream = read_event_stream(spark, path)
+    df = sessionize_session_window(stream)
+    query = (
+        df.writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    query.stop()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_native").collect()
+    }
+    batch = spark.read.schema(stream.schema).json(path)
+    expected = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sessionize_session_window(batch).collect()
+    }
+    assert got == expected
+    # 5 users x 3 hourly bursts, 30-min gap -> 3 sessions per user
+    assert len(got) == 15
