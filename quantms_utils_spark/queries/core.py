@@ -1024,6 +1024,46 @@ FROM s GROUP BY user_id, sess_id
 """
 
 
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    builds the binary variant ONCE per row, variant_get extracts the
+    typed path — the Spark-4-native replacement for repeated
+    get_json_object string re-parsing (`json_extract`'s idiom). At 100 TB
+    the difference is real: VARIANT parses each props cell once into a
+    binary-encoded tree and every extraction is a cheap path walk, where
+    N get_json_object calls re-parse the string N times. Aggregates the
+    extracted k per event_type (count, sum, distinct) so the whole
+    parse→extract→aggregate chain is value-checked; the oracle uses
+    DuckDB's native JSON extraction."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("pv"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("k_sum"),
+        F.countDistinct("k").alias("k_distinct"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+JSON_VARIANT_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS k_distinct,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "sink_orc_roundtrip": (orc_roundtrip_stats, ORC_ROUNDTRIP_SQL),
     "sink_jsonl_roundtrip": (jsonl_roundtrip_stats, JSONL_ROUNDTRIP_SQL),
@@ -1052,6 +1092,7 @@ QUERIES = {
     "mods_position_single": (mods_position_single, MODS_POSITION_SQL),
     "mods_position_udtf": (mods_position_udtf, MODS_POSITION_UDTF_SQL),
     "json_extract": (json_extract, JSON_EXTRACT_SQL),
+    "json_variant_stats": (json_variant_stats, JSON_VARIANT_SQL),
     "event_hourly_agg": (event_hourly_agg, EVENT_HOURLY_AGG_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "sessionize_session_window": (sessionize_session_window, SESSIONIZE_NATIVE_SQL),

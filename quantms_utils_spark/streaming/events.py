@@ -327,3 +327,72 @@ def sessionize_session_window(
             "total_value",
         )
     )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (count, value-sum) via Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-stateful v2 API that
+    succeeds ``applyInPandasWithState`` (explicit typed state handles
+    with optional TTL, composable timers, initial-state support). State
+    per user is ONE ValueState row; each micro-batch folds its Arrow
+    batches into it and emits the updated running totals — the
+    streaming-native form of a continuously-maintained per-key
+    aggregate. The parity test drains the stream and checks the final
+    emission per user equals the batch groupBy on the same files.
+
+    Environment gate: the v2 state-server protocol speaks protobuf
+    (pyspark.sql.streaming.proto), so running this REQUIRES the
+    ``protobuf`` package — absent here, the parity test skips with the
+    same honest-gate policy as pyopenms/sdrf-pipelines. The operator
+    code itself is complete and exercised wherever protobuf exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prev = self._state.get() if self._state.exists() else None
+            n, total = (prev[0], prev[1]) if prev else (0, 0.0)
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                n += int(len(pdf))
+                total += float(vals.sum())
+            self._state.update((n, round(total, 6)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -676,3 +676,61 @@ def test_session_window_stream_matches_batch(spark, event_files):
     assert got == expected
     # 5 users x 3 hourly bursts, 30-min gap -> 3 sessions per user
     assert len(got) == 15
+
+
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (state-server protocol); "
+    "not installed in this environment",
+)
+def test_transform_with_state_running_totals(spark, event_files):
+    """transformWithStateInPandas (stateful v2): drained stream's FINAL
+    per-user emission equals the batch groupBy on the same files — the
+    ValueState fold carries across micro-batches (maxFilesPerTrigger=1
+    forces three batches)."""
+    from quantms_utils_spark.streaming.events import running_user_totals
+
+    path, _ = event_files
+    stream = read_event_stream(spark, path)
+    df = running_user_totals(stream)
+    query = (
+        df.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    query.stop()
+    # update mode appends one row per (user, batch); the final state is the
+    # row with the max n_events (counts are monotone)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """
+            SELECT user_id, max_by(n_events, n_events) AS n_events,
+                   max_by(total_value, n_events) AS total_value
+            FROM running_totals GROUP BY user_id
+            """
+        ).collect()
+    }
+    batch = spark.read.schema(stream.schema).json(path)
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == expected and len(got) == 5
