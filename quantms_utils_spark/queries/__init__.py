@@ -70,7 +70,7 @@ _FRONT = [
     "large_orders", "promotion_revenue", "event_gap_fill",
     "embedding_centroid_shift", "graph_triangle_degree",
     "event_seasonality", "event_dwell_time", "grouping_sets_revenue",
-    "sessionize_session_window",
+    "sessionize_session_window", "json_variant_stats",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",
