@@ -78,6 +78,8 @@ SCALE_SENSITIVE = [
     "event_dwell_time",
     "event_retry_collapse",
     "er_edit_distance_pairs",
+    "sessionize_session_window",
+    "json_variant_stats",
 ]
 
 pytestmark = pytest.mark.skipif(
