@@ -1055,3 +1055,77 @@ QUERIES["embedding_centroid_shift"] = (
     embedding_centroid_shift,
     EMBEDDING_CENTROID_SHIFT_SQL,
 )
+
+
+HARD_NEG_K = 3
+HARD_NEG_ANCHORS = 8
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining — the contrastive-training companion to the
+    random `embedding_negative_samples`: for each anchor (vec_id <
+    8, the batched-ANN anchor convention), the k=3 most-similar vectors
+    carrying a DIFFERENT label — near-misses that teach a metric model
+    the boundary randoms never probe. Plan: the anchor set broadcasts
+    (anchors × corpus, never corpus²; the batched-ANN precedent), cosine
+    runs as the zip_with dot product on normalized arrays, the label
+    inequality prunes before ranking, one per-anchor window takes the
+    top-k (rounded score + id tie-break so float last-ulp cannot flip
+    ranks). The oracle replays the full scan with DuckDB's
+    list_cosine_similarity."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < HARD_NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").cast("array<double>").alias("a_emb"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("n_emb"),
+    )
+    scored = (
+        cand.join(F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(cosine_sim(F.col("a_emb"), F.col("n_emb")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_sim", "rank")
+    )
+
+
+EMBEDDING_HARD_NEG_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         embedding::DOUBLE[] AS a_emb
+  FROM embeddings WHERE vec_id < {HARD_NEG_ANCHORS}
+), scored AS (
+  SELECT anchor_id, anchor_label, e.vec_id AS neg_id, e.label AS neg_label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], a_emb), 4)
+           AS cos_sim
+  FROM embeddings e JOIN anchors ON e.label <> anchor_label
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+QUERIES["embedding_hard_negatives"] = (
+    embedding_hard_negatives,
+    EMBEDDING_HARD_NEG_SQL,
+)

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from quantms_utils_spark.operators.text import (
     LANG_MARKERS,
@@ -1284,3 +1284,83 @@ FROM c
 """
 
 QUERIES["text_readability"] = (readability_scores, READABILITY_SQL)
+
+
+_TEMP_ALPHA = 0.5
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture re-sampling (the T5/mT5 α-sampling rule,
+    α=0.5): source s keeps documents at rate (share_s)^α / max_s'
+    (share_s')^α — low-resource sources are kept in full while dominant
+    sources downsample toward the tempered distribution, flattening the
+    mixture without an explicit token budget (the budget-based variant is
+    `text_mixture_sample`). Plan: ONE count aggregate builds the
+    per-source rate table (|sources| rows, broadcast back); the keep
+    decision is the md5-24-bit-uniform integer compare (no RNG, stable
+    under repartitioning) against floor(rate·2²⁴) — the threshold is
+    derived from identical integer counts through identical IEEE double
+    ops in both engines, so the integer compare cannot disagree. Output
+    is the per-source audit row (n_docs, share, rate, n_kept)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "w", F.pow(F.col("n_docs") / F.col("n_total"), F.lit(_TEMP_ALPHA))
+        )
+        .withColumn("w_max", F.max("w").over(Window.partitionBy()))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+            (F.col("w") / F.col("w_max")).alias("_rate"),
+        )
+    )
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "_rate")), "source")
+        .filter(hv < F.floor(F.col("_rate") * F.lit(16777216)).cast("long"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "share",
+            F.round("_rate", 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         round(n_docs / CAST(n_total AS DOUBLE), 6) AS share,
+         pow(n_docs / CAST(n_total AS DOUBLE), 0.5)
+           / max(pow(n_docs / CAST(n_total AS DOUBLE), 0.5)) OVER () AS rate_raw
+  FROM counts, tot
+), kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        < CAST(floor(rate_raw * 16777216) AS BIGINT)
+  GROUP BY 1
+)
+SELECT r.source, CAST(n_docs AS BIGINT) AS n_docs, share,
+       round(rate_raw, 6) AS rate,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+QUERIES["text_temperature_mixture"] = (temperature_mixture, TEMPERATURE_MIXTURE_SQL)
