@@ -668,3 +668,68 @@ QUERIES = {
     "dedup_simhash": (simhash_fingerprints, SIMHASH_SQL),
     "dedup_prefix_pairs": (prefix_pairs, PREFIX_PAIRS_SQL),
 }
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup policy: within each near-dup cluster keep the
+    highest-quality member (longest n_chars, id tie-break) instead of the
+    min-id keeper the pipeline defaults to — the policy real curation
+    runs (near-dup groups usually contain one full document and several
+    truncated/boilerplate variants; min-id keeps an arbitrary one).
+    Plan: cluster labels from the oracle-verified components, one
+    broadcast-sized join back to document quality, one per-cluster
+    row_number window (clusters are small — the window partition is a
+    cluster, never the corpus). Output one row per cluster: keeper id,
+    its quality, member count, removed count, and whether the policy
+    DISAGREES with the min-id keeper (the visible consequence of the
+    policy choice). The oracle replays closure + ranking."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    cc = minhash_clusters(spark, sf_dir)
+    membered = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = membered.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "kept_n_chars"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+            F.min("doc_id").alias("_min_id"),
+        )
+        .select(
+            "cluster",
+            "kept_doc",
+            "kept_n_chars",
+            "n_members",
+            "n_removed",
+            (F.col("kept_doc") != F.col("_min_id")).alias("differs_from_min_id"),
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH cc AS ({MINHASH_CLUSTERS_SQL}),
+m AS (
+  SELECT cc.cluster, cc.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.cluster
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT cluster,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS kept_n_chars,
+       count(*) AS n_members,
+       count(*) - 1 AS n_removed,
+       max(CASE WHEN rn = 1 THEN doc_id END) <> min(doc_id)
+         AS differs_from_min_id
+FROM m GROUP BY cluster
+"""
+
+QUERIES["dedup_keep_best"] = (dedup_keep_best, DEDUP_KEEP_BEST_SQL)
