@@ -115,6 +115,10 @@ HEADLINE = [
     ("q_gap_fill", "event_gap_fill"),
     ("q_centroid_shift", "embedding_centroid_shift"),
     ("q_triangles_deg", "graph_triangle_degree"),
+    ("q_small_qty", "small_quantity_revenue"),
+    ("q_disjunctive", "disjunctive_revenue"),
+    ("q_excess_supp", "excess_shipment_suppliers"),
+    ("q_dormant_cust", "dormant_customer_opportunity"),
 ]
 
 

@@ -72,7 +72,8 @@ _FRONT = [
     "event_seasonality", "event_dwell_time", "grouping_sets_revenue",
     "sessionize_session_window", "json_variant_stats",
     "text_temperature_mixture", "embedding_hard_negatives",
-    "dedup_keep_best",
+    "dedup_keep_best", "small_quantity_revenue", "disjunctive_revenue",
+    "excess_shipment_suppliers", "dormant_customer_opportunity",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -418,3 +418,205 @@ GROUP BY 1
 """
 
 QUERIES["promotion_revenue"] = (promotion_revenue, PROMOTION_REVENUE_SQL)
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): total revenue from
+    lineitems of one brand whose quantity is below 20%% of that part's
+    average order quantity — the classic CORRELATED SCALAR SUBQUERY.
+    Spark-first: the per-part average becomes one aggregate over the
+    brand-filtered fact slice, broadcast back onto the same slice (the
+    agg is |parts of brand| rows — dimension-sized at any SF). The
+    threshold compare is EXACT integer-free decimal arithmetic:
+    ``qty < 0.2 * sum/n``  ⟺  ``qty * 5 * n < sum`` with qty and sum in
+    DECIMAL, so no engine ever divides (avg-of-double ulp drift at the
+    compare boundary is the classic cross-engine flake). Output one row:
+    (small_qty_revenue, n_items)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    slice_ = li.join(broadcast(brand_parts), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = slice_.groupBy("l_partkey").agg(
+        F.sum(qty).alias("qsum"), F.count(F.lit(1)).alias("qn")
+    ).select(F.col("l_partkey").alias("t_partkey"), "qsum", "qn")
+    return (
+        slice_.join(broadcast(per_part), slice_.l_partkey == F.col("t_partkey"))
+        .filter(qty * F.lit(5) * F.col("qn") < F.col("qsum"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH slice AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), per_part AS (
+  SELECT l_partkey AS t_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS qsum,
+         count(*) AS qn
+  FROM slice GROUP BY 1
+)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS n_items
+FROM slice JOIN per_part ON l_partkey = t_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * qn < qsum
+"""
+
+QUERIES["small_quantity_revenue"] = (small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL)
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    OR'd conjunctive (brand, size-band, quantity-band) groups evaluated in
+    ONE pass — the shape that exercises predicate normalization. The part
+    columns arrive by broadcast; the whole disjunction stays inside
+    whole-stage codegen (no UDF, no multi-scan union). Output one row:
+    (disjunct_revenue, n_items)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(
+        broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == p.p_partkey,
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disjunct = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#15") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(disjunct).agg(
+        F.round(F.sum(_revenue_col()), 2).cast("double").alias("disjunct_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT CAST(round(sum(CAST({_REV} AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS disjunct_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["disjunctive_revenue"] = (disjunctive_revenue, DISJUNCTIVE_REVENUE_SQL)
+
+
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess shipments), adapted to the
+    synthetic schema (no partsupp table): suppliers who in 1996 shipped
+    more than 50 units of ANY single SMALL-type part — a NESTED
+    SEMI-JOIN: part filter feeds a (suppkey, partkey) HAVING aggregate,
+    whose distinct supplier keys semi-join the supplier dim, which then
+    broadcasts nation for the name. Spark-first: the inner EXISTS chain is
+    one hash aggregate + ``left_semi`` join (never a correlated re-scan);
+    part and nation broadcast, and the post-HAVING key set — tiny at any
+    SF after the threshold — broadcasts into the supplier probe too. Output (s_name, n_name) sorted."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    small_parts = p.filter(F.col("p_type") == "SMALL").select("p_partkey")
+    heavy = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("units"))
+        .filter(F.col("units") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+EXCESS_SHIPMENT_SUPPLIERS_SQL = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL' AND year(l_shipdate) = 1996
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 50
+)
+ORDER BY s_name
+"""
+
+QUERIES["excess_shipment_suppliers"] = (
+    excess_shipment_suppliers,
+    EXCESS_SHIPMENT_SUPPLIERS_SQL,
+)
+
+
+def dormant_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose account
+    balance is above the average POSITIVE balance but who placed no order
+    on/after 2000-01-01 — scalar aggregate subquery + ANTI-JOIN, rolled up
+    by nation. The global threshold compare is exact decimal cross-
+    multiplication (``bal > sum/n`` ⟺ ``bal * n > sum``) so neither
+    engine divides; the 1-row threshold broadcasts into the customer scan
+    via crossJoin(broadcast(...)); recent orders anti-join on custkey.
+    Output (n_name, n_custs, total_acctbal)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("bal_sum"), F.count(F.lit(1)).alias("bal_n")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        c.crossJoin(broadcast(thresh))
+        .filter(bal * F.col("bal_n") > F.col("bal_sum"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+DORMANT_CUSTOMER_OPPORTUNITY_SQL = """
+WITH thresh AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+         count(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_acctbal
+FROM customer, thresh
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY 1
+"""
+
+QUERIES["dormant_customer_opportunity"] = (
+    dormant_customer_opportunity,
+    DORMANT_CUSTOMER_OPPORTUNITY_SQL,
+)

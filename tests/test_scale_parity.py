@@ -80,6 +80,10 @@ SCALE_SENSITIVE = [
     "er_edit_distance_pairs",
     "sessionize_session_window",
     "json_variant_stats",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "excess_shipment_suppliers",
+    "dormant_customer_opportunity",
 ]
 
 pytestmark = pytest.mark.skipif(
