@@ -119,6 +119,9 @@ HEADLINE = [
     ("q_disjunctive", "disjunctive_revenue"),
     ("q_excess_supp", "excess_shipment_suppliers"),
     ("q_dormant_cust", "dormant_customer_opportunity"),
+    ("q_pattern_match", "event_pattern_match"),
+    ("q_attribution", "event_attribution_last_touch"),
+    ("q_quartiles", "balance_quartile_bands"),
 ]
 
 

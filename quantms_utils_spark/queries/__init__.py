@@ -74,6 +74,8 @@ _FRONT = [
     "text_temperature_mixture", "embedding_hard_negatives",
     "dedup_keep_best", "small_quantity_revenue", "disjunctive_revenue",
     "excess_shipment_suppliers", "dormant_customer_opportunity",
+    "event_pattern_match", "event_attribution_last_touch",
+    "balance_quartile_bands",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -450,3 +450,121 @@ GROUP BY 1
 """
 
 QUERIES["event_dwell_time"] = (event_dwell_time, EVENT_DWELL_SQL)
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching (the Flink/Trino
+    CEP flagship, absent from both the reference and vanilla Spark SQL):
+    per user, count non-overlapping occurrences of the journey pattern
+    ``view … click … purchase`` with NO intervening purchase (regex
+    ``v[^p]*c[^p]*p`` over the ordered event-type initial-letter string —
+    the five synthetic types have distinct initials). Spark-first: one
+    shuffle on user_id builds the ordered sequence via
+    ``array_sort(collect_list(struct(ts, event_id, chr)))`` (struct sort =
+    deterministic ts, event_id order), then JVM-side ``regexp_count`` —
+    no UDF, no per-row Python. Per-user state is that user's event string;
+    the whale-key bound is the same per-user-history contract as the EWMA
+    family (coarse chunking applies identically if a user exceeds memory).
+    Output (user_id, n_journeys) for matched users only."""
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"]),
+                "",
+            ).alias("journey")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.regexp_count("journey", F.lit("v[^p]*c[^p]*p")).alias("n_journeys"),
+        )
+        .filter(F.col("n_journeys") > 0)
+        .orderBy("user_id")
+    )
+
+
+EVENT_PATTERN_MATCH_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(journey, 'v[^p]*c[^p]*p')) AS INTEGER)
+         AS n_journeys
+FROM seq
+WHERE len(regexp_extract_all(journey, 'v[^p]*c[^p]*p')) > 0
+ORDER BY user_id
+"""
+
+QUERIES["event_pattern_match"] = (event_pattern_match, EVENT_PATTERN_MATCH_SQL)
+
+
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits its value to
+    the LAST preceding non-purchase event type of that user — the
+    marketing-analytics workhorse. Spark-first: one window over
+    (user, ts, event_id) with ``last(..., ignorenulls=True)`` over ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING carries the most recent channel
+    forward (per-key window state = ONE scalar, no history array), then a
+    tiny aggregate over |channels| rows. Values sum in DECIMAL for an
+    exact total before the single round+cast. Output
+    (channel, attributed_value, n_purchases)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", channel)
+        .filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVENT_ATTRIBUTION_SQL = """
+WITH touched AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+)
+SELECT channel,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS attributed_value,
+       count(*) AS n_purchases
+FROM touched
+WHERE event_type = 'purchase' AND channel IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_attribution_last_touch"] = (
+    event_attribution_last_touch,
+    EVENT_ATTRIBUTION_SQL,
+)

@@ -1851,3 +1851,48 @@ GROUP BY GROUPING SETS (
 """
 
 QUERIES["grouping_sets_revenue"] = (grouping_sets_revenue, GROUPING_SETS_SQL)
+
+
+def balance_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (ntile) — the remaining classic window
+    family: quartile customers by account balance WITHIN each nation, then
+    summarize each (nation, quartile) band. The ntile shuffle partitions
+    by nation (dimension-bounded key count, skew-free by construction);
+    the band summary aggregates the already-partitioned frame, so the
+    whole query is one Exchange + Sort + two operators. Tie order is
+    pinned by (acctbal, custkey) so both engines assign identical tiles.
+    Output (n_name, quartile, n_custs, min_bal, max_bal)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_name", "quartile")
+    )
+
+
+BALANCE_QUARTILE_BANDS_SQL = """
+WITH tiled AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT n_name, quartile, count(*) AS n_custs,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM tiled JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["balance_quartile_bands"] = (
+    balance_quartile_bands,
+    BALANCE_QUARTILE_BANDS_SQL,
+)

@@ -84,6 +84,9 @@ SCALE_SENSITIVE = [
     "disjunctive_revenue",
     "excess_shipment_suppliers",
     "dormant_customer_opportunity",
+    "event_pattern_match",
+    "event_attribution_last_touch",
+    "balance_quartile_bands",
 ]
 
 pytestmark = pytest.mark.skipif(
