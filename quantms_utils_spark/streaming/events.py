@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -394,5 +395,83 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputStructType=RUNNING_TOTALS_SCHEMA,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+JOURNEY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_journeys", LongType(), True),
+    ]
+)
+
+JOURNEY_STATE_SCHEMA = StructType(
+    [
+        StructField("phase", IntegerType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def detect_journeys_stateful(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming CEP twin of the batch ``event_pattern_match`` query: count
+    each user's ``view … click … purchase`` journeys (no intervening
+    purchase) INCREMENTALLY, without ever materializing the event string.
+
+    The regex ``v[^p]*c[^p]*p`` the batch query scans is a 3-state DFA, so
+    per-user state compresses to TWO integers — (phase, journeys so far):
+
+        phase 0 ──v──▶ phase 1 ──c──▶ phase 2 ──p──▶ count++, phase 0
+                       phase 1 ──p──▶ phase 0   (all other chars: stay)
+
+    Leftmost non-overlapping regex scan and this DFA count identical
+    matches (the parity test drives both over the same files). Each
+    micro-batch sorts its rows by (ts, event_id) and folds them through
+    the DFA; cross-batch correctness assumes in-order delivery per key —
+    the same contract as ``sessionize_stateful``. Emits the cumulative
+    (user_id, n_journeys) each batch (update semantics).
+
+    Scale: this is the CEP shape at 100 TB — state per key is O(pattern
+    states), NOT O(history), so a billion-user stream holds two ints per
+    user in the state store while the batch twin's collect_list holds the
+    full event string."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        phase, n = state.get if state.exists else (0, 0)
+        frames = [pdf[["ts", "event_id", "event_type"]] for pdf in pdf_iter]
+        if not frames:
+            return
+        ordered = pd.concat(frames).sort_values(["ts", "event_id"])
+        for c in ordered["event_type"].str[0]:
+            if phase == 0:
+                if c == "v":
+                    phase = 1
+            elif phase == 1:
+                if c == "c":
+                    phase = 2
+                elif c == "p":
+                    phase = 0
+            else:
+                if c == "p":
+                    phase, n = 0, n + 1
+        state.update((phase, n))
+        yield pd.DataFrame({"user_id": [user_id], "n_journeys": [n]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=JOURNEY_OUTPUT_SCHEMA,
+            stateStructType=JOURNEY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -734,3 +734,101 @@ def test_transform_with_state_running_totals(spark, event_files):
         .collect()
     }
     assert got == expected and len(got) == 5
+
+
+def test_detect_journeys_matches_batch_regex(spark, tmp_path):
+    """Streaming CEP (DFA in applyInPandasWithState state) == batch regex
+    scan: three in-order batches per user carry interleaved
+    view/click/purchase traffic, including journeys that SPAN batch
+    boundaries (v in batch 0, c in batch 1, p in batch 2) — the case that
+    proves the two-int DFA state really replaces the full event string.
+    Ground truth is the batch twin's exact expression: regexp_count over
+    the (ts, event_id)-ordered initial-letter string."""
+    import json as _json
+
+    from quantms_utils_spark.streaming.events import (
+        detect_journeys_stateful,
+        read_event_stream,
+    )
+
+    src = tmp_path / "journey_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "journey_ckpt")
+
+    # user 0: one journey per batch (v,c,p inside each batch)
+    # user 1: ONE journey spanning the three batches (v | c | p)
+    # user 2: broken by an intervening purchase (v | p c | p) -> 0 then
+    #         the trailing "c p" without a v stays 0
+    # user 3: noise only -> never emitted by the batch filter, streamed n=0
+    per_batch = {
+        0: {0: ["view", "click", "purchase"], 1: ["view"], 2: ["view"], 3: ["signup"]},
+        1: {0: ["view", "click", "purchase"], 1: ["click"], 2: ["purchase", "click"], 3: ["error"]},
+        2: {0: ["view", "click", "purchase"], 1: ["purchase"], 2: ["purchase"], 3: ["signup"]},
+    }
+    eid = 0
+    last = {}
+    for b in range(3):
+        rows = []
+        for u, types in per_batch[b].items():
+            for i, et in enumerate(types):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-01-01T{b:02d}:{i:02d}:00.000Z",
+                        "user_id": u,
+                        "event_type": et,
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+        (src / f"batch_{b}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        stream = read_event_stream(spark, str(src))
+        q = (
+            detect_journeys_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: last.update(
+                    {r["user_id"]: r["n_journeys"] for r in df.collect()}
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    batch = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .json(str(src))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id",
+                                     F.substring("event_type", 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("journey")
+        )
+        .select(
+            "user_id",
+            F.regexp_count("journey", F.lit("v[^p]*c[^p]*p")).alias("n"),
+        )
+    )
+    expected = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert last == expected
+    # the hand-audited truth: 3 per-batch journeys, 1 spanning journey,
+    # 0 for the broken and noise users
+    assert expected == {0: 3, 1: 1, 2: 0, 3: 0}
