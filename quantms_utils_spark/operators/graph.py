@@ -380,11 +380,15 @@ def tree_depths(
             .select("n", F.col("a2").alias("a"), (F.col("s") + F.col("s2")).alias("s"))
         )
         # no per-round action: absorbed rows are fixpoints under further
-        # joins (they meet the root self-loop and gain 0 steps), so extra
-        # rounds are cheap joins, and the single unresolved check below is
-        # the only driver-side action
+        # joins (they meet the root self-loop and gain 0 steps). The only
+        # driver-side actions are at checkpoint boundaries, where the frame
+        # is materialized anyway (eager) — so the convergence probe there
+        # costs one scan of cached partitions and skips the remaining
+        # rounds once every chain has absorbed (depth ≤ 2^r).
         if (r + 1) % 4 == 0:
             f = f.localCheckpoint(eager=True)
+            if f.filter(F.col("a") != F.lit(root)).limit(1).count() == 0:
+                break
     unresolved = f.filter(F.col("a") != F.lit(root)).limit(1).count()
     if unresolved:
         raise ValueError(

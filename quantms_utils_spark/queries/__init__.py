@@ -75,7 +75,7 @@ _FRONT = [
     "dedup_keep_best", "small_quantity_revenue", "disjunctive_revenue",
     "excess_shipment_suppliers", "dormant_customer_opportunity",
     "event_pattern_match", "event_attribution_last_touch",
-    "balance_quartile_bands",
+    "balance_quartile_bands", "text_tokenizer_fertility",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -1364,3 +1364,85 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 """
 
 QUERIES["text_temperature_mixture"] = (temperature_mixture, TEMPERATURE_MIXTURE_SQL)
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the per-language cost metric a
+    multilingual pretraining budget is planned around: bytes/token and
+    chars/token under the BPE-ish tokenizer, plus the whitespace→BPE
+    blow-up ratio (how much worse the tokenizer does than word
+    segmentation). One map-side projection (language ID + token counts are
+    all JVM regex expressions) followed by one |languages|-row aggregate;
+    ratios divide SUMS (corpus-level fertility), not averaged per-doc
+    ratios, so every aggregate is map-combinable. Output
+    (predicted_lang, n_docs, bytes_per_token, chars_per_token,
+    bpe_blowup)."""
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    per_doc = d.select(
+        lang_id(text).alias("predicted_lang"),
+        F.octet_length(F.encode(text, "UTF-8")).cast("long").alias("n_bytes"),
+        F.length(text).cast("long").alias("n_chars"),
+        ws_token_count(text).alias("ws_tokens"),
+        bpe_ish_token_count(text).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("sb"),
+            F.sum("n_chars").alias("sc"),
+            F.sum("ws_tokens").alias("sw"),
+            F.sum("bpe_tokens").alias("st"),
+        )
+        .select(
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("sb") / F.greatest(F.col("st"), F.lit(1)), 4).alias(
+                "bytes_per_token"
+            ),
+            F.round(F.col("sc") / F.greatest(F.col("st"), F.lit(1)), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(F.col("st") / F.greatest(F.col("sw"), F.lit(1)), 4).alias(
+                "bpe_blowup"
+            ),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+_FERTILITY_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {_winner_cond(lang)} THEN '{lang}'" for lang in _LANGS)
+    + " ELSE 'und' END"
+)
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH s AS (
+  SELECT text,
+    {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+  FROM documents
+), per_doc AS (
+  SELECT {_FERTILITY_LANG_CASE} AS predicted_lang,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS ws_tokens,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS BIGINT) AS bpe_tokens
+  FROM s
+)
+SELECT predicted_lang, count(*) AS n_docs,
+  round(CAST(sum(n_bytes) AS DOUBLE) / greatest(sum(bpe_tokens), 1), 4)
+    AS bytes_per_token,
+  round(CAST(sum(n_chars) AS DOUBLE) / greatest(sum(bpe_tokens), 1), 4)
+    AS chars_per_token,
+  round(CAST(sum(bpe_tokens) AS DOUBLE) / greatest(sum(ws_tokens), 1), 4)
+    AS bpe_blowup
+FROM per_doc
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_tokenizer_fertility"] = (tokenizer_fertility, TOKENIZER_FERTILITY_SQL)
