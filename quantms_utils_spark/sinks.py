@@ -38,3 +38,35 @@ def write_single_csv(
     shutil.move(str(parts[0]), str(target))
     shutil.rmtree(tmp)
     return str(target)
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    target: str | Path,
+    metrics: dict[str, "object"],
+    *,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> dict[str, object]:
+    """Parquet sink with IN-FLIGHT data-quality metrics via
+    ``DataFrame.observe`` — the named-Observation API that accumulates
+    aggregate expressions on the rows as they stream through the writer,
+    so row counts / null counts / domain checks cost ZERO extra passes.
+    At 100 TB the alternative (write, then re-scan to validate) doubles
+    the pipeline's I/O; this is the Spark-native form of the reference's
+    post-write assertions.
+
+    ``metrics`` maps metric name → aggregate Column (e.g.
+    ``{"rows": F.count(F.lit(1)), "null_ids": F.count_if(F.col("id").isNull())}``).
+    Returns the observed values once the write action finishes. Metrics
+    must be aggregate expressions (Observation rejects non-aggregates);
+    exactly-once semantics hold because a batch write runs the action
+    once."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).option("compression", compression).parquet(
+        str(target)
+    )
+    return dict(obs.get)

@@ -438,3 +438,34 @@ class TestOlsCacheTier:
         assert ols_cache.lookup("UNIMOD:999999") is None
         assert ols_cache.is_cached_prefix("MS:1")
         assert not ols_cache.is_cached_prefix("NCIT:C161635")
+
+
+def test_write_parquet_observed_metrics_match_recount(spark, tmp_path):
+    """One-pass write-time metrics (df.observe) equal a separate recount:
+    row count, null count, and a domain violation count collected WHILE
+    writing — no second scan. Also proves the written file carries every
+    row the metrics saw."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.sinks import write_parquet_observed
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (3, "c", 2.5), (4, None, 99.0)],
+        "id long, name string, score double",
+    )
+    target = tmp_path / "observed.parquet"
+    got = write_parquet_observed(
+        df,
+        target,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_names": F.count_if(F.col("name").isNull()),
+            "bad_scores": F.count_if(
+                (F.col("score") < 0) | (F.col("score") > 10)
+            ),
+        },
+    )
+    assert got == {"rows": 4, "null_names": 2, "bad_scores": 2}
+    back = spark.read.parquet(str(target))
+    assert back.count() == 4
+    assert back.filter(F.col("name").isNull()).count() == 2
