@@ -76,6 +76,7 @@ _FRONT = [
     "excess_shipment_suppliers", "dormant_customer_opportunity",
     "event_pattern_match", "event_attribution_last_touch",
     "balance_quartile_bands", "text_tokenizer_fertility",
+    "supplier_concentration_hhi", "customer_pareto_share",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -1896,3 +1896,132 @@ QUERIES["balance_quartile_bands"] = (
     balance_quartile_bands,
     BALANCE_QUARTILE_BANDS_SQL,
 )
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl–Hirschman) index of supplier
+    revenue within each part type — the concentration-metric shape:
+    revenue shares square and sum INSIDE one aggregated frame. Plan: one
+    fact aggregate to (p_type, suppkey) cells (part dim broadcast), then a
+    |types|×|suppliers|-bounded window for the type totals and one more
+    tiny aggregate. Shares divide exact DECIMAL sums; the final HHI is
+    rounded once. Output (p_type, n_suppliers, hhi) — hhi in [0, 1],
+    1 = single-supplier monopoly."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(18,6)")
+    )
+    cells = (
+        li.join(broadcast(p.select("p_partkey", "p_type")),
+                li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(rev).alias("srev"))
+    )
+    wt = Window.partitionBy("p_type")
+    share = F.col("srev").cast("double") / F.sum("srev").over(wt).cast("double")
+    return (
+        cells.select("p_type", share.alias("sh"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("sh") * F.col("sh")), 6).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
+
+
+SUPPLIER_CONCENTRATION_HHI_SQL = """
+WITH cells AS (
+  SELECT p_type, l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS srev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT p_type,
+         CAST(srev AS DOUBLE) / CAST(sum(srev) OVER (PARTITION BY p_type)
+                                     AS DOUBLE) AS sh
+  FROM cells
+)
+SELECT p_type, count(*) AS n_suppliers, round(sum(sh * sh), 6) AS hhi
+FROM shares GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["supplier_concentration_hhi"] = (
+    supplier_concentration_hhi,
+    SUPPLIER_CONCENTRATION_HHI_SQL,
+)
+
+
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: what share of total revenue do the top 10/20/50%
+    of customers carry? Cumulative-distribution-over-aggregate shape: one
+    fact aggregate to per-customer revenue, ONE ordered window over that
+    |customers|-row frame for the running share (revenue-desc, custkey
+    tie-break), then a three-band conditional rollup — the fact table is
+    touched once, the window never sees it. Customer-percentile bands
+    come from percent_rank on the same window sort. The global ORDER BY
+    window funnels the aggregated frame through one partition — fine for
+    a dimension-sized customer set; at whale scale swap the bands to
+    approxQuantile cut points on ``crev`` (broadcast three thresholds,
+    map-side banding, identical output contract). Output
+    (band, n_customers, revenue_share)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("crev")
+    )
+    w = Window.orderBy(F.col("crev").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "crev", F.percent_rank().over(w).alias("pr")
+    )
+    band = (
+        F.when(F.col("pr") <= 0.10, "top10")
+        .when(F.col("pr") <= 0.20, "top20")
+        .when(F.col("pr") <= 0.50, "top50")
+        .otherwise("rest")
+    )
+    tot = per_cust.agg(F.sum("crev").alias("trev"))
+    return (
+        ranked.select(band.alias("band"), "crev")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("crev").alias("brev"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "band",
+            "n_customers",
+            F.round(
+                F.col("brev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("band")
+    )
+
+
+CUSTOMER_PARETO_SHARE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS crev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT crev,
+         percent_rank() OVER (ORDER BY crev DESC, o_custkey) AS pr
+  FROM per_cust
+), tot AS (SELECT sum(crev) AS trev FROM per_cust)
+SELECT CASE WHEN pr <= 0.10 THEN 'top10'
+            WHEN pr <= 0.20 THEN 'top20'
+            WHEN pr <= 0.50 THEN 'top50'
+            ELSE 'rest' END AS band,
+       count(*) AS n_customers,
+       round(CAST(sum(crev) AS DOUBLE) / CAST(max(trev) AS DOUBLE), 6)
+         AS revenue_share
+FROM ranked, tot
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_pareto_share"] = (
+    customer_pareto_share,
+    CUSTOMER_PARETO_SHARE_SQL,
+)
