@@ -609,3 +609,89 @@ def test_centroid_shift_no_pairwise_stage(spark):
     plan = explain_str(embedding_centroid_shift(spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classics_ii_plans(spark):
+    """Q17/Q19/Q20/Q22 shapes: no cartesian, no nested loop except Q22's
+    documented 1-row scalar broadcast; every dimension and decorrelated
+    aggregate arrives by broadcast hash join."""
+    from quantms_utils_spark.queries.classics import (
+        disjunctive_revenue,
+        dormant_customer_opportunity,
+        excess_shipment_suppliers,
+        small_quantity_revenue,
+    )
+
+    for fn, allow_bnlj in (
+        (small_quantity_revenue, False),
+        (disjunctive_revenue, False),
+        (excess_shipment_suppliers, False),
+        (dormant_customer_opportunity, True),  # 1-row scalar crossJoin
+    ):
+        plan = explain_str(fn(spark, SF), "simple")
+        assert "CartesianProduct" not in plan, fn.__name__
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_small_quantity_per_part_agg_broadcast_back(spark):
+    """Q17 decorrelation: the per-part average joins BACK by broadcast —
+    the correlated re-scan a naive translation produces is absent (one
+    lineitem scan per side of the self-join is expected; three scans or
+    a sort-merge join on partkey is the regression)."""
+    from quantms_utils_spark.queries.classics import small_quantity_revenue
+
+    plan = explain_str(small_quantity_revenue(spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+
+
+def test_pattern_match_single_user_shuffle_no_udf(spark):
+    """CEP batch query: one exchange on user_id; the regex runs JVM-side
+    (no Python evaluation anywhere in the plan)."""
+    from quantms_utils_spark.queries.pathops import event_pattern_match
+
+    df = event_pattern_match(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_window_then_tiny_agg(spark):
+    """Last-touch attribution: one window exchange over events, aggregate
+    lands on the |channels|-row frame; no join at all in the plan."""
+    from quantms_utils_spark.queries.pathops import event_attribution_last_touch
+
+    plan = explain_str(event_attribution_last_touch(spark, SF), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3  # window shuffle + agg + final sort
+
+
+def test_hhi_fact_shuffles_once(spark):
+    """HHI: the lineitem fact reaches exactly one shuffle-producing
+    aggregate; the share window and final rollup run on the aggregated
+    cell frame."""
+    from quantms_utils_spark.queries.relational import supplier_concentration_hhi
+
+    df = supplier_concentration_hhi(spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schemas = read_schema_columns(df)
+    li = [s for s in schemas if any(c.startswith("l_") for c in s)]
+    assert li and sorted(li[0]) == [
+        "l_discount", "l_extendedprice", "l_partkey", "l_suppkey",
+    ]  # 4 of 11 lineitem columns read
+
+
+def test_bootstrap_fans_out_before_explode(spark):
+    """The x50 replicate explode must sit ABOVE a round-robin exchange —
+    a single-file scan would otherwise serialize the whole blowup in one
+    task."""
+    from quantms_utils_spark.queries.mlops import event_bootstrap_ci
+
+    plan = explain_str(event_bootstrap_ci(spark, SF), "formatted")
+    rr = plan.find("RoundRobinPartitioning")
+    gen = plan.find("Generate")
+    assert rr != -1, "fan-out exchange missing"
+    assert gen != -1
