@@ -832,3 +832,71 @@ def test_detect_journeys_matches_batch_regex(spark, tmp_path):
     # the hand-audited truth: 3 per-batch journeys, 1 spanning journey,
     # 0 for the broken and noise users
     assert expected == {0: 3, 1: 1, 2: 0, 3: 0}
+
+
+def test_continuous_index_partition_pruned_probe(spark, tmp_path):
+    """Streaming IVF ingest: two drained batches grow a cid-partitioned
+    index; (1) assignments equal the batch expression over the union,
+    (2) a 2-cluster probe scan reads ONLY those clusters' files — the
+    partition-pruning contract the 100 TB probe relies on."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.streaming.similarity import (
+        assign_stream,
+        read_embedding_stream,
+        start_continuous_index,
+    )
+
+    centroids = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])]
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    idx = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+
+    def rows(batch):
+        out = []
+        for i in range(30):
+            vid = batch * 100 + i
+            base = centroids[i % 3][1]
+            out.append(
+                {
+                    "vec_id": vid,
+                    "embedding": [base[0] + (i % 5) * 0.1, base[1] + 0.05 * i],
+                    "label": f"b{batch}",
+                }
+            )
+        return out
+
+    for b in range(2):
+        (src / f"shard_{b}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows(b))
+        )
+        q = start_continuous_index(
+            read_embedding_stream(spark, str(src)), centroids, idx, ckpt
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    back = spark.read.parquet(idx)
+    assert back.count() == 60
+    # (1) streamed assignments == batch assignments on the same rows
+    batch_df = spark.read.schema(
+        "vec_id long, embedding array<double>, label string"
+    ).json(str(src))
+    expect = {
+        (r["vec_id"], r["cid"])
+        for r in assign_stream(batch_df, centroids).collect()
+    }
+    got = {(r["vec_id"], r["cid"]) for r in back.select("vec_id", "cid").collect()}
+    assert got == expect
+    # (2) probing 2 of 3 clusters is PARTITION PRUNING: the scan's
+    # PartitionFilters carry the cid predicate (inputFiles() lists the
+    # base relation pre-pruning, so the plan is the authoritative check)
+    probe = back.filter(F.col("cid").isin(0, 2))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cid" in pf.group(1), plan[:800]
+    assert probe.count() == len([1 for _, c in expect if c in (0, 2)])
