@@ -475,3 +475,73 @@ def detect_journeys_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CREDIT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("channel", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+CREDIT_STATE_SCHEMA = StructType(
+    [StructField("last_channel", StringType(), True)]
+)
+
+
+def attribute_purchases_stateful(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``event_attribution_last_touch`` query:
+    each purchase is credited to the user's most recent prior non-purchase
+    event type, emitted as ONE append-mode credit row per purchase.
+
+    State per user is a single string (the carried channel) — the
+    streaming materialization of the batch query's
+    ``last(..., ignorenulls=True)`` window, whose state is likewise one
+    scalar. Rollup to (channel, attributed_value) happens DOWNSTREAM of
+    the credit stream (land-then-aggregate, or a second streaming agg) —
+    chaining the rollup into this query would stack two stateful
+    operators in one plan, which Structured Streaming restricts. Same
+    in-order per-key delivery contract as the other stateful twins."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        (last,) = state.get if state.exists else (None,)
+        frames = [
+            pdf[["ts", "event_id", "event_type", "value"]] for pdf in pdf_iter
+        ]
+        if not frames:
+            return
+        ordered = pd.concat(frames).sort_values(["ts", "event_id"])
+        out = []
+        for eid, etype, val in zip(
+            ordered["event_id"], ordered["event_type"], ordered["value"]
+        ):
+            if etype == "purchase":
+                if last is not None:
+                    out.append((user_id, int(eid), last, float(val)))
+            else:
+                last = etype
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "channel", "value"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CREDIT_OUTPUT_SCHEMA,
+            stateStructType=CREDIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

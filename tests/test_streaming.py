@@ -900,3 +900,65 @@ def test_continuous_index_partition_pruned_probe(spark, tmp_path):
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cid" in pf.group(1), plan[:800]
     assert probe.count() == len([1 for _, c in expect if c in (0, 2)])
+
+
+def test_attribution_stream_matches_batch_window(spark, event_files, tmp_path):
+    """Streaming last-touch attribution (state = one carried channel per
+    user) drained over the shared event files must aggregate to exactly
+    the batch window query's per-channel totals — including purchases
+    whose channel was set in an earlier micro-batch."""
+    from quantms_utils_spark.streaming.events import (
+        attribute_purchases_stateful,
+        read_event_stream,
+    )
+
+    src, _rows = event_files
+    collected = []
+    stream = read_event_stream(spark, src)
+    q = (
+        attribute_purchases_stateful(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = {}
+    for r in collected:
+        c = got.setdefault(r["channel"], [0, 0.0])
+        c[0] += 1
+        c[1] += r["value"]
+    batch = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .json(src)
+    )
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    expect = {
+        r["channel"]: (r["n"], r["total"])
+        for r in batch.withColumn("channel", channel)
+        .filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for ch, (n, tot) in expect.items():
+        assert got[ch][0] == n
+        assert abs(got[ch][1] - tot) < 1e-6
