@@ -2025,3 +2025,79 @@ QUERIES["customer_pareto_share"] = (
     customer_pareto_share,
     CUSTOMER_PARETO_SHARE_SQL,
 )
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for part pairs
+    co-occurring in ≥ 2 orders, support, confidence and lift — the
+    classic market-basket family. Scale shape: the pair space comes from a
+    WITHIN-ORDER self-join (orderkey equi-join + ``part_a < part_b``), so
+    the blowup is C(items-per-order, 2) per order — bounded by basket
+    size, never |parts|²; per-part basket counts are an aggregate
+    broadcast twice onto the |pairs| frame; every ratio is computed from
+    exact BIGINT counts and rounded once. Top-20 by lift (tie-broken by
+    the pair) with min-support 2; the order count is a 1-row broadcast,
+    never a driver action. Output (part_a, part_b, support,
+    confidence, lift)."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    counts = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(broadcast(ca), "part_a")
+        .join(broadcast(cb), "part_b")
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("support") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+MARKET_BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), counts AS (
+  SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY 1
+)
+SELECT part_a, part_b, support,
+       round(CAST(support AS DOUBLE) / ca.cnt, 6) AS confidence,
+       round(CAST(support AS DOUBLE) * n_orders / (ca.cnt * cb.cnt), 6) AS lift
+FROM pairs
+JOIN counts ca ON ca.l_partkey = part_a
+JOIN counts cb ON cb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+QUERIES["market_basket_lift"] = (market_basket_lift, MARKET_BASKET_LIFT_SQL)
