@@ -122,6 +122,10 @@ HEADLINE = [
     ("q_pattern_match", "event_pattern_match"),
     ("q_attribution", "event_attribution_last_touch"),
     ("q_quartiles", "balance_quartile_bands"),
+    ("q_fertility", "text_tokenizer_fertility"),
+    ("q_hhi", "supplier_concentration_hhi"),
+    ("q_pareto", "customer_pareto_share"),
+    ("q_basket", "market_basket_lift"),
 ]
 
 
