@@ -2101,3 +2101,36 @@ LIMIT 20
 """
 
 QUERIES["market_basket_lift"] = (market_basket_lift, MARKET_BASKET_LIFT_SQL)
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — the third member of the multi-dimensional aggregate trio
+    next to `rollup_revenue` (ROLLUP) and `grouping_sets_revenue`
+    (explicit sets): ALL 2^2 grouping combinations of (returnflag,
+    linestatus) in one pass, including the (linestatus)-only marginal
+    ROLLUP omits and the grand total GROUPING SETS would have to spell
+    out. Same Expand-feeding-one-aggregate plan — never four unioned
+    scans; grouping_id() disambiguates subtotal NULLs."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+CUBE_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows,
+       grouping_id(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+QUERIES["cube_revenue"] = (cube_revenue, CUBE_REVENUE_SQL)
