@@ -538,7 +538,11 @@ def test_bpe_1000_merges_under_100_rounds(spark):
     wall = time.time() - t0
     assert len(got) == 1000
     assert rounds[0] <= 100, rounds
-    assert wall < 240, f"wall {wall:.0f}s"
+    # generous wall: ~77s alone, but suite runs share the host with
+    # other JVMs (observed 3x stretch under a concurrent 200-query
+    # sweep); the ROUNDS bound above is the real scale contract, the
+    # wall only catches order-of-magnitude blowups
+    assert wall < 600, f"wall {wall:.0f}s"
     # merge list is internally consistent: every non-initial symbol used
     # as a side was produced by an earlier merge
     produced = set()
