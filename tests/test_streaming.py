@@ -962,3 +962,76 @@ def test_attribution_stream_matches_batch_window(spark, event_files, tmp_path):
     for ch, (n, tot) in expect.items():
         assert got[ch][0] == n
         assert abs(got[ch][1] - tot) < 1e-6
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics pinned explicitly: with a 1-hour watermark and
+    APPEND output, a row arriving in a later micro-batch whose event time
+    sits more than an hour behind the stream's max event time must NOT
+    resurrect its already-finalized window — the dropped-late-row path the
+    complete-mode parity tests never exercise. A second late-but-within-
+    watermark row (30 min behind) must still count."""
+    import json as _json
+
+    from quantms_utils_spark.streaming.events import (
+        hourly_event_aggregate,
+        read_event_stream,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    collected = []
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        q = (
+            hourly_event_aggregate(stream, watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def ev(eid, ts, etype="view", val=10.0):
+        return {
+            "event_id": eid, "ts": ts, "user_id": 1,
+            "event_type": etype, "value": val, "props": "{}",
+        }
+
+    # batch 0: hour-10 traffic; batch 1: hour-13 traffic advances the
+    # watermark to 12:00, finalizing every window before it
+    write("b0.json", [ev(1, "2024-01-01T10:05:00.000Z"),
+                      ev(2, "2024-01-01T10:20:00.000Z")])
+    drain()
+    write("b1.json", [ev(3, "2024-01-01T13:00:00.000Z"),
+                      ev(4, "2024-01-01T13:10:00.000Z")])
+    drain()
+    # batch 2: one hopeless straggler (hour 10 — 3h late, beyond the
+    # watermark) and one viable late row (12:40, within the hour)
+    write("b2.json", [ev(5, "2024-01-01T10:30:00.000Z"),
+                      ev(6, "2024-01-01T12:40:00.000Z")])
+    drain()
+    # batch 3: advance event time so every remaining window finalizes
+    write("b3.json", [ev(7, "2024-01-01T16:00:00.000Z")])
+    drain()
+
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in collected
+        if r["event_type"] == "view"
+    }
+    # hour-10 window emitted with the ORIGINAL two rows only — the
+    # straggler was dropped, not merged and not re-emitted
+    assert got.get("2024-01-01 10:00:00") == 2
+    # the within-watermark late row made it into its window
+    assert got.get("2024-01-01 12:00:00") == 1
+    assert got.get("2024-01-01 13:00:00") == 2
