@@ -414,6 +414,26 @@ JOURNEY_STATE_SCHEMA = StructType(
 )
 
 
+def journey_dfa_fold(chars, phase: int = 0, n: int = 0) -> tuple[int, int]:
+    """Fold event-type initials through the journey DFA (the compiled form
+    of the regex ``v[^p]*c[^p]*p``); resumable — pass the previous
+    (phase, n) to continue across micro-batches. Property-tested against
+    the regex's leftmost non-overlapping scan on random alphabets."""
+    for c in chars:
+        if phase == 0:
+            if c == "v":
+                phase = 1
+        elif phase == 1:
+            if c == "c":
+                phase = 2
+            elif c == "p":
+                phase = 0
+        else:
+            if c == "p":
+                phase, n = 0, n + 1
+    return phase, n
+
+
 def detect_journeys_stateful(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -449,18 +469,7 @@ def detect_journeys_stateful(
         if not frames:
             return
         ordered = pd.concat(frames).sort_values(["ts", "event_id"])
-        for c in ordered["event_type"].str[0]:
-            if phase == 0:
-                if c == "v":
-                    phase = 1
-            elif phase == 1:
-                if c == "c":
-                    phase = 2
-                elif c == "p":
-                    phase = 0
-            else:
-                if c == "p":
-                    phase, n = 0, n + 1
+        phase, n = journey_dfa_fold(ordered["event_type"].str[0], phase, n)
         state.update((phase, n))
         yield pd.DataFrame({"user_id": [user_id], "n_journeys": [n]})
 

@@ -1035,3 +1035,34 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # the within-watermark late row made it into its window
     assert got.get("2024-01-01 12:00:00") == 1
     assert got.get("2024-01-01 13:00:00") == 2
+
+
+def test_journey_dfa_equals_regex_on_random_sequences():
+    """Property: on ANY sequence over the event alphabet, the resumable
+    3-state DFA counts exactly the regex's leftmost non-overlapping
+    matches — and slicing the sequence at EVERY split point and resuming
+    the fold gives the same count (the micro-batch boundary property the
+    streaming operator depends on)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quantms_utils_spark.streaming.events import journey_dfa_fold
+
+    pat = re.compile("v[^p]*c[^p]*p")
+    alphabet = st.sampled_from("vcpse")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=60), st.integers(min_value=0, max_value=60))
+    def prop(chars, cut):
+        s = "".join(chars)
+        expected = len(pat.findall(s))
+        _, n = journey_dfa_fold(s)
+        assert n == expected
+        cut = min(cut, len(s))
+        phase, n1 = journey_dfa_fold(s[:cut])
+        _, n2 = journey_dfa_fold(s[cut:], phase, n1)
+        assert n2 == expected
+
+    prop()
