@@ -77,7 +77,7 @@ _FRONT = [
     "event_pattern_match", "event_attribution_last_touch",
     "balance_quartile_bands", "text_tokenizer_fertility",
     "supplier_concentration_hhi", "customer_pareto_share",
-    "market_basket_lift", "cube_revenue",
+    "market_basket_lift", "cube_revenue", "event_hll_rollup",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

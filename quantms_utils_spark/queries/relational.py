@@ -2134,3 +2134,53 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 QUERIES["cube_revenue"] = (cube_revenue, CUBE_REVENUE_SQL)
+
+
+def event_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-sketch rollup (Spark 4 Datasketches surface): per-day HLL
+    user sketches (`hll_sketch_agg` — a BINARY column you could store in a
+    daily rollup table) are RE-AGGREGATED with `hll_union_agg` up to
+    event_type, and the unioned estimate is checked against the exact
+    distinct count. This is the property that makes sketches the 100 TB
+    design: yesterday's sketch merges with today's without re-reading
+    history, at fixed state size. Same tolerance-oracle contract as
+    `approx_event_stats`: the oracle emits exact values + constant TRUE,
+    so the hash matches iff every union landed within the documented
+    bound. Output (event_type, n_days, exact_users, rollup_ok)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.06
+            ).alias("rollup_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_HLL_ROLLUP_SQL = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS rollup_ok
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_hll_rollup"] = (event_hll_rollup, EVENT_HLL_ROLLUP_SQL)
