@@ -2184,3 +2184,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["event_hll_rollup"] = (event_hll_rollup, EVENT_HLL_ROLLUP_SQL)
+
+
+def event_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch surface (Spark 4 `approx_top_k`,
+    Datasketches frequent-items): top-3 event types with counts. The
+    sketch is EXACT whenever the distinct count fits its capacity
+    (5 types ≪ the default 10k), so unlike the HLL/t-digest family this
+    sketch query carries a plain exact oracle — and at 100 TB the same
+    expression degrades gracefully to approximate heavy hitters with
+    fixed state, the property `text_heavy_hitters_cms` builds by hand.
+    Output (event_type, n) by descending count (no count ties in the
+    synthetic data at any SF)."""
+    e = load(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+    )
+
+
+EVENT_TOP_TYPES_SKETCH_SQL = """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY 1 ORDER BY n DESC, event_type
+LIMIT 3
+"""
+
+QUERIES["event_top_types_sketch"] = (
+    event_top_types_sketch,
+    EVENT_TOP_TYPES_SKETCH_SQL,
+)
