@@ -336,3 +336,43 @@ QUERIES = {
     "graph_triangle_degree": (graph_triangle_degree, GRAPH_TRIANGLES_DEGREE_SQL),
     "graph_tree_depths": (graph_tree_depths, GRAPH_TREE_DEPTHS_SQL),
 }
+
+
+def tree_depths_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE twin of `graph_tree_depths`: the same derived
+    forest walked with Spark 4's native WITH RECURSIVE — per-level
+    iteration (O(depth) joins planned by the engine) next to the
+    operator's O(log depth) pointer doubling. Both registry entries over
+    identical input pin the iterative operator against the engine's own
+    recursion AND against DuckDB's. Per-level recursion is the right
+    plan when depth is small and the frontier shrinks; pointer doubling
+    wins on deep chains — having both is the point."""
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id").createOrReplaceTempView("__tree_docs")
+    return spark.sql(
+        """
+        WITH RECURSIVE pr AS (
+          SELECT doc_id AS n,
+                 CASE WHEN doc_id = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6),
+                                     16, 10) AS BIGINT) % doc_id END AS parent
+          FROM __tree_docs
+        ), walk(n, cur, d) AS (
+          SELECT n, n, 0 FROM pr
+          UNION ALL
+          SELECT w.n, p.parent, w.d + 1
+          FROM walk w JOIN pr p ON p.n = w.cur
+          WHERE w.cur <> 0
+        ), depth AS (
+          SELECT n, max(d) AS depth FROM walk GROUP BY n
+        )
+        SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes
+        FROM depth GROUP BY depth
+        """
+    )
+
+
+QUERIES["tree_depths_recursive_cte"] = (
+    tree_depths_recursive_cte,
+    GRAPH_TREE_DEPTHS_SQL,
+)
