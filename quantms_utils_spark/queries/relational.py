@@ -2219,3 +2219,46 @@ QUERIES["event_top_types_sketch"] = (
     event_top_types_sketch,
     EVENT_TOP_TYPES_SKETCH_SQL,
 )
+
+
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL join — the correlated per-row-LIMIT subquery surface:
+    each nation's top-2 customers by balance, written as ``JOIN LATERAL
+    (… ORDER BY … LIMIT 2)``. Catalyst DECORRELATES the per-nation limit
+    into a rank window over one customer shuffle (plan-pinned: Window
+    appears, BroadcastNestedLoopJoin does not) — the same physical plan a
+    hand-written rank()<=2 query gets, which is exactly why the lateral
+    form is safe at scale. Deterministic tie-break by custkey. Output
+    (n_name, c_name, c_acctbal)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("__lat_nation")
+    c.createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+        FROM __lat_nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM __lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
+
+
+LATERAL_TOP_CUSTOMERS_SQL = """
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+QUERIES["lateral_top_customers"] = (
+    lateral_top_customers,
+    LATERAL_TOP_CUSTOMERS_SQL,
+)

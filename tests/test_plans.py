@@ -695,3 +695,14 @@ def test_bootstrap_fans_out_before_explode(spark):
     gen = plan.find("Generate")
     assert rr != -1, "fan-out exchange missing"
     assert gen != -1
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """The per-nation LIMIT 2 lateral subquery must plan as a rank window
+    over one shuffle — not a nested-loop re-execution per outer row."""
+    from quantms_utils_spark.queries.relational import lateral_top_customers
+
+    plan = explain_str(lateral_top_customers(spark, SF), "simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
