@@ -66,3 +66,17 @@ def test_session_variable_parameterizes_query(tables):
     assert spark.sql(
         "SELECT count(*) AS n FROM events WHERE value > min_val"
     ).first()["n"] == 0
+
+
+def test_parameterized_sql_named_markers(tables):
+    """spark.sql named parameter markers — injection-safe query
+    parameterization; equivalent to the literal-inlined form."""
+    spark = tables
+    got = spark.sql(
+        "SELECT count(*) AS n FROM events WHERE event_type = :t AND value > :v",
+        args={"t": "purchase", "v": 50.0},
+    ).first()["n"]
+    expect = spark.sql(
+        "SELECT count(*) AS n FROM events WHERE event_type = 'purchase' AND value > 50.0"
+    ).first()["n"]
+    assert got == expect > 0

@@ -1066,3 +1066,71 @@ def test_journey_dfa_equals_regex_on_random_sequences():
         assert n2 == expected
 
     prop()
+
+
+def test_sessionizer_under_rocksdb_state_store(spark, tmp_path):
+    """The applyInPandasWithState sessionizer runs unchanged under the
+    RocksDB state-store provider — the production backend once state
+    outgrows the default in-memory/HDFS provider (per-key state spills
+    to local SST files instead of executor heap). Same three-batch
+    in-order scenario as the default-provider test; identical sessions
+    must emerge from the RocksDB-backed run."""
+    import json as _json
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "rocks_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "rocks_ckpt")
+        collected = []
+        for hour in range(3):
+            batch = [
+                {
+                    "event_id": hour * 100 + i,
+                    "ts": f"2024-01-01T{hour:02d}:{i % 60:02d}:00.000Z",
+                    "user_id": i % 5,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i in range(10)
+            ]
+            (src / f"b{hour}.json").write_text(
+                "\n".join(_json.dumps(r) for r in batch)
+            )
+            stream = read_event_stream(spark, str(src))
+            q = (
+                sessionize_stateful(stream, gap_seconds=1800)
+                .writeStream.foreachBatch(
+                    lambda df, _id: collected.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        got = sorted(
+            (r["user_id"], str(r["session_start"]), r["n_events"])
+            for r in collected
+        )
+        expected = sorted(
+            (u, f"2024-01-01 {h:02d}:{u:02d}:00", 2)
+            for u in range(5)
+            for h in range(2)
+        )
+        assert got == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
