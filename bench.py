@@ -126,6 +126,11 @@ HEADLINE = [
     ("q_hhi", "supplier_concentration_hhi"),
     ("q_pareto", "customer_pareto_share"),
     ("q_basket", "market_basket_lift"),
+    ("q_cube", "cube_revenue"),
+    ("q_hll_rollup", "event_hll_rollup"),
+    ("q_topk_sketch", "event_top_types_sketch"),
+    ("q_recursive_cte", "tree_depths_recursive_cte"),
+    ("q_lateral", "lateral_top_customers"),
 ]
 
 

@@ -87,6 +87,15 @@ SCALE_SENSITIVE = [
     "event_pattern_match",
     "event_attribution_last_touch",
     "balance_quartile_bands",
+    "text_tokenizer_fertility",
+    "supplier_concentration_hhi",
+    "customer_pareto_share",
+    "market_basket_lift",
+    "cube_revenue",
+    "event_hll_rollup",
+    "event_top_types_sketch",
+    "tree_depths_recursive_cte",
+    "lateral_top_customers",
 ]
 
 pytestmark = pytest.mark.skipif(
