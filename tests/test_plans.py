@@ -706,3 +706,45 @@ def test_lateral_join_decorrelates_to_window(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling — the safety net behind every unsalted
+    large join at 100 TB — actually fires: with a 95%-hot key and test-
+    scaled thresholds, the executed plan shows SortMergeJoin(skew=true)
+    with a skewed AQEShuffleRead, and the result equals the plain join.
+    (The explicit-salt operator `skew_salted_join_agg` is the
+    deterministic twin; this pins the engine-side fallback.)"""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert len(rows) == 200_000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
