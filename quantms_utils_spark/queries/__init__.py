@@ -79,7 +79,7 @@ _FRONT = [
     "supplier_concentration_hhi", "customer_pareto_share",
     "market_basket_lift", "cube_revenue", "event_hll_rollup",
     "event_top_types_sketch", "tree_depths_recursive_cte",
-    "lateral_top_customers",
+    "lateral_top_customers", "orders_vs_customer_avg",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

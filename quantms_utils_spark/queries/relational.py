@@ -2262,3 +2262,57 @@ QUERIES["lateral_top_customers"] = (
     lateral_top_customers,
     LATERAL_TOP_CUSTOMERS_SQL,
 )
+
+
+def orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery IN THE SELECT LIST — the remaining
+    decorrelation surface next to Q17's WHERE-clause form: every order
+    carries its customer's average order value, then the top-20 orders
+    most above that average. Catalyst decorrelates the per-row subquery
+    into ONE per-customer aggregate joined back (plan-pinned: no
+    re-execution per row, no nested loop); the ratio divides exact
+    DECIMAL sums cast once. Deterministic top-20 by (ratio desc,
+    orderkey)."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__ord")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                  FROM __ord o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+          FROM __ord o
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(round(price, 2) AS DOUBLE) AS price,
+               round(CAST(price AS DOUBLE) / CAST(cust_avg AS DOUBLE), 6)
+                 AS ratio_to_avg
+        FROM t
+        ORDER BY ratio_to_avg DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+ORDERS_VS_CUSTOMER_AVG_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+  FROM orders o
+)
+SELECT o_orderkey, o_custkey,
+       CAST(round(price, 2) AS DOUBLE) AS price,
+       round(CAST(price AS DOUBLE) / CAST(cust_avg AS DOUBLE), 6)
+         AS ratio_to_avg
+FROM t
+ORDER BY ratio_to_avg DESC, o_orderkey
+LIMIT 20
+"""
+
+QUERIES["orders_vs_customer_avg"] = (
+    orders_vs_customer_avg,
+    ORDERS_VS_CUSTOMER_AVG_SQL,
+)

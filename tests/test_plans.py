@@ -748,3 +748,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_select_list_scalar_subquery_decorrelates(spark):
+    """The per-row customer-average subquery must plan as one aggregate
+    joined back — not a per-row re-execution (no nested loop, no extra
+    exchange storm)."""
+    from quantms_utils_spark.queries.relational import orders_vs_customer_avg
+
+    plan = explain_str(orders_vs_customer_avg(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
