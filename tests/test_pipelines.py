@@ -469,3 +469,36 @@ def test_write_parquet_observed_metrics_match_recount(spark, tmp_path):
     back = spark.read.parquet(str(target))
     assert back.count() == 4
     assert back.filter(F.col("name").isNull()).count() == 2
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_runs(spark, tmp_path):
+    """The data-plane sink semantic for per-run reprocessing at scale:
+    with partitionOverwriteMode=dynamic, rewriting ONE run's partition
+    must leave every other run's data untouched (static mode would wipe
+    the whole table root). This is how a single mzML run is reprocessed
+    into a 100 TB hive-partitioned ms_info table without rewriting it."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "by_run")
+    base = spark.createDataFrame(
+        [("runA", 1, 10.0), ("runA", 2, 11.0), ("runB", 1, 20.0)],
+        "run string, scan int, tic double",
+    )
+    base.write.partitionBy("run").parquet(target)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed = spark.createDataFrame(
+            [("runA", 1, 99.0)], "run string, scan int, tic double"
+        )
+        fixed.write.mode("overwrite").partitionBy("run").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(target)
+    got = sorted(tuple(r) for r in back.collect())
+    # runA fully replaced by the 1-row rewrite; runB untouched
+    assert got == [(1, 99.0, "runA"), (1, 20.0, "runB")] or got == sorted(
+        [(1, 99.0, "runA"), (1, 20.0, "runB")]
+    ), got
