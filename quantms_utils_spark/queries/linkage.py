@@ -104,3 +104,85 @@ SELECT * FROM long_pairs UNION ALL SELECT * FROM short_pairs
 
 
 QUERIES["er_edit_distance_pairs"] = (er_edit_distance_pairs, ER_EDJOIN_SQL)
+
+
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy match pairs → CONNECTED
+    COMPONENTS → entity clusters. The composition that turns pairwise
+    near-miss evidence into dedupable entities: blocked levenshtein
+    pairs (the `er_fuzzy_part_names` generator) become an edge list over
+    deterministic dense name ids (row_number over sorted distinct
+    matched names — engine-replayable, unlike a hash id), min-label
+    propagation collapses them (operators.dedup.connected_components),
+    and each cluster reports its lexicographically-least name as the
+    canonical entity. Only multi-member clusters emerge (singletons are
+    exact-dedup territory). The oracle replays the pairs SQL, walks the
+    TRANSITIVE CLOSURE with a recursive CTE, and takes min(reachable) —
+    a different algorithm for the same fixpoint, so a propagation bug
+    (dropped edge, premature convergence) hash-mismatches. Output
+    (entity, n_members) sorted."""
+    from quantms_utils_spark.operators.dedup import connected_components
+    from quantms_utils_spark.operators.linkage import fuzzy_name_pairs
+
+    p = load(spark, sf_dir, "part")
+    pairs = fuzzy_name_pairs(
+        p, "p_name", F.split(F.col("p_name"), " ").getItem(0), max_distance=3
+    ).select("name_a", "name_b")
+    names = (
+        pairs.select(F.col("name_a").alias("name"))
+        .unionByName(pairs.select(F.col("name_b").alias("name")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    ids = names.select(
+        "name", F.row_number().over(Window.orderBy("name")).alias("nid")
+    )
+    edges = (
+        pairs.join(ids.withColumnRenamed("name", "name_a")
+                      .withColumnRenamed("nid", "ida"), "name_a")
+        .join(ids.withColumnRenamed("name", "name_b")
+                 .withColumnRenamed("nid", "idb"), "name_b")
+        .select("ida", "idb")
+    )
+    cc = connected_components(edges, "ida", "idb")
+    return (
+        cc.join(ids, cc.v == ids.nid)
+        .groupBy("label")
+        .agg(
+            F.min("name").alias("entity"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("entity", "n_members")
+        .orderBy("entity")
+    )
+
+
+ER_ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE names AS (
+  SELECT split_part(p_name, ' ', 1) AS block, p_name AS name
+  FROM part GROUP BY 1, 2
+), pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.name < b.name
+   AND abs(length(a.name) - length(b.name)) <= 3
+  WHERE levenshtein(a.name, b.name) <= 3
+), verts AS (
+  SELECT name_a AS name FROM pairs UNION SELECT name_b FROM pairs
+), sym AS (
+  SELECT name_a AS a, name_b AS b FROM pairs
+  UNION ALL SELECT name_b, name_a FROM pairs
+), walk AS (
+  SELECT name AS start, name AS reach FROM verts
+  UNION
+  SELECT w.start, s.b
+  FROM walk w JOIN sym s ON s.a = w.reach
+), entity AS (
+  SELECT start AS name, min(reach) AS entity FROM walk GROUP BY 1
+)
+SELECT entity, count(*) AS n_members
+FROM entity GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["er_entity_clusters"] = (er_entity_clusters, ER_ENTITY_CLUSTERS_SQL)
