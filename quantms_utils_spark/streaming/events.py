@@ -205,6 +205,7 @@ def stream_purchase_click_join(
     watermark: str = "2 hours",
     left_type: str = "purchase",
     right_type: str = "click",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same user's
     clicks within the preceding hour. Both sides carry watermarks and the
@@ -230,7 +231,10 @@ def stream_purchase_click_join(
         & (clicks.click_ts <= purchases.purchase_ts)
         & (clicks.click_ts >= F.expr(f"purchase_ts - {lookback}"))
     )
-    return purchases.join(clicks, cond).select(
+    # leftOuter emits an unmatched purchase (NULL click columns) only
+    # once the watermark proves no in-window click can still arrive —
+    # outer stream-stream results are watermark-delayed by design.
+    return purchases.join(clicks, cond, how).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
     )
 

@@ -1134,3 +1134,72 @@ def test_sessionizer_under_rocksdb_state_store(spark, tmp_path):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", prev
         )
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """Outer stream-stream join semantics: a purchase with NO click in
+    its lookback window must eventually emit with NULL click columns —
+    but only after the watermark passes the window (the engine cannot
+    rule out a late click before that). Matched purchases emit normally."""
+    import json as _json
+
+    from quantms_utils_spark.streaming.events import (
+        read_event_stream,
+        stream_purchase_click_join,
+    )
+
+    src = tmp_path / "oj_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "oj_ckpt")
+    collected = []
+
+    def ev(eid, ts, etype, uid=1):
+        return {
+            "event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": 1.0, "props": "{}",
+        }
+
+    def drain():
+        stream = read_event_stream(spark, str(src))
+        q = (
+            stream_purchase_click_join(
+                stream, watermark="30 minutes", how="leftOuter"
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # user 1's purchase matches its click; user 2's purchase has no click at all
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in [
+        ev(1, "2024-01-01T10:00:00.000Z", "click"),
+        ev(10, "2024-01-01T10:05:00.000Z", "purchase"),
+        ev(11, "2024-01-01T10:10:00.000Z", "purchase", uid=2),
+    ]))
+    drain()
+    # Advance BOTH sides' watermarks (the global watermark is their min,
+    # and each side's node only sees its own event type — a "view" row
+    # would be filtered out before the watermark node and advance
+    # nothing), then one more batch: the outer NULL flush happens on the
+    # trigger AFTER the watermark advanced, and a file source runs no
+    # batch without new data.
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        ev(98, "2024-01-01T14:00:00.000Z", "click", uid=3),
+        ev(99, "2024-01-01T14:00:00.000Z", "purchase", uid=3),
+    ]))
+    drain()
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in [
+        ev(100, "2024-01-01T15:00:00.000Z", "click", uid=3),
+        ev(101, "2024-01-01T15:00:00.000Z", "purchase", uid=3),
+    ]))
+    drain()
+
+    rows = {r["purchase_id"]: r["click_id"] for r in collected}
+    assert rows.get(10) == 1          # matched within the hour
+    assert 11 in rows and rows[11] is None  # flushed as NULL after watermark
