@@ -80,7 +80,7 @@ _FRONT = [
     "market_basket_lift", "cube_revenue", "event_hll_rollup",
     "event_top_types_sketch", "tree_depths_recursive_cte",
     "lateral_top_customers", "orders_vs_customer_avg",
-    "er_entity_clusters",
+    "er_entity_clusters", "text_quality_logreg_lift",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

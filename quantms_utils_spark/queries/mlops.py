@@ -13,7 +13,7 @@ sophistication.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from quantms_utils_spark.tables import load
 
@@ -650,3 +650,67 @@ def event_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 2), 6).alias("boot_lo"),
         F.round(F.element_at("ms", _BOOT_B - 1), 6).alias("boot_hi"),
     )
+
+
+def quality_logreg_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model LIFT / gains table — the classifier-ops artifact next to the
+    AUC eval: decile documents by classifier score (ntile(10) over
+    (p_en desc, doc_id) — deterministic ties), report per-decile volume,
+    positives, positive rate, and the CUMULATIVE capture rate (what share
+    of all positives the top-k deciles catch — the curve a filtering
+    budget is set from). The window runs over the SCORED frame (map-only
+    scoring pass feeds one Exchange+Sort); cumulative sums run over the
+    10-row decile rollup. Oracle replays training, scoring, tiling, and
+    both cumulative ratios."""
+    scored = quality_logreg_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("p_en").desc(), "doc_id")
+    tiled = scored.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col("is_en").cast("int").alias("pos"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+        F.round(
+            F.sum("n_pos").over(wc) / F.sum("n_pos").over(tot), 6
+        ).alias("cum_capture"),
+    ).orderBy("decile")
+
+
+QUALITY_LOGREG_LIFT_SQL = f"""
+WITH {_D_SQL},
+{_iter_sql(LOGREG_ITER)},
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))), 4) AS p_en,
+         y AS pos
+  FROM d, w{LOGREG_ITER}
+), tiled AS (
+  SELECT ntile(10) OVER (ORDER BY p_en DESC, doc_id) AS decile, pos
+  FROM scored
+), per AS (
+  SELECT decile, count(*) AS n_docs, sum(pos) AS n_pos
+  FROM tiled GROUP BY 1
+)
+SELECT decile,
+       n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+       round(CAST(sum(n_pos) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(n_pos) OVER () AS DOUBLE), 6) AS cum_capture
+FROM per ORDER BY decile
+"""
+
+QUERIES["text_quality_logreg_lift"] = (
+    quality_logreg_lift,
+    QUALITY_LOGREG_LIFT_SQL,
+)
