@@ -1446,3 +1446,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["text_tokenizer_fertility"] = (tokenizer_fertility, TOKENIZER_FERTILITY_SQL)
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CONFUSION MATRIX for the marker-word language ID
+    against the corpus's ground-truth ``lang`` column — the eval artifact
+    that localizes WHERE a classifier fails (which true language bleeds
+    into which prediction), where accuracy alone cannot. One map-side
+    projection + one |langs|²-bounded aggregate; per-cell recall shares
+    divide exact counts. Output (actual, predicted, n, recall_share)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("actual")
+    return (
+        d.select(
+            F.col("lang").alias("actual"),
+            lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w), 6).alias("recall_share"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH s AS (
+  SELECT lang AS actual, text,
+    {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+  FROM documents
+), pred AS (
+  SELECT actual,
+    {_FERTILITY_LANG_CASE} AS predicted
+  FROM s
+), cells AS (
+  SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT actual, predicted, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY actual), 6) AS recall_share
+FROM cells ORDER BY 1, 2
+"""
+
+QUERIES["text_lang_confusion"] = (lang_confusion_matrix, LANG_CONFUSION_SQL)
