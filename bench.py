@@ -131,6 +131,10 @@ HEADLINE = [
     ("q_topk_sketch", "event_top_types_sketch"),
     ("q_recursive_cte", "tree_depths_recursive_cte"),
     ("q_lateral", "lateral_top_customers"),
+    ("q_cust_avg", "orders_vs_customer_avg"),
+    ("q_er_clusters", "er_entity_clusters"),
+    ("q_lift", "text_quality_logreg_lift"),
+    ("q_confusion", "text_lang_confusion"),
 ]
 
 

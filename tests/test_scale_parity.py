@@ -96,6 +96,10 @@ SCALE_SENSITIVE = [
     "event_top_types_sketch",
     "tree_depths_recursive_cte",
     "lateral_top_customers",
+    "orders_vs_customer_avg",
+    "er_entity_clusters",
+    "text_quality_logreg_lift",
+    "text_lang_confusion",
 ]
 
 pytestmark = pytest.mark.skipif(
