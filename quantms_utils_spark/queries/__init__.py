@@ -81,7 +81,7 @@ _FRONT = [
     "event_top_types_sketch", "tree_depths_recursive_cte",
     "lateral_top_customers", "orders_vs_customer_avg",
     "er_entity_clusters", "text_quality_logreg_lift",
-    "text_lang_confusion",
+    "text_lang_confusion", "part_rank_movers",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

@@ -2316,3 +2316,76 @@ QUERIES["orders_vs_customer_avg"] = (
     orders_vs_customer_avg,
     ORDERS_VS_CUSTOMER_AVG_SQL,
 )
+
+
+def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period RANK MOVERS — the reporting shape behind every
+    "top climbers" dashboard: part revenue ranks in 1995-1997 vs
+    1998-2000, joined to surface the biggest rank changes. Both period
+    aggregates come from ONE scan (conditional sums), both ranks from
+    windows over the aggregated |parts|-row frame, and the top-15 is
+    deterministic (|delta| desc, partkey). Parts absent from a period
+    rank by zero revenue — an inner join on the always-present partkey,
+    never a lossy period filter. Output (p_partkey, rank_early,
+    rank_late, rank_delta)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(18,6)")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(F.year("l_shipdate") <= 1997, rev).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        ).alias("rev_early"),
+        F.sum(
+            F.when(F.year("l_shipdate") >= 1998, rev).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        ).alias("rev_late"),
+    )
+    we = Window.orderBy(F.col("rev_early").desc(), "l_partkey")
+    wl = Window.orderBy(F.col("rev_late").desc(), "l_partkey")
+    ranked = per_part.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.rank().over(we).alias("rank_early"),
+        F.rank().over(wl).alias("rank_late"),
+    )
+    return (
+        ranked.select(
+            "p_partkey",
+            "rank_early",
+            "rank_late",
+            (F.col("rank_early") - F.col("rank_late")).alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "p_partkey")
+        .limit(15)
+    )
+
+
+PART_RANK_MOVERS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CASE WHEN year(l_shipdate) <= 1997
+                  THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_early,
+         sum(CASE WHEN year(l_shipdate) >= 1998
+                  THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev_late
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey AS p_partkey,
+         rank() OVER (ORDER BY rev_early DESC, l_partkey) AS rank_early,
+         rank() OVER (ORDER BY rev_late DESC, l_partkey) AS rank_late
+  FROM per_part
+)
+SELECT p_partkey, rank_early, rank_late,
+       rank_early - rank_late AS rank_delta
+FROM ranked
+ORDER BY abs(rank_early - rank_late) DESC, p_partkey
+LIMIT 15
+"""
+
+QUERIES["part_rank_movers"] = (part_rank_movers, PART_RANK_MOVERS_SQL)
