@@ -135,6 +135,7 @@ HEADLINE = [
     ("q_er_clusters", "er_entity_clusters"),
     ("q_lift", "text_quality_logreg_lift"),
     ("q_confusion", "text_lang_confusion"),
+    ("q_rank_movers", "part_rank_movers"),
 ]
 
 

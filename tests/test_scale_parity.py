@@ -100,6 +100,7 @@ SCALE_SENSITIVE = [
     "er_entity_clusters",
     "text_quality_logreg_lift",
     "text_lang_confusion",
+    "part_rank_movers",
 ]
 
 pytestmark = pytest.mark.skipif(
