@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -147,7 +148,10 @@ def _parse_args(argv: list[str]):
     p.add_argument("--isolated", action="store_true")
     p.add_argument("--repeat", type=int, default=5)
     p.add_argument("--warmup", type=int, default=1)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.warmup < 0 or args.repeat < 1:
+        p.error("--warmup must be >= 0 and --repeat >= 1")
+    return args
 
 
 def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
@@ -309,8 +313,9 @@ def main() -> None:
         # Warmups drop any persist() they materialized (CacheManager matches
         # canonicalized plans, so the next run would silently reuse it and
         # measure only the post-cache stages). Skipped for queries whose
-        # setup deliberately persists a shared input.
-        for _ in range(max(args.warmup, 1)):
+        # setup deliberately persists a shared input. `--warmup 0` is
+        # honored (cold measurement) — no silent clamp to 1.
+        for _ in range(args.warmup):
             fn(spark, SF_DIR).count()
             if clear_cache:
                 spark.catalog.clearCache()
@@ -326,7 +331,7 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
             if clear_cache:
                 spark.catalog.clearCache()
-        timings[key] = round(sorted(samples)[len(samples) // 2], 3)
+        timings[key] = round(statistics.median(samples), 3)
         if key in OVERRIDES and not clear_cache:
             spark.catalog.clearCache()
 

@@ -293,7 +293,7 @@ def triangle_count(
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
     n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    census = (
         n_edges.crossJoin(F.broadcast(wedges))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -308,6 +308,14 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
+    # Materialize the 1-row census so the persisted frames can be released
+    # here instead of leaking storage memory across calls in a long-lived
+    # session; the rebuilt local frame keeps the lazy-DataFrame contract.
+    rows = census.collect()
+    canon.unpersist()
+    if orientation == "degree":
+        oriented.unpersist()
+    return edges.sparkSession.createDataFrame(rows, census.schema)
 
 
 def tree_depths(

@@ -41,15 +41,21 @@ for _mod in (core, dedup, relational, similarity, textops, media, curation, retr
         REGISTRY[_name] = _pair
 
 # Front-load the queries that most need a fresh driver row, so a capped or
-# time-budgeted checker covers them first. Round-4 priorities lead: the 23
-# registry queries that never received a driver CORRECTNESS row across
-# r1–r3 (green only in the local pytest oracle suite / the 149-query clone
-# sweep), plus the two r3 reds (snapshot_merge_apply, weighted_median_price
-# — dtype canonicalization, fixed this round). Everything after slot 25
-# keeps its prior order; new round-4 queries go AFTER these so existing
-# green history is never orphaned.
+# time-budgeted checker covers them first. Round-5 priorities lead (r4
+# judge item #1): the 15 registry queries added after the r4 driver sample
+# cut — judge-verified green against their DuckDB oracles but still missing
+# a hard driver CORRECTNESS row. Everything after keeps its prior order so
+# existing green history is never orphaned.
 _FRONT = [
-    # -- the 23 never-driver-checked (r4 item 2) --
+    # -- the 15 never-driver-checked (r5 item 1; judge re-verified green) --
+    "balance_quartile_bands", "text_tokenizer_fertility",
+    "supplier_concentration_hhi", "customer_pareto_share",
+    "market_basket_lift", "cube_revenue", "event_hll_rollup",
+    "event_top_types_sketch", "tree_depths_recursive_cte",
+    "lateral_top_customers", "orders_vs_customer_avg",
+    "er_entity_clusters", "text_quality_logreg_lift",
+    "text_lang_confusion", "part_rank_movers",
+    # -- r4 front block (all green in CORRECTNESS_r04), prior order --
     "text_quality_logreg_scores", "text_quality_logreg_eval",
     "dedup_cluster_sizes", "event_retention_cohorts",
     "event_value_winsorized", "warc_roundtrip_stats",
@@ -62,9 +68,7 @@ _FRONT = [
     "text_novelty_boilerplate", "text_readability",
     "media_wav_signal", "event_retry_collapse",
     "er_edit_distance_pairs",
-    # -- the two r3 canonicalization reds, fixed this round (r4 item 1) --
     "snapshot_merge_apply", "weighted_median_price",
-    # -- new in round 4 (behind the 25 priority slots, per the r3 brief) --
     "volume_shipping", "market_share", "important_parts",
     "customer_distribution", "top_supplier", "parts_supplier_relationship",
     "large_orders", "promotion_revenue", "event_gap_fill",
@@ -75,13 +79,6 @@ _FRONT = [
     "dedup_keep_best", "small_quantity_revenue", "disjunctive_revenue",
     "excess_shipment_suppliers", "dormant_customer_opportunity",
     "event_pattern_match", "event_attribution_last_touch",
-    "balance_quartile_bands", "text_tokenizer_fertility",
-    "supplier_concentration_hhi", "customer_pareto_share",
-    "market_basket_lift", "cube_revenue", "event_hll_rollup",
-    "event_top_types_sketch", "tree_depths_recursive_cte",
-    "lateral_top_customers", "orders_vs_customer_avg",
-    "er_entity_clusters", "text_quality_logreg_lift",
-    "text_lang_confusion", "part_rank_movers",
     # -- prior order from here on --
     "snapshot_diff", "approx_event_stats",
     "graph_triangle_count", "event_transitions",

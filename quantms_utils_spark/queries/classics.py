@@ -222,8 +222,10 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCLUDING zero-order customers — the left-join-then-double-aggregate
     shape. First aggregate counts orders per customer after a LEFT join
     (nulls count as 0 via count of the join-side key, not count(*));
-    second aggregates the count distribution. Customers broadcast; the
-    only shuffle is the per-customer count. Output: (c_count, custdist)."""
+    second aggregates the count distribution. Customer is the PRESERVED
+    left side of the outer join, so it cannot be the broadcast build side
+    — the plan is a shuffle join on custkey feeding a partial-agg count,
+    then the tiny distribution aggregate. Output: (c_count, custdist)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     per_cust = (

@@ -186,12 +186,17 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (returnflag, linestatus): subtotals and the
     grand total in ONE pass — Spark plans this as an Expand (each input row
     emitted once per grouping set) feeding a single hash aggregate, not three
-    scans unioned. grouping_id() disambiguates the NULL-as-subtotal rows."""
+    scans unioned. grouping_id() disambiguates the NULL-as-subtotal rows.
+    Revenue accumulates in DECIMAL and rounds while DECIMAL before the
+    DOUBLE cast (house decimal-canonicalization rule) so both engines
+    resolve .xx5 boundaries identically."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
             F.grouping_id().alias("gid"),
         )
@@ -201,7 +206,8 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_REVENUE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
        count(*) AS n_rows,
        grouping_id(l_returnflag, l_linestatus) AS gid
 FROM lineitem
@@ -1828,7 +1834,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price,
                count(*) AS n_rows,
                grouping_id(l_returnflag, l_linestatus) AS gid
         FROM __gs_lineitem
@@ -1841,7 +1848,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
        count(*) AS n_rows,
        grouping_id(l_returnflag, l_linestatus) AS gid
 FROM lineitem
@@ -2034,8 +2042,11 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-ORDER self-join (orderkey equi-join + ``part_a < part_b``), so
     the blowup is C(items-per-order, 2) per order — bounded by basket
     size, never |parts|²; per-part basket counts are an aggregate
-    broadcast twice onto the |pairs| frame; every ratio is computed from
-    exact BIGINT counts and rounded once. Top-20 by lift (tie-broken by
+    broadcast twice onto the |pairs| frame; the ratios cast counts to
+    DOUBLE BEFORE multiplying (support·n_orders and cnt_a·cnt_b as
+    BIGINT products would silently wrap at whale scale in non-ANSI
+    Spark while DuckDB errors — the cast keeps both engines identical
+    and overflow-free) and round once. Top-20 by lift (tie-broken by
     the pair) with min-support 2; the order count is a 1-row broadcast,
     never a driver action. Output (part_a, part_b, support,
     confidence, lift)."""
@@ -2064,9 +2075,13 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "support",
-            F.round(F.col("support") / F.col("cnt_a"), 6).alias("confidence"),
             F.round(
-                F.col("support") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")),
+                F.col("support").cast("double") / F.col("cnt_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
                 6,
             ).alias("lift"),
         )
@@ -2090,8 +2105,9 @@ WITH baskets AS (
   SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY 1
 )
 SELECT part_a, part_b, support,
-       round(CAST(support AS DOUBLE) / ca.cnt, 6) AS confidence,
-       round(CAST(support AS DOUBLE) * n_orders / (ca.cnt * cb.cnt), 6) AS lift
+       round(CAST(support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) AS confidence,
+       round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
 FROM pairs
 JOIN counts ca ON ca.l_partkey = part_a
 JOIN counts cb ON cb.l_partkey = part_b
@@ -2115,7 +2131,9 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
             F.grouping_id().alias("gid"),
         )
@@ -2125,7 +2143,8 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_REVENUE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_price,
        count(*) AS n_rows,
        grouping_id(l_returnflag, l_linestatus) AS gid
 FROM lineitem
