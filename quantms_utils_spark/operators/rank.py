@@ -1,0 +1,142 @@
+"""Scale-safe global ranking: two-phase row_number / rank / percent_rank
+without the single-partition ``Window.orderBy`` funnel.
+
+An unpartitioned ordered window (``Window.orderBy(...)``) is correct but
+plans as ONE task sorting the whole frame — fine for a dimension-sized
+input, a scale-killer once the ranked frame derives from a fact table.
+The two-phase shape here is the classic distributed fix:
+
+1. ``repartitionByRange`` on the sort expressions — each output partition
+   holds a contiguous, disjoint key range, so global order = partition
+   order + within-partition order. The range boundaries come from Spark's
+   reservoir sample (one extra lightweight pass, done by the exchange).
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the id's
+   low 33 bits are the record number within the partition (its documented
+   layout), giving a per-partition ordered index with ZERO extra shuffle.
+3. A per-partition row-count aggregate (≤ num_partitions rows — driver
+   tiny) turns into exclusive prefix offsets, broadcast back:
+   ``global row_number = offset[partition] + local index + 1``.
+
+Every stage is partition-parallel; the only driver materialization is the
+partition-count list. The frame is ``localCheckpoint``-pinned before the
+count so the offsets and the final output are computed from the SAME
+physical placement (range sampling and id assignment are re-executed
+otherwise, and a re-sample could move boundary rows between partitions).
+
+``rank()`` (ties share a rank, gaps follow) is derived from the unique
+row_number by a ``min`` window partitioned BY THE TIE KEYS — a hash
+shuffle over key groups, still no global funnel.
+
+Reference parity: the reference ranks hits per spectrum with pandas
+``rank`` (quantmsutils/psm/psm_conversion.py — per-group, small); the
+GLOBAL variant has no reference twin and exists for the 100 TB paths
+(BM25 corpus ranks, Pareto shares, period-over-period movers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["global_row_number", "global_rank", "global_percent_rank"]
+
+_LOCAL_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
+
+
+def _two_phase(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Range-partitioned frame with ``_gr_rn`` (unique global row number,
+    1-based) appended; also returns the total row count (free from the
+    offset pass). ``order_by`` are sort expressions (``.desc()`` allowed)
+    and MUST be a total order for row_number determinism."""
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    body = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_gr_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+        .withColumn("_gr_pid", F.shiftrightunsigned("_gr_mid", 33))
+        .withColumn(
+            "_gr_local", F.col("_gr_mid").bitwiseAND(F.lit(_LOCAL_MASK))
+        )
+    )
+    # ≤ n rows: the ONLY driver-side materialization in the operator.
+    counts = sorted(
+        body.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["_gr_pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["_gr_pid"]), acc))
+        acc += int(r["c"])
+    if not offsets:  # empty input: keep a valid (empty) broadcast side
+        offsets = [(0, 0)]
+    off = spark.createDataFrame(offsets, schema="_gr_pid BIGINT, _gr_off BIGINT")
+    ranked = (
+        body.join(F.broadcast(off), "_gr_pid")
+        .withColumn("_gr_rn", F.col("_gr_off") + F.col("_gr_local") + 1)
+        .select(*df.columns, "_gr_rn")
+    )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    *,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY ...)`` without the global
+    window. ``order_by`` must fully break ties (a total order); output is
+    the input columns plus ``rank_col`` (1-based, long)."""
+    ranked, _ = _two_phase(df, order_by, num_partitions)
+    return ranked.withColumnRenamed("_gr_rn", rank_col)
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    tie_cols: Sequence[str],
+    *,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``rank() OVER (ORDER BY ...)`` (ties share, gaps follow).
+
+    ``order_by`` must extend the ranking keys with a unique tiebreak (any
+    total order works — ties are re-merged); ``tie_cols`` are the plain
+    columns whose equal values form a tie group. The merge is a ``min``
+    window partitioned by ``tie_cols`` — hash-parallel, never global."""
+    ranked, _ = _two_phase(df, order_by, num_partitions)
+    w = Window.partitionBy(*[F.col(c) for c in tie_cols])
+    return (
+        ranked.withColumn(rank_col, F.min("_gr_rn").over(w))
+        .drop("_gr_rn")
+    )
+
+
+def global_percent_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    *,
+    rank_col: str = "pr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``percent_rank()`` = (row_number - 1) / (rows - 1) under a
+    total order (unique ties ⇒ rank == row_number). The total row count is
+    a by-product of the offset pass — no extra action. Single-row input
+    gets 0.0 (SQL percent_rank convention)."""
+    ranked, total = _two_phase(df, order_by, num_partitions)
+    denom = float(total - 1) if total > 1 else 1.0
+    return ranked.withColumn(
+        rank_col, (F.col("_gr_rn") - 1).cast("double") / F.lit(denom)
+    ).drop("_gr_rn")

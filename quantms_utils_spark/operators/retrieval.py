@@ -148,19 +148,23 @@ def bm25_rank(
     b: float = 0.75,
     round_digits: int = 6,
 ) -> DataFrame:
-    """BM25 scores plus a dense global rank (1 = best).
+    """BM25 scores plus a global rank (1 = best).
 
     Scores are rounded before ranking so a last-ulp float divergence between
-    engines cannot flip adjacent ranks; ties break on the doc id. The rank
-    window is global (single-partition) — callers at scale should restrict
-    to per-partition top-k first; here the candidate set is already bounded
-    by the query-term filter.
+    engines cannot flip adjacent ranks; ties break on the doc id (a total
+    order, so row_number ≡ rank). The rank is the TWO-PHASE global rank
+    (operators/rank.py) — range-partition on (score desc, id), local index,
+    broadcast offsets — so a corpus-sized candidate set never funnels
+    through a single-task ordered window.
     """
+    from quantms_utils_spark.operators.rank import global_row_number
+
     s = bm25_scores(
         docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
     ).withColumn("bm25", F.round("bm25", round_digits))
-    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
-    return s.withColumn("rnk", F.row_number().over(w))
+    return global_row_number(
+        s, [F.col("bm25").desc(), F.col(id_col)], rank_col="rnk"
+    )
 
 
 def rrf_fuse(

@@ -110,15 +110,17 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: fuzzy match pairs → CONNECTED
     COMPONENTS → entity clusters. The composition that turns pairwise
     near-miss evidence into dedupable entities: blocked levenshtein
-    pairs (the `er_fuzzy_part_names` generator) become an edge list over
-    deterministic dense name ids (row_number over sorted distinct
-    matched names — engine-replayable, unlike a hash id), min-label
-    propagation collapses them (operators.dedup.connected_components),
-    and each cluster reports its lexicographically-least name as the
-    canonical entity. Only multi-member clusters emerge (singletons are
-    exact-dedup territory). The oracle replays the pairs SQL, walks the
-    TRANSITIVE CLOSURE with a recursive CTE, and takes min(reachable) —
-    a different algorithm for the same fixpoint, so a propagation bug
+    pairs (the `er_fuzzy_part_names` generator) ARE the edge list —
+    min-label propagation (operators.dedup.connected_components) runs
+    directly over the NAME STRINGS, so every vertex converges to the
+    lexicographically-least reachable name, which is exactly the
+    canonical entity. No dense-id assignment exists: the old
+    row_number-over-global-Window id step was the one single-partition
+    funnel in the pipeline and carried no information the string labels
+    don't. Only multi-member clusters emerge (singletons are exact-dedup
+    territory). The oracle replays the pairs SQL, walks the TRANSITIVE
+    CLOSURE with a recursive CTE, and takes min(reachable) — a
+    different algorithm for the same fixpoint, so a propagation bug
     (dropped edge, premature convergence) hash-mismatches. Output
     (entity, n_members) sorted."""
     from quantms_utils_spark.operators.dedup import connected_components
@@ -128,32 +130,11 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fuzzy_name_pairs(
         p, "p_name", F.split(F.col("p_name"), " ").getItem(0), max_distance=3
     ).select("name_a", "name_b")
-    names = (
-        pairs.select(F.col("name_a").alias("name"))
-        .unionByName(pairs.select(F.col("name_b").alias("name")))
-        .distinct()
-    )
-    from pyspark.sql import Window
-
-    ids = names.select(
-        "name", F.row_number().over(Window.orderBy("name")).alias("nid")
-    )
-    edges = (
-        pairs.join(ids.withColumnRenamed("name", "name_a")
-                      .withColumnRenamed("nid", "ida"), "name_a")
-        .join(ids.withColumnRenamed("name", "name_b")
-                 .withColumnRenamed("nid", "idb"), "name_b")
-        .select("ida", "idb")
-    )
-    cc = connected_components(edges, "ida", "idb")
+    cc = connected_components(pairs, "name_a", "name_b")
     return (
-        cc.join(ids, cc.v == ids.nid)
-        .groupBy("label")
-        .agg(
-            F.min("name").alias("entity"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
-        .select("entity", "n_members")
+        cc.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("entity"), "n_members")
         .orderBy("entity")
     )
 

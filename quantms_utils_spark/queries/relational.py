@@ -1965,24 +1965,25 @@ QUERIES["supplier_concentration_hhi"] = (
 def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: what share of total revenue do the top 10/20/50%
     of customers carry? Cumulative-distribution-over-aggregate shape: one
-    fact aggregate to per-customer revenue, ONE ordered window over that
-    |customers|-row frame for the running share (revenue-desc, custkey
-    tie-break), then a three-band conditional rollup — the fact table is
-    touched once, the window never sees it. Customer-percentile bands
-    come from percent_rank on the same window sort. The global ORDER BY
-    window funnels the aggregated frame through one partition — fine for
-    a dimension-sized customer set; at whale scale swap the bands to
-    approxQuantile cut points on ``crev`` (broadcast three thresholds,
-    map-side banding, identical output contract). Output
-    (band, n_customers, revenue_share)."""
+    fact aggregate to per-customer revenue, then the TWO-PHASE global
+    percent_rank (operators/rank.py: range-partition → local index →
+    broadcast offsets) over that |customers|-row frame (revenue-desc,
+    custkey tie-break — a total order, so percent_rank ≡
+    (row_number-1)/(n-1)), then a three-band conditional rollup — the
+    fact table is touched once and NOTHING funnels through a
+    single-task ordered window, so the shape survives a fact-derived
+    frame at 100×. Output (band, n_customers, revenue_share)."""
+    from quantms_utils_spark.operators.rank import global_percent_rank
+
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("crev")
-    )
-    w = Window.orderBy(F.col("crev").desc(), F.col("o_custkey"))
-    ranked = per_cust.select(
-        "crev", F.percent_rank().over(w).alias("pr")
-    )
+    ).localCheckpoint(eager=False)  # branches: ranking + the total below
+    ranked = global_percent_rank(
+        per_cust,
+        [F.col("crev").desc(), F.col("o_custkey")],
+        rank_col="pr",
+    ).select("crev", "pr")
     band = (
         F.when(F.col("pr") <= 0.10, "top10")
         .when(F.col("pr") <= 0.20, "top20")
@@ -2341,12 +2342,17 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period RANK MOVERS — the reporting shape behind every
     "top climbers" dashboard: part revenue ranks in 1995-1997 vs
     1998-2000, joined to surface the biggest rank changes. Both period
-    aggregates come from ONE scan (conditional sums), both ranks from
-    windows over the aggregated |parts|-row frame, and the top-15 is
+    aggregates come from ONE scan (conditional sums); both ranks come
+    from the TWO-PHASE global rank (operators/rank.py: range-partition →
+    local index → broadcast offsets), so the |parts| frame never funnels
+    through a single-task ordered window — the sort fully breaks ties
+    (rev desc, partkey), making row_number ≡ rank(). The top-15 is
     deterministic (|delta| desc, partkey). Parts absent from a period
     rank by zero revenue — an inner join on the always-present partkey,
     never a lossy period filter. Output (p_partkey, rank_early,
     rank_late, rank_delta)."""
+    from quantms_utils_spark.operators.rank import global_row_number
+
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
         1 - F.col("l_discount").cast("decimal(18,6)")
@@ -2363,13 +2369,20 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_late"),
     )
-    we = Window.orderBy(F.col("rev_early").desc(), "l_partkey")
-    wl = Window.orderBy(F.col("rev_late").desc(), "l_partkey")
-    ranked = per_part.select(
-        F.col("l_partkey").alias("p_partkey"),
-        F.rank().over(we).alias("rank_early"),
-        F.rank().over(wl).alias("rank_late"),
-    )
+    # Both rank passes branch off this aggregate — pin it so the fact
+    # scan + conditional-sum agg run ONCE, not once per branch.
+    per_part = per_part.localCheckpoint(eager=False)
+    re_ = global_row_number(
+        per_part.select("l_partkey", "rev_early"),
+        [F.col("rev_early").desc(), F.col("l_partkey")],
+        rank_col="rank_early",
+    ).select(F.col("l_partkey").alias("p_partkey"), "rank_early")
+    rl_ = global_row_number(
+        per_part.select("l_partkey", "rev_late"),
+        [F.col("rev_late").desc(), F.col("l_partkey")],
+        rank_col="rank_late",
+    ).select(F.col("l_partkey").alias("p_partkey"), "rank_late")
+    ranked = re_.join(rl_, "p_partkey")
     return (
         ranked.select(
             "p_partkey",

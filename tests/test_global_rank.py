@@ -1,0 +1,100 @@
+"""Two-phase global rank (operators/rank.py): equivalence with the
+single-partition window on small data, plus the scale-shape contracts the
+operator exists for — multi-partition output (no global funnel) and a
+bounded driver footprint (offsets only)."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from quantms_utils_spark.operators.rank import (
+    global_percent_rank,
+    global_rank,
+    global_row_number,
+)
+
+
+def _data(spark, n=997, dup_every=7):
+    # values collide every `dup_every` rows so rank() has real tie groups
+    rows = [Row(id=i, v=(i * 37) % (n // dup_every)) for i in range(n)]
+    return spark.createDataFrame(rows).repartition(8)
+
+
+def test_row_number_matches_window(spark):
+    df = _data(spark)
+    order = [F.col("v").desc(), F.col("id")]
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, order, rank_col="rn", num_partitions=8
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_ties_share_and_gap(spark):
+    df = _data(spark)
+    order = [F.col("v").desc(), F.col("id")]
+    got = {
+        r["id"]: r["rk"]
+        for r in global_rank(
+            df, order, ["v"], rank_col="rk", num_partitions=8
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.rank().over(Window.orderBy(F.col("v").desc()))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_percent_rank_matches_window(spark):
+    df = _data(spark, n=211)
+    order = [F.col("v").asc(), F.col("id")]
+    got = {
+        r["id"]: r["pr"]
+        for r in global_percent_rank(
+            df, order, rank_col="pr", num_partitions=5
+        ).collect()
+    }
+    want = {
+        r["id"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(Window.orderBy(*order))
+        ).collect()
+    }
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_no_single_partition_funnel(spark):
+    # the whole point: the ranked output must NOT sit in one partition
+    df = _data(spark, n=2000)
+    out = global_row_number(
+        df, [F.col("v"), F.col("id")], num_partitions=8
+    ).withColumn("p", F.spark_partition_id())
+    per_part = out.groupBy("p").count().collect()
+    assert len(per_part) > 1
+    assert max(r["count"] for r in per_part) < 2000
+
+
+def test_column_order_and_type(spark):
+    df = _data(spark, n=50)
+    out = global_row_number(df, [F.col("id")], rank_col="r", num_partitions=3)
+    assert out.columns == ["id", "v", "r"]
+    assert dict(out.dtypes)["r"] == "bigint"
+
+
+def test_empty_and_single_row(spark):
+    df = _data(spark, n=50).filter("id < 0")
+    assert global_row_number(df, [F.col("id")], num_partitions=4).count() == 0
+    one = _data(spark, n=50).filter("id = 7")
+    got = global_percent_rank(one, [F.col("id")], num_partitions=4).collect()
+    assert len(got) == 1 and got[0]["pr"] == 0.0
