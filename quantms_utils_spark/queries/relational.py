@@ -2369,20 +2369,18 @@ def part_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_late"),
     )
-    # Both rank passes branch off this aggregate — pin it so the fact
-    # scan + conditional-sum agg run ONCE, not once per branch.
-    per_part = per_part.localCheckpoint(eager=False)
-    re_ = global_row_number(
-        per_part.select("l_partkey", "rev_early"),
-        [F.col("rev_early").desc(), F.col("l_partkey")],
-        rank_col="rank_early",
-    ).select(F.col("l_partkey").alias("p_partkey"), "rank_early")
-    rl_ = global_row_number(
-        per_part.select("l_partkey", "rev_late"),
+    # The two rank passes CHAIN (the second re-range-partitions the first's
+    # output on the other sort key) — no join to reunite branches, and the
+    # fact scan + conditional-sum agg runs once.
+    ranked = global_row_number(
+        global_row_number(
+            per_part,
+            [F.col("rev_early").desc(), F.col("l_partkey")],
+            rank_col="rank_early",
+        ),
         [F.col("rev_late").desc(), F.col("l_partkey")],
         rank_col="rank_late",
-    ).select(F.col("l_partkey").alias("p_partkey"), "rank_late")
-    ranked = re_.join(rl_, "p_partkey")
+    ).select(F.col("l_partkey").alias("p_partkey"), "rank_early", "rank_late")
     return (
         ranked.select(
             "p_partkey",
