@@ -8,6 +8,8 @@ aggregate if summarized.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from quantms_utils_spark.functions.core import let_once as _let
@@ -574,11 +576,46 @@ def merge_pair_fold(syms: Column, left: Column, right: Column) -> Column:
     )
 
 
+def merge_pairs_fold(syms: Column, picks: Sequence[tuple[str, str]]) -> Column:
+    """Apply a BATCH of mutually non-interacting BPE merges in ONE
+    left-to-right fold. Equivalent to chaining :func:`merge_pair_fold`
+    once per pick — PROVIDED the picks satisfy the batching conflict rule
+    of :func:`bpe_merges` (no two picks can claim the same symbol
+    instance, and no pick's side aliases another's concatenation): under
+    that rule a merge neither consumes nor creates an occurrence of any
+    other accepted pick, so "whichever pick matches at this position"
+    commutes with sequential application. The win is plan shape: one
+    ``aggregate`` with an O(1) map-literal lookup instead of
+    ``len(picks)`` nested higher-order functions — what keeps a
+    256-merge round analyzable. Keys join on NUL, which the tokenizer
+    strips from symbols (control characters never survive
+    ``normalized_tokens``), so key aliasing is impossible."""
+    if len(picks) == 1:
+        return merge_pair_fold(syms, F.lit(picks[0][0]), F.lit(picks[0][1]))
+    sep = "\x00"
+    entries: list[Column] = []
+    for l, r in picks:
+        entries += [F.lit(l + sep + r), F.lit(l + r)]
+    m = F.create_map(*entries)
+
+    def step(acc: Column, x: Column) -> Column:
+        merged = F.try_element_at(
+            m, F.concat(F.element_at(acc, -1), F.lit(sep), x)
+        )
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 3,
     batch_size: int = 1,
+    max_batch_size: int | None = None,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Distributed byte-pair-encoding merge induction (Sennrich et al. 2016):
@@ -620,6 +657,17 @@ def bpe_merges(
     ≤ 70 driver rounds on a 1.8k-type synthetic corpus
     (tests/test_text_hygiene.py wall-bound test).
 
+    ``max_batch_size``: when set, the per-round batch DOUBLES from
+    ``batch_size`` up to this cap — the deep-vocabulary form. Early
+    rounds stay small (head pairs interact heavily, big batches would
+    starve on conflicts), late rounds take the long tail (mostly
+    disjoint) in bulk; each round applies its whole batch as ONE
+    map-lookup fold (:func:`merge_pairs_fold`), so a 256-merge round
+    costs the same plan depth as a 1-merge round. The 30k-vocab recipe
+    is ``batch_size=16, max_batch_size=256``: ~16 doubling rounds +
+    ~115 tail rounds ≈ 130 aggregation rounds instead of ~1.9k at a
+    flat 16 (and 30k sequential).
+
     ``_rounds_out``: test seam — when a list is passed, the number of
     aggregation rounds actually executed is appended to it.
     """
@@ -636,12 +684,14 @@ def bpe_merges(
     spark = df.sparkSession
     out: list[tuple[int, str, str, str, int]] = []
     n_rounds = 0
-    # over-collect candidates so conflict skips rarely starve a round;
-    # bounded (<= 4*M rows of two short strings + a long) driver collect
-    top_k = 1 if batch_size <= 1 else max(16, 4 * batch_size)
+    eff_batch = batch_size
     try:
         current = words
         while len(out) < n_merges:
+            # over-collect candidates so conflict skips rarely starve a
+            # round; bounded (<= 4*M rows of two short strings + a long)
+            # driver collect
+            top_k = 1 if eff_batch <= 1 else max(16, 4 * eff_batch)
             pairs = current.select(
                 "freq",
                 F.explode(
@@ -673,10 +723,10 @@ def bpe_merges(
                 break
             picks = []
             for row in top:
-                if len(picks) >= min(batch_size, n_merges - len(out)):
+                if len(picks) >= min(eff_batch, n_merges - len(out)):
                     break
                 cl, cr = row["l"], row["r"]
-                if batch_size > 1 and any(
+                if eff_batch > 1 and any(
                     cr == a or cl == b or (cl == a and cr == b)
                     or cl == a + b or cr == a + b
                     or cl + cr == a or cl + cr == b
@@ -686,9 +736,9 @@ def bpe_merges(
                 picks.append((cl, cr, int(row["cnt"])))
             for l, r, cnt in picks:
                 out.append((len(out) + 1, l, r, l + r, cnt))
-            syms = F.col("syms")
-            for l, r, _ in picks:
-                syms = merge_pair_fold(syms, F.lit(l), F.lit(r))
+            # whole batch in ONE fold (map-literal lookup) — plan depth is
+            # independent of the batch size
+            syms = merge_pairs_fold(F.col("syms"), [(l, r) for l, r, _ in picks])
             # fully-merged word types (one symbol left) can never produce a
             # pair again — drop them so late rounds scan a shrinking table
             current = (
@@ -696,6 +746,8 @@ def bpe_merges(
                 .filter(F.size("syms") > 1)
                 .localCheckpoint(eager=False)
             )
+            if max_batch_size is not None:
+                eff_batch = min(eff_batch * 2, max_batch_size)
     finally:
         words.unpersist()
     if _rounds_out is not None:
