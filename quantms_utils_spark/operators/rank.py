@@ -39,7 +39,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["global_row_number", "global_rank", "global_percent_rank"]
+__all__ = [
+    "global_row_number",
+    "global_rank",
+    "global_percent_rank",
+    "global_ntile",
+]
 
 _LOCAL_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
 
@@ -140,3 +145,31 @@ def global_percent_rank(
     return ranked.withColumn(
         rank_col, (F.col("_gr_rn") - 1).cast("double") / F.lit(denom)
     ).drop("_gr_rn")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n_buckets: int,
+    *,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``ntile(n) OVER (ORDER BY ...)`` from the two-phase row
+    number plus the driver-known total: SQL ntile gives the first
+    ``total % n`` buckets ``⌈total/n⌉`` rows and the rest ``⌊total/n⌋``
+    — a closed-form function of (row_number, total), so no second pass.
+    ``order_by`` must be a total order (ntile over ties is
+    nondeterministic in any engine; callers here always tiebreak).
+    Bucket numbers are ints to match the built-in's type."""
+    ranked, total = _two_phase(df, order_by, num_partitions)
+    size, rem = divmod(total, n_buckets) if total else (0, 0)
+    rn1 = F.col("_gr_rn") - 1  # 0-based
+    cut = rem * (size + 1)
+    if size == 0:
+        bucket = F.col("_gr_rn")  # fewer rows than buckets: one row each
+    else:
+        bucket = F.when(
+            rn1 < cut, F.floor(rn1 / (size + 1)) + 1
+        ).otherwise(F.floor((rn1 - cut) / size) + rem + 1)
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("_gr_rn")

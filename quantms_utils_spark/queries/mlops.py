@@ -658,16 +658,20 @@ def quality_logreg_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p_en desc, doc_id) — deterministic ties), report per-decile volume,
     positives, positive rate, and the CUMULATIVE capture rate (what share
     of all positives the top-k deciles catch — the curve a filtering
-    budget is set from). The window runs over the SCORED frame (map-only
-    scoring pass feeds one Exchange+Sort); cumulative sums run over the
-    10-row decile rollup. Oracle replays training, scoring, tiling, and
-    both cumulative ratios."""
+    budget is set from). The deciles come from the TWO-PHASE global
+    ntile (operators/rank.py) — the scored frame is corpus-sized, so an
+    unpartitioned ntile window would funnel it through one task;
+    cumulative sums run over the 10-row decile rollup. Oracle replays
+    training, scoring, tiling, and both cumulative ratios."""
+    from quantms_utils_spark.operators.rank import global_ntile
+
     scored = quality_logreg_scores(spark, sf_dir)
-    w = Window.orderBy(F.col("p_en").desc(), "doc_id")
-    tiled = scored.select(
-        F.ntile(10).over(w).alias("decile"),
-        F.col("is_en").cast("int").alias("pos"),
-    )
+    tiled = global_ntile(
+        scored,
+        [F.col("p_en").desc(), F.col("doc_id")],
+        10,
+        bucket_col="decile",
+    ).select("decile", F.col("is_en").cast("int").alias("pos"))
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("pos").alias("n_pos"),

@@ -729,11 +729,13 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey) at 10 bits/dim, split the curve into 16 equal-frequency
     buckets, and report each bucket's envelope (min/max of the key AND of
     both dimensions) — the zone-map tightness a Z-clustered rewrite buys.
-    The ntile here is a demo-scale global window; the production write path
-    is ``operators.layout.zorder_layout`` (range repartition by the key),
-    which needs no global window."""
-    from pyspark.sql import Window
+    Buckets come from the TWO-PHASE global ntile (operators/rank.py) —
+    the keyed frame is fact-sized, so the old unpartitioned ntile window
+    was a single-task funnel; the production write path is
+    ``operators.layout.zorder_layout`` (range repartition by the key),
+    which needs no ntile at all."""
     from quantms_utils_spark.operators.layout import zorder_key
+    from quantms_utils_spark.operators.rank import global_ntile
 
     li = load(spark, sf_dir, "lineitem")
     keyed = li.select(
@@ -743,9 +745,13 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=10).alias("z"),
     )
-    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
     return (
-        keyed.withColumn("bucket", F.ntile(16).over(w))
+        global_ntile(
+            keyed,
+            [F.col("z"), F.col("l_orderkey"), F.col("l_linenumber")],
+            16,
+            bucket_col="bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -72,15 +72,18 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal-rank fusion (k=60), treating doc_id == vec_id as the shared
     id space. Both ranks are computed on scores rounded to 4 digits (ties
     break on id) so rank assignment cannot diverge between engines on a
-    last-ulp float difference. Rank windows are global here because both
-    candidate lists are already bounded; at scale both sides would be
-    per-system top-k lists."""
+    last-ulp float difference. Both ranks use the TWO-PHASE global rank
+    (operators/rank.py) — the semantic side is the WHOLE embeddings
+    table (corpus-sized, not a bounded candidate list), so an
+    unpartitioned rank window would funnel it through one task."""
+    from quantms_utils_spark.operators.rank import global_row_number
+
     d = load(spark, sf_dir, "documents")
     lex_scores = bm25_scores(d, _QUERY_TERMS).select(
         F.col("doc_id").alias("id"), F.round("bm25", 4).alias("s")
     )
-    lex = lex_scores.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "id"))
+    lex = global_row_number(
+        lex_scores, [F.col("s").desc(), F.col("id")], rank_col="rnk"
     )
 
     e = load(spark, sf_dir, "embeddings")
@@ -89,8 +92,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("s"),
     )
-    sem = sem_scores.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "id"))
+    sem = global_row_number(
+        sem_scores, [F.col("s").desc(), F.col("id")], rank_col="rnk"
     )
 
     fused = rrf_fuse(lex, sem, id_col="id", rank_col="rnk", k=60)

@@ -98,3 +98,24 @@ def test_empty_and_single_row(spark):
     one = _data(spark, n=50).filter("id = 7")
     got = global_percent_rank(one, [F.col("id")], num_partitions=4).collect()
     assert len(got) == 1 and got[0]["pr"] == 0.0
+
+
+@pytest.mark.parametrize("n,k", [(100, 10), (97, 10), (7, 16), (160, 16)])
+def test_ntile_matches_window(spark, n, k):
+    from quantms_utils_spark.operators.rank import global_ntile
+
+    df = _data(spark, n=n)
+    order = [F.col("v").desc(), F.col("id")]
+    got = {
+        r["id"]: r["b"]
+        for r in global_ntile(
+            df, order, k, bucket_col="b", num_partitions=6
+        ).collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
