@@ -112,3 +112,74 @@ def test_rich_numpress_ms_info_matches_golden(spark):
     got = canon(compute_ms_info(spectra).toPandas(), ["scan"])
     want = canon(pd.read_parquet(GOLDEN / "rich_numpress_ms_info.parquet"), ["scan"])
     assert_frames_match(got, want)
+
+
+PYOPENMS_GOLDEN = GOLDEN / "pyopenms"
+
+
+@pytest.mark.skipif(
+    not PYOPENMS_GOLDEN.exists(),
+    reason=(
+        "producer goldens absent: run tools/make_pyopenms_goldens.py in a "
+        "pyopenms-capable environment and commit "
+        "tests/fixtures/golden/pyopenms/ to activate engine-vs-OpenMS "
+        "numeric parity"
+    ),
+)
+class TestPyopenmsParity:
+    """Engine vs OpenMS C++ numeric parity, auto-activated the moment the
+    producer-generated goldens land (tools/make_pyopenms_goldens.py).
+    Compares per-spectrum parse results by file order (spectrum_index is
+    file order in both producers), not by engine-side re-derivation."""
+
+    @pytest.mark.parametrize(
+        "stem", ["tiny", "rich", "rich_numpress"]
+    )
+    def test_spectra_match_openms(self, stem):
+        from quantms_utils_spark.sources.mzml_xml import parse_mzml_xml
+
+        want = pd.read_parquet(PYOPENMS_GOLDEN / f"{stem}_spectra.parquet")
+        got = parse_mzml_xml(str(FIXTURES / f"{stem}.mzML"))
+        got = got.sort_values("spectrum_index").reset_index(drop=True)
+        want = want.sort_values("spectrum_index").reset_index(drop=True)
+        assert len(got) == len(want)
+        for i in range(len(want)):
+            g, w = got.iloc[i], want.iloc[i]
+            assert int(g["ms_level"]) == int(w["ms_level"]), i
+            assert g["rt"] == pytest.approx(w["rt"], rel=1e-9), i
+            assert len(g["mz_array"]) == int(w["num_peaks"]), i
+            assert list(g["mz_array"]) == pytest.approx(
+                list(w["mz_array"]), rel=1e-7
+            ), i
+            assert list(g["intensity_array"]) == pytest.approx(
+                list(w["intensity_array"]), rel=1e-5
+            ), i
+            # engine extracts the scan number; OpenMS keeps the native id
+            assert str(g["scan"]) in str(w["scan"]), i
+            for col, rel in (
+                ("precursor_mz", 1e-9),
+                ("precursor_intensity", 1e-5),
+            ):
+                if pd.isna(w[col]):
+                    assert pd.isna(g[col]), (col, i)
+                else:
+                    assert g[col] == pytest.approx(w[col], rel=rel), (col, i)
+
+    def test_psms_match_openms(self):
+        from quantms_utils_spark.sources.idxml import _parse_xml_idxml
+
+        want = pd.read_parquet(PYOPENMS_GOLDEN / "tiny_psms.parquet")
+        got = _parse_xml_idxml(str(FIXTURES / "tiny.idXML"))
+        assert len(got) > 0 and len(want) > 0
+        # compare the comparable surface: sequence/charge/score sets
+        # (engine hits are nested per spectrum; flatten first)
+        gset = {
+            (h["peptidoform"], int(h["charge"]), round(float(h["score"]), 9))
+            for _, r in got.iterrows()
+            for h in r["hits"]
+        }
+        wset = {
+            (r["sequence"], int(r["charge"]), round(float(r["score"]), 9))
+            for _, r in want.iterrows()
+        }
+        assert gset == wset
