@@ -137,6 +137,10 @@ HEADLINE = [
     ("q_lift", "text_quality_logreg_lift"),
     ("q_confusion", "text_lang_confusion"),
     ("q_rank_movers", "part_rank_movers"),
+    ("q_streaks", "event_activity_streaks"),
+    ("q_modal_type", "user_modal_event_type"),
+    ("q_key_islands", "orderkey_gap_islands"),
+    ("q_mad_outliers", "event_value_mad_outliers"),
 ]
 
 

@@ -55,6 +55,9 @@ _FRONT = [
     "lateral_top_customers", "orders_vs_customer_avg",
     "er_entity_clusters", "text_quality_logreg_lift",
     "text_lang_confusion", "part_rank_movers",
+    # -- new in round 5 (never driver-checked; clone-green at 3 SFs) --
+    "event_activity_streaks", "user_modal_event_type",
+    "orderkey_gap_islands", "event_value_mad_outliers",
     # -- r4 front block (all green in CORRECTNESS_r04), prior order --
     "text_quality_logreg_scores", "text_quality_logreg_eval",
     "dedup_cluster_sizes", "event_retention_cohorts",

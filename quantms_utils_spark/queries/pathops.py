@@ -568,3 +568,111 @@ QUERIES["event_attribution_last_touch"] = (
     event_attribution_last_touch,
     EVENT_ATTRIBUTION_SQL,
 )
+
+
+def event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: longest run of CONSECUTIVE active days per user,
+    reported as a histogram (longest_streak, n_users). The classic trick:
+    distinct (user, day) → row_number per user by day → ``day - rn`` is
+    constant within a consecutive island, so one aggregate per (user,
+    island) yields streak lengths. Every window is partitioned by
+    user_id (per-key state = that user's active days — bounded), the
+    histogram aggregates the |users| frame; nothing global. Days are
+    integer offsets from 2024-01-01 so both engines do exact integer
+    arithmetic, not interval math. Output (longest_streak, n_users)
+    ordered."""
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak")
+    )
+    return (
+        longest.groupBy("longest_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("longest_streak")
+    )
+
+
+EVENT_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM islands GROUP BY 1, 2
+), longest AS (
+  SELECT user_id, max(streak_len) AS longest_streak
+  FROM streaks GROUP BY 1
+)
+SELECT longest_streak, count(*) AS n_users
+FROM longest GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_activity_streaks"] = (
+    event_activity_streaks,
+    EVENT_ACTIVITY_STREAKS_SQL,
+)
+
+
+def user_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group with a deterministic tiebreak: each user's most
+    frequent event type (count desc, type asc), rolled up to how many
+    users each type is modal for. The per-user argmax is a row_number
+    window over the AGGREGATED (user, type) count frame — partitioned by
+    user (≤ |types| rows per group), so it scales as a hash shuffle on
+    an already-reduced frame, never the raw event stream. Output
+    (event_type, n_users) ordered by type."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    modal = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        modal.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+USER_MODAL_EVENT_TYPE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), modal AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM counts
+)
+SELECT event_type, count(*) AS n_users
+FROM modal WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_modal_event_type"] = (
+    user_modal_event_type,
+    USER_MODAL_EVENT_TYPE_SQL,
+)

@@ -2425,3 +2425,125 @@ LIMIT 15
 """
 
 QUERIES["part_rank_movers"] = (part_rank_movers, PART_RANK_MOVERS_SQL)
+
+
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SPACE ISLANDS over a sparse key subset: the orderkeys of
+    URGENT orders form a naturally gappy subset of the key space, and
+    this reports the 10 largest CONTIGUOUS runs of present keys — the
+    gaps-and-islands shape over a global (not per-group) order. The
+    global row_number comes from the TWO-PHASE rank operator
+    (operators/rank.py: range-partition → local index → broadcast
+    offsets), making this the direct driver-checked showcase of that
+    operator: ``key - global_rn`` is constant within a contiguous run,
+    one aggregate per island yields (start, end, size). Nothing funnels
+    through a single task at any step. Output (start_key, end_key,
+    n_keys) top-10 by size desc, start asc."""
+    from quantms_utils_spark.operators.rank import global_row_number
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    ranked = global_row_number(
+        o, [F.col("o_orderkey")], rank_col="rn"
+    )
+    islands = ranked.withColumn("island", F.col("o_orderkey") - F.col("rn"))
+    return (
+        islands.groupBy("island")
+        .agg(
+            F.min("o_orderkey").alias("start_key"),
+            F.max("o_orderkey").alias("end_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select("start_key", "end_key", "n_keys")
+        .orderBy(F.col("n_keys").desc(), "start_key")
+        .limit(10)
+    )
+
+
+ORDERKEY_GAP_ISLANDS_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), islands AS (
+  SELECT o_orderkey, o_orderkey - rn AS island FROM ranked
+)
+SELECT min(o_orderkey) AS start_key,
+       max(o_orderkey) AS end_key,
+       count(*) AS n_keys
+FROM islands
+GROUP BY island
+ORDER BY n_keys DESC, start_key
+LIMIT 10
+"""
+
+QUERIES["orderkey_gap_islands"] = (
+    orderkey_gap_islands,
+    ORDERKEY_GAP_ISLANDS_SQL,
+)
+
+
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier census per event type: exact median + median
+    absolute deviation (MAD), then count values beyond 3×MAD — the
+    outlier rule that, unlike z-scores, a few whales cannot drag. Two
+    aggregate passes over the stream (median, then MAD of deviations),
+    each reduced to a ≤|types|-row frame that broadcasts back onto the
+    stream — no window over raw events, no sort. Exact ``percentile``
+    is deliberate here (it hash-aggregates per type); at whale scale
+    per type swap in approx_percentile with documented error. Output
+    (event_type, med, mad, n_outliers) ordered by type."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_VALUE_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, median(adev) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       round(any_value(d.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_value_mad_outliers"] = (
+    event_value_mad_outliers,
+    EVENT_VALUE_MAD_OUTLIERS_SQL,
+)

@@ -101,6 +101,10 @@ SCALE_SENSITIVE = [
     "text_quality_logreg_lift",
     "text_lang_confusion",
     "part_rank_movers",
+    "event_activity_streaks",
+    "user_modal_event_type",
+    "orderkey_gap_islands",
+    "event_value_mad_outliers",
 ]
 
 pytestmark = pytest.mark.skipif(
