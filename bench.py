@@ -141,6 +141,7 @@ HEADLINE = [
     ("q_modal_type", "user_modal_event_type"),
     ("q_key_islands", "orderkey_gap_islands"),
     ("q_mad_outliers", "event_value_mad_outliers"),
+    ("q_bfs_hops", "graph_bfs_hops"),
 ]
 
 

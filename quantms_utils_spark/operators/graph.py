@@ -403,3 +403,66 @@ def tree_depths(
             f"chains longer than 2^{max_rounds} steps remain; raise max_rounds"
         )
     return f.select(F.col("n").alias(node), F.col("s").alias("depth"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    sources: DataFrame,
+    source_col: str,
+    max_hops: int = 5,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from ANY
+    source vertex — the missing shortest-path member of the graph family
+    (PageRank / LPA / triangles / components / tree depths all exist).
+
+    Frontier expansion, the textbook distributed form: each round is ONE
+    hash join (current frontier × edges) plus ONE anti-join against the
+    settled set — no full-graph recomputation, and the frontier never
+    re-visits a vertex, so total join work across all rounds is bounded
+    by edges-reachable-within-max_hops. Rounds = max_hops (early exit on
+    an empty frontier via a limit(1) probe, never a full count). The
+    edge list and every per-round frame are ``localCheckpoint``-pinned —
+    the same iterative-lineage discipline as ``connected_components``.
+
+    At 100 TB: per-round state is (settled ∪ frontier) vertex rows —
+    O(|V|) with small constants; the classic caveat is a low-diameter
+    giant component where the frontier IS the graph by round 3, at which
+    point the anti-join degenerates gracefully to one |V|-row hash join
+    per remaining round. For unbounded-depth reachability use
+    ``connected_components`` / ``connected_components_star`` instead of
+    raising ``max_hops``.
+
+    Returns (v, hop) — one row per reached vertex, hop = min distance;
+    unreached vertices are absent (no sentinel).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    e = e.filter(F.col("a") != F.col("b")).localCheckpoint()
+    settled = (
+        sources.select(F.col(source_col).alias("v"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.v == e.a)
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(settled.select("v"), "v", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.limit(1).count():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled
+
+
+__all__.append("bfs_hops")

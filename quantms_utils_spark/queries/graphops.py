@@ -376,3 +376,42 @@ QUERIES["tree_depths_recursive_cte"] = (
     tree_depths_recursive_cte,
     GRAPH_TREE_DEPTHS_SQL,
 )
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest hops (operators.graph.bfs_hops) over the
+    derived doc-link graph: minimum hop count from seed docs {0,1,2}
+    within 4 hops, reported as a reach histogram (hop, n_vertices). The
+    engine runs frontier-expansion BFS (one hash join + one anti-join
+    per round, settled set grows monotonically); the oracle walks ALL
+    bounded paths with a recursive CTE and takes min(hop) per vertex —
+    a different algorithm for the same distances, so a premature settle,
+    a lost frontier vertex, or an off-by-one hop all hash-mismatch."""
+    from quantms_utils_spark.operators.graph import bfs_hops
+
+    d = load(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("doc_id") < 3).select("doc_id")
+    dist = bfs_hops(
+        _edges(spark, sf_dir), "src", "dst", seeds, "doc_id", max_hops=4
+    )
+    return (
+        dist.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("hop")
+    )
+
+
+GRAPH_BFS_HOPS_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+walk AS (
+  SELECT doc_id AS v, 0 AS hop FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT e.dst AS v, w.hop + 1 AS hop
+  FROM walk w JOIN edges e ON e.src = w.v AND e.src <> e.dst
+  WHERE w.hop < 4
+),
+dist AS (SELECT v, min(hop) AS hop FROM walk GROUP BY 1)
+SELECT hop, count(*) AS n_vertices FROM dist GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["graph_bfs_hops"] = (graph_bfs_hops, GRAPH_BFS_HOPS_SQL)

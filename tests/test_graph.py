@@ -267,3 +267,59 @@ def test_tree_depths_dangling_parent_raises(spark):
     )
     with pytest.raises(ValueError, match="dangling parent"):
         tree_depths(parents)
+
+
+class TestBfsHops:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(s=a, d=b) for a, b in pairs])
+
+    def _seeds(self, spark, ids):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(id=i) for i in ids])
+
+    def test_hand_graph_min_hops(self, spark):
+        from quantms_utils_spark.operators.graph import bfs_hops
+
+        # 0→1→2→3, plus shortcut 0→2; 9 isolated via 8→9 (unreachable)
+        e = self._edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2), (8, 9)])
+        got = {
+            r["v"]: r["hop"]
+            for r in bfs_hops(
+                e, "s", "d", self._seeds(spark, [0]), "id", max_hops=5
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+    def test_multi_source_and_undirected(self, spark):
+        from quantms_utils_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(0, 1), (2, 1), (3, 2)])
+        got = {
+            r["v"]: r["hop"]
+            for r in bfs_hops(
+                e,
+                "s",
+                "d",
+                self._seeds(spark, [0, 3]),
+                "id",
+                max_hops=3,
+                directed=False,
+            ).collect()
+        }
+        # sources at 0 and 3: 1 is 1 from 0; 2 is 1 from 3
+        assert got == {0: 0, 3: 0, 1: 1, 2: 1}
+
+    def test_max_hops_bound_and_self_loops(self, spark):
+        from quantms_utils_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(0, 0), (0, 1), (1, 2), (2, 3), (3, 4)])
+        got = {
+            r["v"]: r["hop"]
+            for r in bfs_hops(
+                e, "s", "d", self._seeds(spark, [0]), "id", max_hops=2
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2}  # 3,4 beyond bound; loop ignored

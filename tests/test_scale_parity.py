@@ -105,6 +105,7 @@ SCALE_SENSITIVE = [
     "user_modal_event_type",
     "orderkey_gap_islands",
     "event_value_mad_outliers",
+    "graph_bfs_hops",
 ]
 
 pytestmark = pytest.mark.skipif(
