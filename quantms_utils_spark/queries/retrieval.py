@@ -72,18 +72,22 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal-rank fusion (k=60), treating doc_id == vec_id as the shared
     id space. Both ranks are computed on scores rounded to 4 digits (ties
     break on id) so rank assignment cannot diverge between engines on a
-    last-ulp float difference. Both ranks use the TWO-PHASE global rank
-    (operators/rank.py) — the semantic side is the WHOLE embeddings
-    table (corpus-sized, not a bounded candidate list), so an
-    unpartitioned rank window would funnel it through one task."""
+    last-ulp float difference. The SEMANTIC rank uses the TWO-PHASE
+    global rank (operators/rank.py) — that side is the WHOLE embeddings
+    table (corpus-sized, not a candidate list), so an unpartitioned rank
+    window would funnel it through one task. The LEXICAL side stays a
+    plain window: its frame is bounded by the query-term match (docs
+    containing ≥1 query term — a per-query candidate list, not the
+    corpus), which is the one case the single-partition window is the
+    cheaper right answer."""
     from quantms_utils_spark.operators.rank import global_row_number
 
     d = load(spark, sf_dir, "documents")
     lex_scores = bm25_scores(d, _QUERY_TERMS).select(
         F.col("doc_id").alias("id"), F.round("bm25", 4).alias("s")
     )
-    lex = global_row_number(
-        lex_scores, [F.col("s").desc(), F.col("id")], rank_col="rnk"
+    lex = lex_scores.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "id"))
     )
 
     e = load(spark, sf_dir, "embeddings")
