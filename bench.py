@@ -142,6 +142,8 @@ HEADLINE = [
     ("q_key_islands", "orderkey_gap_islands"),
     ("q_mad_outliers", "event_value_mad_outliers"),
     ("q_bfs_hops", "graph_bfs_hops"),
+    ("q_forecast_rev", "forecast_revenue_change"),
+    ("q_type_profit", "product_type_profit"),
 ]
 
 

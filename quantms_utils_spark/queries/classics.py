@@ -622,3 +622,120 @@ QUERIES["dormant_customer_opportunity"] = (
     dormant_customer_opportunity,
     DORMANT_CUSTOMER_OPPORTUNITY_SQL,
 )
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the what-if aggregate — total
+    revenue that would have been lost had 1994's small-quantity,
+    mid-discount lineitems shipped discount-free. Pure scan shape: three
+    pushable predicates feed ONE partial-aggregated sum; no join, no
+    shuffle beyond the 1-row final agg. The canary query for predicate
+    pushdown + scan throughput (reference has no analog; this is the
+    classic minimal-plan benchmark). Revenue accumulates in DECIMAL,
+    rounds while DECIMAL, then casts DOUBLE (house rule). Output: one
+    row (revenue)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1994)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * F.col("l_discount").cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = 1994
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES["forecast_revenue_change"] = (
+    forecast_revenue_change,
+    FORECAST_REVENUE_CHANGE_SQL,
+)
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted
+    to the testdata's tables (no partsupp, so supply cost is proxied by
+    10% of p_retailprice per unit): profit = revenue − cost for parts
+    whose type contains 'BRASS', grouped by supplier nation and order
+    year. The join tree is the Q9 classic: lineitem×orders (orderdate →
+    year) as the fact spine, part (filtered, BROADCAST) prunes lines
+    early, supplier×nation (BROADCAST chain) labels the group — one
+    fact shuffle for the orderkey join, everything else map-side.
+    DECIMAL accumulation throughout. Output (nation, o_year,
+    sum_profit) ordered."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").contains("BRASS"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    profit = _revenue_col() - (
+        F.col("p_retailprice").cast("decimal(18,6)")
+        * F.lit(0.1).cast("decimal(18,6)")
+        * F.col("l_quantity").cast("decimal(18,6)")
+    )
+    return (
+        li.join(
+            broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            broadcast(
+                s.select("s_suppkey", "s_nationkey").join(
+                    broadcast(n.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                      - CAST(p_retailprice AS DECIMAL(18,6))
+                        * CAST(0.1 AS DECIMAL(18,6))
+                        * CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type LIKE '%BRASS%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+QUERIES["product_type_profit"] = (product_type_profit, PRODUCT_TYPE_PROFIT_SQL)

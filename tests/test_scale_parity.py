@@ -106,6 +106,8 @@ SCALE_SENSITIVE = [
     "orderkey_gap_islands",
     "event_value_mad_outliers",
     "graph_bfs_hops",
+    "forecast_revenue_change",
+    "product_type_profit",
 ]
 
 pytestmark = pytest.mark.skipif(
