@@ -676,7 +676,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year), adapted
     to the testdata's tables (no partsupp, so supply cost is proxied by
     10% of p_retailprice per unit): profit = revenue − cost for parts
-    whose type contains 'BRASS', grouped by supplier nation and order
+    of the PROMO type class, grouped by supplier nation and order
     year. The join tree is the Q9 classic: lineitem×orders (orderdate →
     year) as the fact spine, part (filtered, BROADCAST) prunes lines
     early, supplier×nation (BROADCAST chain) labels the group — one
@@ -685,7 +685,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_profit) ordered."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    p = load(spark, sf_dir, "part").filter(F.col("p_type").contains("BRASS"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     profit = _revenue_col() - (
@@ -733,7 +733,7 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
-WHERE p_type LIKE '%BRASS%'
+WHERE p_type = 'PROMO'
 GROUP BY 1, 2
 ORDER BY nation, o_year DESC
 """
