@@ -1203,3 +1203,76 @@ def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
     rows = {r["purchase_id"]: r["click_id"] for r in collected}
     assert rows.get(10) == 1          # matched within the hour
     assert 11 in rows and rows[11] is None  # flushed as NULL after watermark
+
+
+def test_stream_dedup_state_expiry_readmits(spark, tmp_path):
+    """The OTHER half of dropDuplicatesWithinWatermark's contract: dedup
+    state is bounded BY EVICTION, so a duplicate re-delivered after the
+    watermark passed (first_ts + horizon) is re-admitted — the id is
+    emitted AGAIN. This is why the operator is 'within watermark', not a
+    global dedup: at 100 TB the bounded state is the point, and any
+    consumer needing global uniqueness must idempotent-merge downstream
+    (e.g. the MERGE sink), which this pin documents."""
+    import json as _json
+
+    src = tmp_path / "expiry_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "expiry_ckpt")
+
+    def _write(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": ts,
+                        "user_id": 0,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                for i, ts in rows
+            )
+        )
+
+    emitted: list[int] = []
+
+    def _run():
+        deduped = stream_dedup_events(
+            read_event_stream(spark, str(src)), watermark="10 minutes"
+        )
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda bdf, _id: emitted.extend(
+                    r["event_id"] for r in bdf.select("event_id").collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return list(emitted)
+
+    # run 1: id=1 at 00:00, id=2 at 00:30 → watermark advances to 00:20,
+    # evicting id=1's state (00:00 + 10 min < 00:20)
+    _write(
+        "b1.json",
+        [(1, "2024-01-01T00:00:00.000Z"), (2, "2024-01-01T00:30:00.000Z")],
+    )
+    first = _run()
+    assert sorted(first) == [1, 2]
+
+    # run 2 (same checkpoint): id=1 re-delivered at 00:25 — AFTER its
+    # state expired → re-admitted; id=2 re-delivered at 00:31 — state
+    # still live (00:30 + 10 min > 00:20) → still dropped
+    _write(
+        "b2.json",
+        [(1, "2024-01-01T00:25:00.000Z"), (2, "2024-01-01T00:31:00.000Z")],
+    )
+    both = _run()
+    assert sorted(both) == [1, 1, 2]
