@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "global_row_number",
@@ -119,13 +119,17 @@ def global_rank(
 
     ``order_by`` must extend the ranking keys with a unique tiebreak (any
     total order works — ties are re-merged); ``tie_cols`` are the plain
-    columns whose equal values form a tie group. The merge is a ``min``
-    window partitioned by ``tie_cols`` — hash-parallel, never global."""
+    columns whose equal values form a tie group. The merge is a
+    per-tie-group ``min`` AGGREGATE joined back — not a window
+    partitioned by ``tie_cols``: a window sorts each tie group inside
+    ONE task, so a whale tie-group (one dominant value — the normal
+    shape of rank-by-score data) would re-create the funnel this
+    operator exists to remove, while the aggregate's map-side partial
+    min reduces the whale before it ever shuffles."""
     ranked, _ = _two_phase(df, order_by, num_partitions)
-    w = Window.partitionBy(*[F.col(c) for c in tie_cols])
-    return (
-        ranked.withColumn(rank_col, F.min("_gr_rn").over(w))
-        .drop("_gr_rn")
+    mins = ranked.groupBy(*tie_cols).agg(F.min("_gr_rn").alias(rank_col))
+    return ranked.join(mins, list(tie_cols)).select(
+        *df.columns, rank_col
     )
 
 
