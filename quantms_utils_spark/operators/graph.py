@@ -466,3 +466,60 @@ def bfs_hops(
 
 
 __all__.append("bfs_hops")
+
+
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Vertices of the K-CORE: the maximal subgraph where every vertex
+    keeps degree ≥ k — the standard coreness filter for graph cleanup
+    (drop weakly-attached crawl pages / spam satellites before PageRank
+    or community detection).
+
+    Iterative peeling, re-expressed shuffle-lean: each round is ONE
+    degree aggregate over the surviving symmetric edge list plus TWO
+    semi-joins (keep edges whose both endpoints survive). No
+    ``collect_list`` anywhere — a whale hub's neighborhood is never
+    materialized in one row; the degree is a plain count with map-side
+    partial aggregation. Rounds = peeling depth (≤ the degeneracy
+    ordering's layer count, typically ≤ tens even on web graphs);
+    convergence is detected by the edge count (strictly decreasing until
+    fixpoint — one cheap agg, no extra join). Per-round frames are
+    ``localCheckpoint``-pinned, the same iterative-lineage discipline as
+    ``connected_components``.
+
+    There is no SQL-expressible oracle (peeling is a
+    loop-until-fixpoint, which WITH RECURSIVE's append-only semantics
+    cannot express), so evidence is property-based: brute-force peeling
+    replayed in driver Python on random graphs (tests/test_graph.py).
+
+    Returns (v,) — distinct vertices in the k-core (empty if none).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = e.count()
+    for _ in range(max_iter):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+    return e.select(F.col("a").alias("v")).distinct()
+
+
+__all__.append("k_core")

@@ -323,3 +323,70 @@ class TestBfsHops:
             ).collect()
         }
         assert got == {0: 0, 1: 1, 2: 2}  # 3,4 beyond bound; loop ignored
+
+
+class TestKCore:
+    @staticmethod
+    def _brute_k_core(pairs, k):
+        """Driver-python peeling ground truth."""
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, nb in adj.items() if len(nb) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return set(adj)
+
+    def test_triangle_with_tail(self, spark):
+        from pyspark.sql import Row
+
+        from quantms_utils_spark.operators.graph import k_core
+
+        # triangle 0-1-2 plus a tail 2-3-4: 2-core is exactly the triangle
+        pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+        e = spark.createDataFrame([Row(s=a, d=b) for a, b in pairs])
+        got = {r["v"] for r in k_core(e, "s", "d", k=2).collect()}
+        assert got == {0, 1, 2}
+        # 3-core of this graph is empty
+        assert k_core(e, "s", "d", k=3).count() == 0
+
+    def test_cascading_peel(self, spark):
+        from pyspark.sql import Row
+
+        from quantms_utils_spark.operators.graph import k_core
+
+        # chain hung off a 4-clique: removing the chain end cascades
+        clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        e = spark.createDataFrame([Row(s=a, d=b) for a, b in clique + chain])
+        got = {r["v"] for r in k_core(e, "s", "d", k=3).collect()}
+        assert got == {0, 1, 2, 3}
+
+    def test_random_graph_matches_brute(self, spark):
+        import random
+
+        from pyspark.sql import Row
+
+        from quantms_utils_spark.operators.graph import k_core
+
+        rng = random.Random(7)
+        pairs = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(40), rng.randrange(40)) for _ in range(160)
+                )
+                if a != b
+            }
+        )
+        e = spark.createDataFrame([Row(s=a, d=b) for a, b in pairs])
+        for k in (2, 3, 4):
+            got = {r["v"] for r in k_core(e, "s", "d", k=k).collect()}
+            assert got == self._brute_k_core(pairs, k), k
