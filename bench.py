@@ -144,6 +144,7 @@ HEADLINE = [
     ("q_bfs_hops", "graph_bfs_hops"),
     ("q_forecast_rev", "forecast_revenue_change"),
     ("q_type_profit", "product_type_profit"),
+    ("q_grid_quantiles", "event_value_grid_quantiles"),
 ]
 
 

@@ -2547,3 +2547,82 @@ QUERIES["event_value_mad_outliers"] = (
     event_value_mad_outliers,
     EVENT_VALUE_MAD_OUTLIERS_SQL,
 )
+
+
+def event_value_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles WITHOUT a per-group sort — the third member of the
+    percentile family (next to sort-based exact `value_percentiles` and
+    the approx sketch): `value` lives on a bounded 2-decimal grid, so
+    reduce the stream to a (type, value, count) HISTOGRAM in one
+    map-side-combined shuffle, run the cumulative sum over the ≤
+    |grid|-row groups (the window is bounded by grid size, NEVER by the
+    event count), and take the smallest value whose cumulative count
+    reaches ceil(p·n) — percentile_disc semantics. Targets are computed
+    in exact INTEGER arithmetic ((n+1)/2, (9n+9)/10) so the ≥ compare
+    cannot diverge cross-engine at any n. This is the shape that stays
+    exact at 100 TB: the raw stream is touched once; everything ordered
+    is grid-bounded. Output (event_type, p50, p90, n_events)."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    hist = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    j = cum.join(broadcast(tot), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+                        F.col("value"),
+                    )
+                ),
+                2,
+            ).alias("p50"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.floor((9 * F.col("n") + 9) / 10),
+                        F.col("value"),
+                    )
+                ),
+                2,
+            ).alias("p90"),
+            F.first("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_VALUE_GRID_QUANTILES_SQL = """
+WITH hist AS (
+  SELECT event_type, value, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, value, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+)
+SELECT c.event_type,
+       round(min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.value END), 2)
+         AS p50,
+       round(min(CASE WHEN c.cum >= (9 * t.n + 9) // 10 THEN c.value END), 2)
+         AS p90,
+       any_value(t.n) AS n_events
+FROM cum c JOIN tot t ON c.event_type = t.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_value_grid_quantiles"] = (
+    event_value_grid_quantiles,
+    EVENT_VALUE_GRID_QUANTILES_SQL,
+)

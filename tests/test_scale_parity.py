@@ -108,6 +108,7 @@ SCALE_SENSITIVE = [
     "graph_bfs_hops",
     "forecast_revenue_change",
     "product_type_profit",
+    "event_value_grid_quantiles",
 ]
 
 pytestmark = pytest.mark.skipif(
