@@ -159,3 +159,177 @@ def start_continuous_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def classify_and_grow_near(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    corpus_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """Near-dup-aware classify-and-grow: the continuous form of
+    ``operators.dedup.incremental_dedup``. The standing state gains two
+    families next to the fingerprints — per-keeper MinHash SIGNATURES
+    (``corpus_dir/sigs``) and TEXTS (``corpus_dir/texts``) — written
+    once per epoch, so each micro-batch LSH-joins its shard against
+    standing bands without the corpus ever paying a self-join (the
+    "materialized banded signatures at write time" design the batch
+    operator's docstring promises, actually landed). Status precedence:
+    exact_dup > batch_dup > near_dup > new; only genuinely-new keepers
+    grow the state. Same epoch-scoped idempotence as
+    ``classify_and_grow`` (a replayed epoch re-reads only epochs < N and
+    overwrites its own shard). In-batch NEAR dups are out of scope by
+    design — the shard's own batch dedup owns those; this loop guards
+    the shard-vs-corpus boundary."""
+    from quantms_utils_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_cross_pairs,
+        minhash_signatures,
+    )
+
+    spark = batch_df.sparkSession
+    id_type = batch_df.schema[id_col].dataType.simpleString()
+    fp_schema = f"fp string, match_id {id_type}"
+    sig_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"sig_{i} long" for i in range(n_hashes)]
+    )
+    text_schema = f"{id_col} {id_type}, {text_col} string"
+    epoch = int(epoch_id)
+    standing_fp = _read_standing(spark, f"{corpus_dir}/fps", epoch, fp_schema)
+    standing_sig = _read_standing(spark, f"{corpus_dir}/sigs", epoch, sig_schema)
+    standing_txt = _read_standing(spark, f"{corpus_dir}/texts", epoch, text_schema)
+
+    fps = batch_df.select(
+        F.col(id_col).alias("bid"), _norm_fp(text_col).alias("fp")
+    )
+    keepers = fps.groupBy("fp").agg(F.min("bid").alias("keeper_id"))
+    base = (
+        fps.join(keepers, "fp")
+        .join(F.broadcast(standing_fp), "fp", "left")
+        .select(
+            "bid",
+            "fp",
+            "keeper_id",
+            F.col("match_id").alias("exact_match"),
+        )
+    )
+
+    # near-dup check only for batch keepers with no exact match
+    pending_ids = base.filter(
+        F.col("exact_match").isNull() & (F.col("bid") == F.col("keeper_id"))
+    ).select(F.col("bid").alias(id_col))
+    pending_docs = batch_df.join(pending_ids, id_col, "left_semi")
+    sigs = minhash_signatures(
+        pending_docs, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n
+    )
+    cand = lsh_cross_pairs(
+        sigs, standing_sig, id_col, n_hashes=n_hashes, band_size=band_size
+    )
+    union_txt = standing_txt.unionByName(
+        batch_df.select(id_col, text_col)
+    )
+    ver = jaccard_for_pairs(
+        union_txt,
+        cand.select(
+            F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+        ),
+        id_col,
+        text_col,
+        n=shingle_n,
+        threshold=threshold,
+    )
+    best = (
+        ver.groupBy("doc_a")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("doc_b").alias("mid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("doc_a").alias("bid"),
+            F.col("b.mid").alias("near_match"),
+            (-F.col("b.nj")).alias("near_jaccard"),
+        )
+    )
+
+    classified = (
+        base.join(best, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("bid") != F.col("keeper_id"), F.lit("batch_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(
+                F.col("exact_match"),
+                F.when(F.col("bid") != F.col("keeper_id"), F.col("keeper_id")),
+                F.col("near_match"),
+            ).alias("match_id"),
+            F.when(
+                F.col("exact_match").isNull()
+                & (F.col("bid") == F.col("keeper_id")),
+                F.col("near_jaccard"),
+            ).alias("jaccard"),
+        )
+    )
+    classified.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
+
+    new_ids = classified.filter(F.col("status") == "new").select(
+        F.col(id_col)
+    )
+    new_docs = batch_df.join(new_ids, id_col, "left_semi")
+    new_docs.select(
+        _norm_fp(text_col).alias("fp"), F.col(id_col).alias("match_id")
+    ).write.mode("overwrite").parquet(f"{corpus_dir}/fps/epoch={epoch}")
+    sigs.join(new_ids, id_col, "left_semi").write.mode("overwrite").parquet(
+        f"{corpus_dir}/sigs/epoch={epoch}"
+    )
+    new_docs.select(id_col, text_col).write.mode("overwrite").parquet(
+        f"{corpus_dir}/texts/epoch={epoch}"
+    )
+
+
+def start_continuous_near_ingest(
+    incoming: DataFrame,
+    *,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """availableNow drain through ``classify_and_grow_near`` — the
+    scheduled incremental near-dup ingest run. Returns the StreamingQuery."""
+
+    def _batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        classify_and_grow_near(
+            batch_df,
+            epoch_id,
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ += ["classify_and_grow_near", "start_continuous_near_ingest"]

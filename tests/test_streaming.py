@@ -1276,3 +1276,78 @@ def test_stream_dedup_state_expiry_readmits(spark, tmp_path):
     )
     both = _run()
     assert sorted(both) == [1, 1, 2]
+
+
+def test_continuous_near_ingest_classifies_near_dups(spark, tmp_path):
+    """Near-dup-aware classify-and-grow: run 2 must classify a small edit
+    of a STANDING document as near_dup with the right match id, while an
+    exact replay stays exact_dup and novel text stays new; only new
+    keepers grow the standing signature/text state."""
+    import json
+
+    from quantms_utils_spark.streaming.curation import (
+        start_continuous_near_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(in_dir))
+        )
+        q = start_continuous_near_ingest(
+            stream,
+            corpus_dir=corpus_dir,
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+            threshold=0.3,
+        )
+        q.awaitTermination(120)
+
+    land(
+        "b1.json",
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "completely different content here entirely"},
+        ],
+    )
+    drain()
+    first = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+    }
+    assert first == {1: "new", 2: "new"}
+
+    land(
+        "b2.json",
+        [
+            {"doc_id": 10, "text": base},  # exact dup of standing 1
+            {"doc_id": 11, "text": near},  # near dup of standing 1
+            {"doc_id": 12, "text": "novel words nobody wrote before today"},
+        ],
+    )
+    drain()
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(out_dir + "/epoch=*").collect()
+        if r["doc_id"] >= 10
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11][0] == "near_dup" and out[11][1] == 1
+    assert out[12] == ("new", None)
+    # standing state grew by exactly the new keepers (1, 2, 12)
+    texts = spark.read.parquet(corpus_dir + "/texts/epoch=*")
+    assert {r["doc_id"] for r in texts.collect()} == {1, 2, 12}
