@@ -119,3 +119,46 @@ def test_ntile_matches_window(spark, n, k):
         ).collect()
     }
     assert got == want
+
+
+import os
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SCALE_TESTS") != "1",
+    reason="stress tier: set RUN_SCALE_TESTS=1",
+)
+def test_two_phase_matches_window_at_millions(spark):
+    """Stress equivalence: 3M rows with a skewed sort key (10% of rows
+    share one hot value, fully tie-broken by id) — the two-phase rank
+    must agree with the single-partition window EXACTLY, and its output
+    must remain spread over many partitions."""
+    df = (
+        spark.range(0, 3_000_000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, F.lit(7))
+            .otherwise(F.xxhash64("id") % 100_000)
+            .alias("v"),
+        )
+        .repartition(32)
+    )
+    order = [F.col("v"), F.col("id")]
+    two = global_row_number(df, order, rank_col="rn", num_partitions=32)
+    win = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    # full row-by-row join compare would shuffle 2×3M — compare exact
+    # checksums instead (equal iff the (id → rn) maps are identical,
+    # modulo a 64-bit collision). rn is cast to long on BOTH sides:
+    # xxhash64 is type-sensitive and row_number() yields int while the
+    # two-phase rank yields bigint.
+    chk = lambda d: d.agg(
+        F.sum(
+            F.xxhash64("id", F.col("rn").cast("long")).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    a, b = chk(two), chk(win)
+    assert a["n"] == b["n"] == 3_000_000
+    assert a["s"] == b["s"]
+    parts = two.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    assert parts > 8
