@@ -101,6 +101,7 @@ _TERM_LIST_RE = r"^[A-Za-z]{1,3}=[^;=]*(\s*;\s*[A-Za-z]{1,3}=[^;=]*)*;?\s*$"
 _NT_PRESENT_RE = r"(?i)(^|;)\s*NT="
 _AC_PRESENT_RE = r"(?i)(^|;)\s*AC="
 _AC_EXTRACT_RE = r"(?i)(?:^|;)\s*AC=\s*([^;]*)"
+_NT_EXTRACT_RE = r"(?i)(?:^|;)\s*NT=\s*([^;]*)"
 _AC_VALUE_RE = r"^[A-Za-z][A-Za-z0-9_]*:[A-Za-z0-9:_.-]+\s*$"
 
 # controlled vocabularies (SDRF-Proteomics spec)
@@ -348,6 +349,38 @@ def _validate_template(
                 f"ERROR: Column '{orig.lower()}' contains {{n}} AC= "
                 "accession(s) not found in the cached ontology subset "
                 "(use_ols_cache_only)."
+            )
+            # NT=/AC= CONSISTENCY for every accession the cache knows
+            # (full tier AND partial tier — e.g. NCBITaxon model
+            # organisms): the declared term name must match the
+            # ontology's canonical name for that accession, the check
+            # sdrf-pipelines' OLS client performs online. Unknown
+            # accessions under partial prefixes stay unvalidatable —
+            # absence from a subset proves nothing.
+            terms = ols_cache.all_terms()
+            canon_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for pair in terms.items()
+                    for x in (pair[0], pair[1].lower())
+                ]
+            )
+            nt_value = F.regexp_extract(cell, _NT_EXTRACT_RE, 1)
+            canon = F.try_element_at(canon_map, acc_norm)
+            aggs.append(
+                F.sum(
+                    (
+                        structured
+                        & canon.isNotNull()
+                        & (F.trim(nt_value) != "")
+                        & (F.lower(F.trim(nt_value)) != canon)
+                    ).cast("long")
+                ).alias(f"olsnt_{len(aggs)}")
+            )
+            agg_err.append(
+                f"ERROR: Column '{orig.lower()}' contains {{n}} NT= term "
+                "name(s) that do not match the cached canonical name for "
+                "their AC= accession (use_ols_cache_only)."
             )
 
     # --- controlled vocabularies -------------------------------------------

@@ -56,19 +56,51 @@ CACHED_TERMS: dict[str, str] = {
     "MS:1002732": "Orbitrap Fusion Lumos",
 }
 
-# Prefixes the cache claims coverage for; accessions under other prefixes
-# cannot be validated offline.
+# PARTIALLY-cached prefixes: a snapshot of the most common terms, NOT the
+# full vocabulary (NCBITaxon has millions of taxa). Honesty contract for
+# this tier is different from the full tier: a KNOWN accession gets
+# positive confirmation (and its NT= name is checked against the
+# canonical name), an UNKNOWN accession stays *unvalidatable in
+# cache-only mode* — it is never an error, because absence from a subset
+# proves nothing. All ids are public NCBI Taxonomy data (model
+# organisms).
+PARTIAL_TERMS: dict[str, str] = {
+    "NCBITAXON:9606": "Homo sapiens",
+    "NCBITAXON:10090": "Mus musculus",
+    "NCBITAXON:10116": "Rattus norvegicus",
+    "NCBITAXON:7227": "Drosophila melanogaster",
+    "NCBITAXON:6239": "Caenorhabditis elegans",
+    "NCBITAXON:4932": "Saccharomyces cerevisiae",
+    "NCBITAXON:7955": "Danio rerio",
+    "NCBITAXON:3702": "Arabidopsis thaliana",
+    "NCBITAXON:562": "Escherichia coli",
+    "NCBITAXON:9913": "Bos taurus",
+    "NCBITAXON:9823": "Sus scrofa",
+    "NCBITAXON:9031": "Gallus gallus",
+}
+
+# Prefixes the cache claims FULL coverage for; accessions under other
+# prefixes cannot be invalidated offline.
 CACHED_PREFIXES: frozenset[str] = frozenset(
     {acc.split(":", 1)[0].upper() for acc in CACHED_TERMS}
 )
+PARTIAL_PREFIXES: frozenset[str] = frozenset(
+    {acc.split(":", 1)[0].upper() for acc in PARTIAL_TERMS}
+)
 
 _CANON = {acc.upper(): name for acc, name in CACHED_TERMS.items()}
+_CANON.update({acc.upper(): name for acc, name in PARTIAL_TERMS.items()})
 
 
 def lookup(accession: str) -> str | None:
     """Canonical term name for an accession (case-insensitive on the
-    prefix), or None when absent from the cache."""
+    prefix), or None when absent from the cache (full or partial tier)."""
     return _CANON.get(accession.strip().upper())
+
+
+def all_terms() -> dict[str, str]:
+    """Uppercased accession -> canonical name across both tiers."""
+    return dict(_CANON)
 
 
 def is_cached_prefix(accession: str) -> bool:

@@ -502,3 +502,55 @@ def test_dynamic_partition_overwrite_replaces_only_touched_runs(spark, tmp_path)
     assert got == [(1, 99.0, "runA"), (1, 20.0, "runB")] or got == sorted(
         [(1, 99.0, "runA"), (1, 20.0, "runB")]
     ), got
+
+
+class TestOlsNameConsistencyTier:
+    """Round-5 extension of the cache tier: NT=/AC= name consistency for
+    every accession the cache knows (full PSI-MS/Unimod tier AND the
+    partial NCBITaxon model-organism tier); unknown accessions under
+    partial prefixes stay unvalidatable."""
+
+    def _errors(self, spark, tmp_path, content, name="nc.sdrf.tsv"):
+        return check_samplesheet(
+            spark,
+            _write(tmp_path, name, content),
+            minimal=False,
+            use_ols_cache_only=True,
+        )
+
+    def test_mismatched_name_for_cached_accession_rejected(
+        self, spark, tmp_path
+    ):
+        content = SDRF_FULL.replace("NT=Trypsin;", "NT=Chymotrypsin;")
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "do not match the cached canonical name" in e for e in errors
+        )
+
+    def test_partial_tier_taxon_name_checked(self, spark, tmp_path):
+        # known NCBITaxon accession with the WRONG name -> error
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "NT=Mus musculus;AC=NCBITaxon:9606"
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert any(
+            "do not match the cached canonical name" in e for e in errors
+        )
+        # with the RIGHT name (case-insensitive) -> clean
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "NT=homo sapiens;AC=NCBITaxon:9606"
+        )
+        assert self._errors(
+            spark, tmp_path, content, name="ok.sdrf.tsv"
+        ) == []
+
+    def test_unknown_partial_tier_accession_unvalidatable(
+        self, spark, tmp_path
+    ):
+        # a taxon absent from the 12-entry snapshot must NOT error —
+        # absence from a subset proves nothing (honesty contract)
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "NT=Vicugna pacos;AC=NCBITaxon:30538"
+        )
+        errors = self._errors(spark, tmp_path, content)
+        assert not any("NCBITaxon" in e or "canonical" in e for e in errors)
