@@ -760,3 +760,74 @@ def test_select_list_scalar_subquery_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_join_strategy_hints_control_physical_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """The three join-strategy levers a 100 TB tuner actually pulls:
+    beyond the broadcast threshold the default is a sort-merge join;
+    hint('SHUFFLE_HASH') swaps the sort for a hash build (cheaper when
+    one side is modestly larger but sorts are the bottleneck);
+    hint('BROADCAST') forces the map-side join regardless of stats."""
+    big = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    other = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        default_plan = big.join(other, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in default_plan
+        sh_plan = big.join(other.hint("SHUFFLE_HASH"), "k")._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in sh_plan
+        b_plan = big.join(other.hint("BROADCAST"), "k")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in b_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_max_partition_bytes_splits_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """spark.sql.files.maxPartitionBytes governs scan parallelism — the
+    knob that turns one multi-GB object-store file into many tasks. A
+    single ~6 MB parquet file must split into multiple input partitions
+    when the cap drops to 1 MB (and collapse to one at 128 MB)."""
+    path = str(tmp_path / "one_big_file")
+    spark.range(0, 1_500_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        one = spark.read.parquet(path).rdd.getNumPartitions()
+        assert many > one >= 1, (many, one)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    from pyspark.sql import functions as F
+
+    """AQE's partition coalescing: a 64-partition shuffle over tiny data
+    must execute with far fewer reducers (AQEShuffleRead coalesced) —
+    the runtime fix for the over-partitioned-shuffle anti-pattern."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        df = (
+            spark.range(0, 10_000)
+            .select((F.col("id") % 50).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()  # materialize so AQE finalizes the plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
