@@ -58,6 +58,13 @@ def _two_phase(
     1-based) appended; also returns the total row count (free from the
     offset pass). ``order_by`` are sort expressions (``.desc()`` allowed)
     and MUST be a total order for row_number determinism."""
+    reserved = {"_gr_mid", "_gr_pid", "_gr_local", "_gr_off", "_gr_rn"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global rank reserves column name(s) {sorted(clash)}; rename "
+            "them on the input frame first"
+        )
     spark = df.sparkSession
     n = int(
         num_partitions

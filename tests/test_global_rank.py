@@ -162,3 +162,9 @@ def test_two_phase_matches_window_at_millions(spark):
     assert a["s"] == b["s"]
     parts = two.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
     assert parts > 8
+
+
+def test_reserved_column_clash_raises(spark):
+    df = _data(spark, n=10).withColumnRenamed("v", "_gr_rn")
+    with pytest.raises(ValueError, match="reserves column"):
+        global_row_number(df, [F.col("id")])
