@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from quantms_utils_spark.functions.core import let_once as _let
@@ -992,3 +994,71 @@ def unicode_nfc(col: Column) -> Column:
         )
 
     return _nfc(col)
+
+
+def bpe_encode_arrow(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Deep-vocabulary BPE ENCODE: apply a learned merge list of ANY size
+    with an Arrow-batched pandas UDF — the scale form of
+    :func:`bpe_apply`, whose pure-Catalyst fold chain nests one
+    higher-order function PER MERGE and stops being plannable around a
+    few hundred rules (a real tokenizer ships 30k+).
+
+    Semantics are identical to the fold chain: rules apply in LEARNED
+    ORDER, each as a left-to-right non-overlapping pass over the word's
+    symbols — but the kernel walks each rule list once per word in
+    Python-over-Arrow, so the 30k-rule table is a broadcast dict lookup
+    instead of 30k nested Catalyst expressions. Per the repo's Python
+    boundary policy this is a justified kernel: the computation is
+    data-dependent sequential rewriting no Catalyst expression tree of
+    bounded size can express. Encoding stays map-only — one scan, zero
+    shuffles; the merges ride the closure (vocabulary metadata, KBs).
+
+    Returns the input plus ``out_col: array<array<string>>`` (symbol
+    sequence per word, same contract as :func:`bpe_apply`).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {(l, r): i for i, (l, r) in enumerate(merges)}
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word)
+        # standard tokenizer encode: repeatedly merge the best-ranked
+        # adjacent pair present (equivalent to applying rules in learned
+        # order, each as a full left-to-right pass)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            _, _i = best
+            l, r = merges[best[0]]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @pandas_udf("array<array<string>>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        # same tokenization as normalized_tokens(): lowercase, split on
+        # any whitespace run — keeps the fold-chain contract exactly
+        return texts.map(
+            lambda t: []
+            if t is None
+            else [_encode_word(w) for w in t.lower().split()]
+        )
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))

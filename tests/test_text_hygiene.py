@@ -604,3 +604,92 @@ def test_bpe_growth_matches_sequential_on_disjoint_corpus(spark):
         ).collect()
     ]
     assert grown == seq
+
+
+def test_bpe_encode_arrow_matches_fold_chain(spark):
+    """The Arrow-batched deep-vocab encoder must reproduce the Catalyst
+    fold chain exactly on a learned merge list (best-rank iterative ==
+    in-order passes for any well-formed list: a rule referencing a
+    merged symbol always ranks after the rule that created it)."""
+    from pyspark.sql import Row
+
+    from quantms_utils_spark.operators.text import (
+        bpe_apply,
+        bpe_encode_arrow,
+        bpe_merges,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(text=" ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        ))]
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(corpus, "text", n_merges=6, batch_size=4).collect()
+    ]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the lowest newest widest low"),
+            Row(doc_id=2, text="LOWER  lower\tnew"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    fold = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", bpe_apply(F.col("text"), merges).alias("s")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["symbols"]
+        for r in bpe_encode_arrow(docs, "text", merges).select(
+            "doc_id", "symbols"
+        ).collect()
+    }
+    # null text: fold yields None (transform of null), arrow yields []
+    for k in fold:
+        if fold[k] is None:
+            assert arrow[k] == []
+        else:
+            assert arrow[k] == fold[k], k
+
+
+def test_bpe_encode_arrow_deep_vocab_wall(spark):
+    """1000-rule encode must complete in one map pass — the fold chain
+    stops being plannable two orders of magnitude earlier."""
+    import random
+    import time
+
+    from pyspark.sql import Row
+
+    from quantms_utils_spark.operators.text import bpe_encode_arrow
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    # synthetic well-formed merge list: chain merges over random 2-char
+    # seeds (each rule's left side may be a previously merged symbol)
+    merges, symbols = [], [c for c in alpha]
+    for _ in range(1000):
+        l = rng.choice(symbols)
+        r = rng.choice(alpha)
+        if (l, r) in merges:
+            continue
+        merges.append((l, r))
+        symbols.append(l + r)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randrange(3, 12)))
+                for _ in range(40)
+            ))
+            for i in range(200)
+        ]
+    )
+    t0 = time.time()
+    out = bpe_encode_arrow(docs, "text", merges)
+    n = out.select(F.sum(F.size(F.flatten("symbols")))).collect()[0][0]
+    wall = time.time() - t0
+    assert n > 0
+    assert wall < 120, wall
