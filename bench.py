@@ -145,6 +145,7 @@ HEADLINE = [
     ("q_forecast_rev", "forecast_revenue_change"),
     ("q_type_profit", "product_type_profit"),
     ("q_grid_quantiles", "event_value_grid_quantiles"),
+    ("q_bpe_encode_arrow", "text_bpe_encode_arrow"),
 ]
 
 

@@ -59,7 +59,7 @@ _FRONT = [
     "event_activity_streaks", "user_modal_event_type",
     "orderkey_gap_islands", "event_value_mad_outliers",
     "graph_bfs_hops", "forecast_revenue_change", "product_type_profit",
-    "event_value_grid_quantiles",
+    "event_value_grid_quantiles", "text_bpe_encode_arrow",
     # -- r4 front block (all green in CORRECTNESS_r04), prior order --
     "text_quality_logreg_scores", "text_quality_logreg_eval",
     "dedup_cluster_sizes", "event_retention_cohorts",

@@ -1493,3 +1493,38 @@ FROM cells ORDER BY 1, 2
 """
 
 QUERIES["text_lang_confusion"] = (lang_confusion_matrix, LANG_CONFUSION_SQL)
+
+
+def bpe_encode_arrow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel twin of `text_bpe_encode`: learn the same 3 merge
+    rules, encode with `bpe_encode_arrow` (the deep-vocabulary
+    priority-merge kernel — one Arrow-batched map pass instead of one
+    nested Catalyst fold per rule) and report the SAME per-document
+    symbol counts against the SAME oracle. A green row here proves the
+    Python kernel's priority-iteration semantics equal the fold chain's
+    in-order-pass semantics on a real learned list — the equivalence the
+    30k-rule path rests on — under the driver's hash gate, not just
+    pytest."""
+    from quantms_utils_spark.operators.text import bpe_encode_arrow, bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(d, "text", n_merges=3).collect()
+    ]
+    enc = bpe_encode_arrow(d, "text", merges, out_col="_syms")
+    return enc.select(
+        "doc_id",
+        F.aggregate(
+            F.col("_syms"), F.lit(0), lambda acc, w: acc + F.size(w)
+        ).cast("long").alias("n_bpe_symbols"),
+        F.aggregate(
+            F.col("_syms"),
+            F.lit(0),
+            lambda acc, w: acc
+            + F.aggregate(w, F.lit(0), lambda a2, s: a2 + F.length(s)),
+        ).cast("long").alias("n_chars_total"),
+    )
+
+
+QUERIES["text_bpe_encode_arrow"] = (bpe_encode_arrow_counts, BPE_ENCODE_COUNTS_SQL)

@@ -109,6 +109,7 @@ SCALE_SENSITIVE = [
     "forecast_revenue_change",
     "product_type_profit",
     "event_value_grid_quantiles",
+    "text_bpe_encode_arrow",
 ]
 
 pytestmark = pytest.mark.skipif(
