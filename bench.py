@@ -146,6 +146,8 @@ HEADLINE = [
     ("q_type_profit", "product_type_profit"),
     ("q_grid_quantiles", "event_value_grid_quantiles"),
     ("q_bpe_encode_arrow", "text_bpe_encode_arrow"),
+    ("q_band_migration", "customer_spend_band_migration"),
+    ("q_segment_brand", "segment_top_brand"),
 ]
 
 

@@ -739,3 +739,143 @@ ORDER BY nation, o_year DESC
 """
 
 QUERIES["product_type_profit"] = (product_type_profit, PRODUCT_TYPE_PROFIT_SQL)
+
+
+def customer_spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year SPEND-BAND MIGRATION matrix (the TPC-DS-style
+    customer-value movement report): band every customer's 1996 and 1997
+    order spend (zero / low / mid / high on fixed thresholds — band
+    edges are business constants, so banding is a map-side CASE, no
+    percentile pass) and count customers per (band_1994, band_1995)
+    cell. One conditional-sum scan of orders builds both years; the
+    LEFT join from customer keeps never-ordered customers in the
+    zero/zero cell. DECIMAL sums; ≤16-row output."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == 1996,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("s96"),
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == 1997,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("s97"),
+    )
+
+    def band(col):
+        return (
+            F.when(col <= 0, "zero")
+            .when(col < 150000, "low")
+            .when(col < 500000, "mid")
+            .otherwise("high")
+        )
+
+    joined = c.join(
+        spend, c.c_custkey == spend.o_custkey, "left"
+    ).select(
+        band(F.coalesce(F.col("s96"), F.lit(0))).alias("band_1996"),
+        band(F.coalesce(F.col("s97"), F.lit(0))).alias("band_1997"),
+    )
+    return (
+        joined.groupBy("band_1996", "band_1997")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("band_1996", "band_1997")
+    )
+
+
+CUSTOMER_SPEND_BAND_MIGRATION_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS s96,
+         sum(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS s97
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT CASE WHEN coalesce(s96, 0) <= 0 THEN 'zero'
+              WHEN coalesce(s96, 0) < 150000 THEN 'low'
+              WHEN coalesce(s96, 0) < 500000 THEN 'mid'
+              ELSE 'high' END AS band_1996,
+         CASE WHEN coalesce(s97, 0) <= 0 THEN 'zero'
+              WHEN coalesce(s97, 0) < 150000 THEN 'low'
+              WHEN coalesce(s97, 0) < 500000 THEN 'mid'
+              ELSE 'high' END AS band_1997
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+)
+SELECT band_1996, band_1997, count(*) AS n_customers
+FROM banded GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["customer_spend_band_migration"] = (
+    customer_spend_band_migration,
+    CUSTOMER_SPEND_BAND_MIGRATION_SQL,
+)
+
+
+def segment_top_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment TOP BRAND by revenue — the cross-dimensional
+    argmax report (TPC-DS flavor): lineitem×orders on the orderkey spine
+    (the one fact shuffle), customer (segment) and part (brand) as
+    BROADCAST dimensions, then a row_number window over the aggregated
+    (segment, brand) frame — ≤|segments|·|brands| rows, bounded, so the
+    per-segment window is partition-parallel and never sees the fact
+    stream. Ties break on brand. Output (c_mktsegment, p_brand,
+    revenue) one row per segment."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(F.sum(_revenue_col()).alias("rev"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rev").desc(), F.col("p_brand")
+    )
+    return (
+        cell.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            "p_brand",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_TOP_BRAND_SQL = """
+WITH cell AS (
+  SELECT c_mktsegment, p_brand,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, p_brand, rev,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev DESC, p_brand) AS rn
+  FROM cell
+)
+SELECT c_mktsegment, p_brand,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue
+FROM ranked WHERE rn = 1
+ORDER BY c_mktsegment
+"""
+
+QUERIES["segment_top_brand"] = (segment_top_brand, SEGMENT_TOP_BRAND_SQL)

@@ -110,6 +110,8 @@ SCALE_SENSITIVE = [
     "product_type_profit",
     "event_value_grid_quantiles",
     "text_bpe_encode_arrow",
+    "customer_spend_band_migration",
+    "segment_top_brand",
 ]
 
 pytestmark = pytest.mark.skipif(
