@@ -14,7 +14,7 @@ Flags (bench methodology, round-4):
     --isolated       run each selected key in its OWN fresh JVM (a
                      subprocess re-invoking this script with --only), so a
                      regression is attributable to the query, not to
-                     GC/suite-composition effects of the 64-query shared
+                     GC/suite-composition effects of the ~100-query shared
                      JVM; prints one JSON line with per-query medians
     --repeat N       timed samples per query (default 5, median reported)
     --warmup N       untimed warmup executions per query (default 1 in
@@ -168,7 +168,7 @@ def _parse_args(argv: list[str]):
 def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
     """One fresh JVM per query: re-invoke this script with --only per key
     and merge the single-query JSON lines. Attribution mode — the shared
-    64-query JVM accumulates GC/codegen-cache state that can swing a
+    ~100-query JVM accumulates GC/codegen-cache state that can swing a
     single query 1.5x; a fresh process is the ground truth for
     regressions."""
     import subprocess
