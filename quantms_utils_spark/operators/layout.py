@@ -143,3 +143,105 @@ def compact_partitions(
         .parquet(out_dir)
     )
     return plan
+
+
+def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
+    """FILE-level zone-map manifest: one row per parquet data file with
+    per-column min/max aggregated over its row groups, read from the
+    parquet FOOTERS only (pyarrow metadata — no data pages touched).
+
+    This is the manifest half of the lakehouse data-skipping design
+    (Delta/Iceberg file statistics, built from first principles): format
+    zone maps prune ROW GROUPS only after a task has opened the file,
+    while a manifest prunes the FILE LIST on the driver side — at 100 TB
+    the difference is scheduling thousands of no-op tasks vs none, and
+    the manifest itself is a tiny table you persist next to the data and
+    maintain incrementally per written file.
+
+    Footer reads are distributed (one task per file batch via
+    mapInPandas over the file list — the driver never opens a file);
+    output: (file, n_rows, <col>_min, <col>_max ...).
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import col as _c
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = [
+        s.getPath().toString()
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], schema="file string"
+    ).repartition(max(1, min(len(files), 64)))
+
+    out_schema = "file string, n_rows long, " + ", ".join(
+        f"{c}_min double, {c}_max double" for c in cols
+    )
+    want = list(cols)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f.replace("file:", "")).metadata
+                mins = {c: None for c in want}
+                maxs = {c: None for c in want}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        cc = g.column(ci)
+                        name = cc.path_in_schema
+                        if name in mins and cc.statistics is not None:
+                            lo = float(cc.statistics.min)
+                            hi = float(cc.statistics.max)
+                            mins[name] = (
+                                lo if mins[name] is None else min(mins[name], lo)
+                            )
+                            maxs[name] = (
+                                hi if maxs[name] is None else max(maxs[name], hi)
+                            )
+                row = {"file": f, "n_rows": md.num_rows}
+                for c in want:
+                    row[f"{c}_min"] = mins[c]
+                    row[f"{c}_max"] = maxs[c]
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return files_df.mapInPandas(read_footers, schema=out_schema)
+
+
+def zone_pruned_read(
+    spark,
+    path: str,
+    zone_map: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Read only the files whose [min,max] envelope for ``col`` overlaps
+    [lo, hi], per the zone-map manifest — the pruned-scan half. Files
+    with no statistics for the column are kept (a manifest must never
+    silently drop data it cannot prove irrelevant). Returns the pruned
+    DataFrame; apply the row-level filter on top — pruning is a superset
+    guarantee, not a filter."""
+    keep = [
+        r["file"]
+        for r in zone_map.filter(
+            (F.col(f"{col}_min").isNull())
+            | ((F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi))
+        )
+        .select("file")
+        .collect()
+    ]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*keep)
+
+
+__all__ += ["file_zone_map", "zone_pruned_read"]

@@ -100,3 +100,65 @@ def test_compact_partitions_validates_target(spark):
 
     with _pytest.raises(ValueError, match="target_bytes"):
         compact_partitions(d, "source", "/tmp/x", target_bytes=0)
+
+
+class TestZoneMapManifest:
+    def _write_clustered(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "clustered")
+        # range-cluster by k so each file gets a tight k-envelope
+        (
+            spark.range(0, 40_000)
+            .select(F.col("id"), (F.col("id") % 1000).alias("k"),
+                    (F.col("id") * 7 % 131).alias("v"))
+            .repartitionByRange(8, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    def test_manifest_covers_files_and_rows(self, spark, tmp_path):
+        from quantms_utils_spark.operators.layout import file_zone_map
+
+        path = self._write_clustered(spark, tmp_path)
+        zm = file_zone_map(spark, path, ["k", "v"]).collect()
+        assert len(zm) >= 2  # multiple files
+        assert sum(r["n_rows"] for r in zm) == 40_000
+        for r in zm:
+            assert r["k_min"] is not None and r["k_min"] <= r["k_max"]
+
+    def test_pruned_read_is_exact_and_skips_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            file_zone_map,
+            zone_pruned_read,
+        )
+
+        path = self._write_clustered(spark, tmp_path)
+        zm = file_zone_map(spark, path, ["k"])
+        n_files = zm.count()
+        pruned = zone_pruned_read(spark, path, zm, "k", 10, 40)
+        # superset guarantee: pruned + row filter == full + row filter
+        got = pruned.filter(F.col("k").between(10, 40)).count()
+        want = (
+            spark.read.parquet(path).filter(F.col("k").between(10, 40)).count()
+        )
+        assert got == want > 0
+        # and it actually skipped files: the pruned frame reads fewer
+        n_pruned_files = pruned.select(
+            F.input_file_name()
+        ).distinct().count()
+        assert n_pruned_files < n_files
+
+    def test_empty_range_prunes_everything(self, spark, tmp_path):
+        from quantms_utils_spark.operators.layout import (
+            file_zone_map,
+            zone_pruned_read,
+        )
+
+        path = self._write_clustered(spark, tmp_path)
+        zm = file_zone_map(spark, path, ["k"])
+        assert zone_pruned_read(spark, path, zm, "k", 5000, 6000).count() == 0
