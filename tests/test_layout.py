@@ -162,3 +162,31 @@ class TestZoneMapManifest:
         path = self._write_clustered(spark, tmp_path)
         zm = file_zone_map(spark, path, ["k"])
         assert zone_pruned_read(spark, path, zm, "k", 5000, 6000).count() == 0
+
+
+def test_zone_map_incremental_equals_rebuild(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import (
+        file_zone_map,
+        zone_map_update,
+    )
+
+    path = str(tmp_path / "growing")
+    spark.range(0, 5_000).select(
+        F.col("id"), (F.col("id") % 100).alias("k")
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    zm1 = file_zone_map(spark, path, ["k"]).localCheckpoint()
+    # land a second batch of files
+    spark.range(5_000, 9_000).select(
+        F.col("id"), (F.col("id") % 100 + 200).alias("k")
+    ).coalesce(2).write.mode("append").parquet(path)
+    inc = zone_map_update(spark, path, ["k"], zm1)
+    full = file_zone_map(spark, path, ["k"])
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    assert len(a) > zm1.count()
+    # no new files -> same frame back
+    again = zone_map_update(spark, path, ["k"], inc)
+    assert sorted(map(tuple, again.collect())) == a
