@@ -148,6 +148,7 @@ HEADLINE = [
     ("q_bpe_encode_arrow", "text_bpe_encode_arrow"),
     ("q_band_migration", "customer_spend_band_migration"),
     ("q_segment_brand", "segment_top_brand"),
+    ("q_zone_manifest", "layout_zone_manifest"),
 ]
 
 

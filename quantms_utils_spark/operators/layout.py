@@ -169,11 +169,14 @@ def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    files = [
-        s.getPath().toString()
-        for s in fs.listStatus(p)
-        if s.getPath().getName().endswith(".parquet")
-    ]
+    if fs.getFileStatus(p).isFile():
+        files = [p.toString()]
+    else:
+        files = [
+            s.getPath().toString()
+            for s in fs.listStatus(p)
+            if s.getPath().getName().endswith(".parquet")
+        ]
     files_df = spark.createDataFrame(
         [(f,) for f in files], schema="file string"
     ).repartition(max(1, min(len(files), 64)))

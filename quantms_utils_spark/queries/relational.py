@@ -2626,3 +2626,41 @@ QUERIES["event_value_grid_quantiles"] = (
     event_value_grid_quantiles,
     EVENT_VALUE_GRID_QUANTILES_SQL,
 )
+
+
+def layout_zone_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map MANIFEST cross-check: build the file-statistics manifest
+    for the lineitem parquet from its FOOTERS only
+    (operators.layout.file_zone_map — distributed footer reads, no data
+    pages), and let the oracle recompute the SAME statistics from the
+    DATA (count/min/max over the table). A green row proves the
+    manifest the pruned-scan path trusts actually equals ground truth —
+    the integrity property every lakehouse data-skipping design rests
+    on (a wrong footer stat silently drops rows at read time). Output
+    (file, n_rows, qty_min, qty_max, price_min, price_max)."""
+    from quantms_utils_spark.operators.layout import file_zone_map
+
+    zm = file_zone_map(
+        spark, f"{sf_dir}/lineitem.parquet", ["l_quantity", "l_extendedprice"]
+    )
+    return zm.select(
+        F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
+        "n_rows",
+        F.round("l_quantity_min", 2).alias("qty_min"),
+        F.round("l_quantity_max", 2).alias("qty_max"),
+        F.round("l_extendedprice_min", 2).alias("price_min"),
+        F.round("l_extendedprice_max", 2).alias("price_max"),
+    )
+
+
+LAYOUT_ZONE_MANIFEST_SQL = """
+SELECT 'lineitem.parquet' AS file,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(l_quantity), 2) AS qty_min,
+       round(max(l_quantity), 2) AS qty_max,
+       round(min(l_extendedprice), 2) AS price_min,
+       round(max(l_extendedprice), 2) AS price_max
+FROM lineitem
+"""
+
+QUERIES["layout_zone_manifest"] = (layout_zone_manifest, LAYOUT_ZONE_MANIFEST_SQL)

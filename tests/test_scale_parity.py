@@ -112,6 +112,7 @@ SCALE_SENSITIVE = [
     "text_bpe_encode_arrow",
     "customer_spend_band_migration",
     "segment_top_brand",
+    "layout_zone_manifest",
 ]
 
 pytestmark = pytest.mark.skipif(
