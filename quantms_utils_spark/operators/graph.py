@@ -242,6 +242,12 @@ def triangle_count(
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    if orientation == "degree":
+        # Three consumers in degree mode (wedge aggregate + the two
+        # endpoint-degree attaches) — persist so the union+hash-aggregate
+        # over canon runs once, not 3x. One row per vertex; released with
+        # canon below. In id mode wedges is the sole consumer: no persist.
+        deg = deg.persist()
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
     )
@@ -314,6 +320,7 @@ def triangle_count(
     rows = census.collect()
     canon.unpersist()
     if orientation == "degree":
+        deg.unpersist()
         oriented.unpersist()
     return edges.sparkSession.createDataFrame(rows, census.schema)
 
