@@ -14,7 +14,8 @@ The two-phase shape here is the classic distributed fix:
    low 33 bits are the record number within the partition (its documented
    layout), giving a per-partition ordered index with ZERO extra shuffle.
 3. A per-partition row-count aggregate (≤ num_partitions rows — driver
-   tiny) turns into exclusive prefix offsets, broadcast back:
+   tiny) turns into exclusive prefix offsets, inlined back as a literal
+   MAP lookup in a plain projection (no join, no extra stage):
    ``global row_number = offset[partition] + local index + 1``.
 
 Every stage is partition-parallel; the only driver materialization is the
@@ -89,13 +90,19 @@ def _two_phase(
     for r in counts:
         offsets.append((int(r["_gr_pid"]), acc))
         acc += int(r["c"])
-    if not offsets:  # empty input: keep a valid (empty) broadcast side
+    if not offsets:  # empty input: keep a valid lookup expression
         offsets = [(0, 0)]
-    off = spark.createDataFrame(offsets, schema="_gr_pid BIGINT, _gr_off BIGINT")
-    ranked = (
-        body.join(F.broadcast(off), "_gr_pid")
-        .withColumn("_gr_rn", F.col("_gr_off") + F.col("_gr_local") + 1)
-        .select(*df.columns, "_gr_rn")
+    # ≤ n (pid, offset) pairs — inline them as a literal MAP projection
+    # (element_at on _gr_pid) instead of a broadcast join: same lookup,
+    # zero extra stage, and the whole rank assignment stays inside one
+    # whole-stage-codegen projection over the checkpointed partitions.
+    off_map = F.create_map(
+        *[F.lit(x).cast("long") for pair in offsets for x in pair]
+    )
+    ranked = body.select(
+        *df.columns,
+        (F.element_at(off_map, F.col("_gr_pid")) + F.col("_gr_local") + 1)
+        .alias("_gr_rn"),
     )
     return ranked, acc
 
