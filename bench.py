@@ -149,6 +149,7 @@ HEADLINE = [
     ("q_band_migration", "customer_spend_band_migration"),
     ("q_segment_brand", "segment_top_brand"),
     ("q_zone_manifest", "layout_zone_manifest"),
+    ("q_bloom_prune", "bloom_pruned_source_stats"),
 ]
 
 

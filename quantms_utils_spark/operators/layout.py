@@ -280,3 +280,183 @@ def zone_map_update(
 
 
 __all__.append("zone_map_update")
+
+
+def file_bloom_manifest(
+    spark,
+    path: str,
+    col: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """FILE-level BLOOM manifest: one row per parquet data file with an
+    m-bit Bloom filter over ``col``'s values, packed as a sparse
+    ``map<int, long>`` of 64-bit words. The equality-predicate complement
+    to :func:`file_zone_map` — min/max envelopes cannot prune a point
+    predicate on a high-cardinality/unsorted string column (every file's
+    [min, max] spans the dictionary), while a per-file Bloom filter
+    prunes exactly those scans (Delta/Iceberg ship the same idea as
+    file-level bloom stats; Parquet's own bloom filters sit below the
+    file list, inside already-scheduled tasks).
+
+    Distributed build — ONE scan of the column, never through the
+    driver: each row contributes ``k`` bit positions
+    (``pmod(xxhash64(value, seed_i), m_bits)``, all engine-native), the
+    positions explode to (word_idx, one-hot mask) pairs, and two
+    map-side-combining aggregates (bit_or per (file, word), then
+    map_from_entries per file) pack the bitmap. Output:
+    (file, n_values, bloom). Nulls contribute nothing (an equality
+    predicate never matches NULL).
+
+    Unlike the footer zone map — where a missing statistic means "cannot
+    prove, must keep" — this manifest is built from the data itself, so
+    an UNSET bit is hard proof of absence: membership says maybe-present
+    (false positives shrink with m_bits/k), absence is exact. Mergeable:
+    bitmaps OR across files/shards, so incremental maintenance unions
+    per-new-file rows (:func:`bloom_manifest_update`).
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    vals = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(col).alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("_v"), F.lit(i)), F.lit(m_bits)).cast(
+                    "int"
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        vals.select("file", pos)
+        .select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            # shiftleft with a COLUMN shift count needs the SQL form; the
+            # Python helper's signature only takes a literal int
+            F.expr("shiftleft(1L, pos % 64)").alias("mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    counts = vals.groupBy("file").agg(F.count(F.lit(1)).alias("n_values"))
+    return (
+        words.groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+            ).alias("bloom")
+        )
+        .join(counts, "file")
+        .select("file", "n_values", "bloom")
+    )
+
+
+def bloom_value_positions(spark, value, *, m_bits: int = 4096, k: int = 3) -> list[int]:
+    """The ``k`` manifest bit positions for a probe ``value`` — computed
+    by the ENGINE (a 1-row projection through the same
+    ``pmod(xxhash64(value, seed_i), m_bits)`` expressions the build side
+    uses), never re-implemented in Python, so build and probe can only
+    agree. The probe value must carry the same Spark type as the indexed
+    column (xxhash64 is type-sensitive)."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(value), F.lit(i)), F.lit(m_bits))
+                .cast("int")
+                .alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    return [row[f"p{i}"] for i in range(k)]
+
+
+def bloom_pruned_read(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    value,
+    *,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Read only the files whose Bloom bitmap has ALL ``k`` bits set for
+    ``value`` — the pruned-scan half of the equality-skipping design.
+    A missing word in a file's sparse map is an unset bit (proof of
+    absence — the manifest is data-derived, see
+    :func:`file_bloom_manifest`), so those files prune. Superset
+    contract as with :func:`zone_pruned_read`: the pruned frame may hold
+    false-positive files' rows — apply the exact row-level filter on
+    top. The only driver materialization is the kept file list
+    (≤ #files rows)."""
+    cond = F.lit(True)
+    for p in bloom_value_positions(spark, value, m_bits=m_bits, k=k):
+        w, b = divmod(p, 64)
+        # two's-complement top bit: 1<<63 overflows a signed long literal
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        word = F.col("bloom").getItem(w)
+        cond = cond & word.isNotNull() & (word.bitwiseAND(F.lit(mask)) != 0)
+    keep = [r["file"] for r in manifest.filter(cond).select("file").collect()]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*keep)
+
+
+def bloom_manifest_update(
+    spark,
+    path: str,
+    col: str,
+    existing: DataFrame,
+    *,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental Bloom-manifest maintenance: index ONLY the data files
+    not yet in ``existing`` and union their rows in — O(new files) per
+    batch, same incremental discipline as :func:`zone_map_update`.
+    Bit-identical to a fresh :func:`file_bloom_manifest` over the whole
+    directory (per-file rows are independent)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(p).isFile():
+        files = {p.toString()}
+    else:
+        files = {
+            s.getPath().toString()
+            for s in fs.listStatus(p)
+            if s.getPath().getName().endswith(".parquet")
+        }
+    known = {r["file"] for r in existing.select("file").collect()}
+    # listing paths are scheme-qualified the same way _metadata.file_path
+    # reports them (hadoop Path.toString), so set difference is exact
+    new = sorted(files - known)
+    if not new:
+        return existing
+    new_df = spark.createDataFrame([(f,) for f in new], schema="file string")
+    full = file_bloom_manifest(spark, path, col, m_bits=m_bits, k=k)
+    fresh = full.join(new_df, "file", "left_semi")
+    return existing.unionByName(fresh)
+
+
+__all__ += [
+    "file_bloom_manifest",
+    "bloom_value_positions",
+    "bloom_pruned_read",
+    "bloom_manifest_update",
+]

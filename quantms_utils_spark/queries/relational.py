@@ -2664,3 +2664,55 @@ FROM lineitem
 """
 
 QUERIES["layout_zone_manifest"] = (layout_zone_manifest, LAYOUT_ZONE_MANIFEST_SQL)
+
+
+def bloom_pruned_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-MANIFEST pruned point lookup — the equality-predicate half
+    of the file-skipping family (operators.layout.file_bloom_manifest /
+    bloom_pruned_read): build the per-file Bloom manifest over
+    ``documents.source`` from ONE distributed scan (k engine-native
+    xxhash64 positions per value, bit_or-packed sparse word maps), prune
+    the file list through the k-bit membership probe (an unset bit is
+    hard proof of absence — the manifest is data-derived, unlike footer
+    stats), then apply the exact row filter on the superset and
+    aggregate. The oracle recomputes the aggregate from the raw table
+    with a plain WHERE — so a dropped file (false negative), a missed
+    row, or a leaked non-matching row all hash-mismatch. Min/max zone
+    maps cannot prune this scan shape at all (every file spans the
+    source dictionary); this is the complement that can. Output
+    (lang, n_docs, total_chars) for source = 'src7'."""
+    from quantms_utils_spark.operators.layout import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    man = file_bloom_manifest(spark, path, "source", m_bits=1024, k=3)
+    pruned = bloom_pruned_read(
+        spark, path, man, "source", "src7", m_bits=1024, k=3
+    )
+    return (
+        pruned.filter(F.col("source") == "src7")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+BLOOM_PRUNED_SOURCE_STATS_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE source = 'src7'
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["bloom_pruned_source_stats"] = (
+    bloom_pruned_source_stats,
+    BLOOM_PRUNED_SOURCE_STATS_SQL,
+)

@@ -190,3 +190,126 @@ def test_zone_map_incremental_equals_rebuild(spark, tmp_path):
     # no new files -> same frame back
     again = zone_map_update(spark, path, ["k"], inc)
     assert sorted(map(tuple, again.collect())) == a
+
+
+class TestBloomManifest:
+    """File-level Bloom manifest — the equality-predicate complement to
+    the zone-map manifest (point lookups on unsorted/high-cardinality
+    columns, where min/max envelopes never prune)."""
+
+    def _write_clustered(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "bloomed")
+        spark.range(0, 4_000).select(
+            F.col("id"),
+            F.concat(F.lit("tag"), (F.col("id") % 16).cast("string")).alias(
+                "tag"
+            ),
+        ).repartition(8, "tag").write.mode("overwrite").parquet(path)
+        return path
+
+    def test_pruned_read_is_exact_and_skips_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            bloom_pruned_read,
+            file_bloom_manifest,
+        )
+
+        path = self._write_clustered(spark, tmp_path)
+        full = spark.read.parquet(path)
+        man = file_bloom_manifest(spark, path, "tag", m_bits=1024, k=3)
+        man = man.localCheckpoint()
+        n_files = man.count()
+        assert n_files > 1
+        kept_total = 0
+        for v in [f"tag{i}" for i in range(16)]:
+            pruned = bloom_pruned_read(
+                spark, path, man, "tag", v, m_bits=1024, k=3
+            )
+            # no false negatives: the exact filter over the pruned frame
+            # equals the exact filter over the full table
+            got = sorted(
+                r["id"] for r in pruned.filter(F.col("tag") == v).collect()
+            )
+            want = sorted(
+                r["id"] for r in full.filter(F.col("tag") == v).collect()
+            )
+            assert got == want and got
+            kept_total += pruned.select(
+                F.col("_metadata.file_path")
+            ).distinct().count()
+        # real skipping: across the 16 probes, strictly fewer file reads
+        # than probing every file every time
+        assert kept_total < 16 * n_files
+
+    def test_absent_value_and_null_handling(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            bloom_pruned_read,
+            file_bloom_manifest,
+        )
+
+        path = str(tmp_path / "withnulls")
+        spark.range(0, 1_000).select(
+            F.col("id"),
+            F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("v"), (F.col("id") % 5).cast("string")))
+            .alias("tag"),
+        ).coalesce(4).write.mode("overwrite").parquet(path)
+        man = file_bloom_manifest(spark, path, "tag", m_bits=512, k=3)
+        man = man.localCheckpoint()
+        # nulls contribute no bits but present values must all be found
+        pruned = bloom_pruned_read(spark, path, man, "tag", "v2", m_bits=512, k=3)
+        assert (
+            pruned.filter(F.col("tag") == "v2").count()
+            == spark.read.parquet(path).filter(F.col("tag") == "v2").count()
+        )
+        ghost = bloom_pruned_read(
+            spark, path, man, "tag", "never-written", m_bits=512, k=3
+        )
+        assert ghost.filter(F.col("tag") == "never-written").count() == 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from quantms_utils_spark.operators.layout import file_bloom_manifest
+
+        with pytest.raises(ValueError, match="multiple of 64"):
+            file_bloom_manifest(spark, "/tmp/x", "c", m_bits=100)
+        with pytest.raises(ValueError, match="k must be positive"):
+            file_bloom_manifest(spark, "/tmp/x", "c", k=0)
+
+    def test_incremental_equals_rebuild(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            bloom_manifest_update,
+            file_bloom_manifest,
+        )
+
+        path = str(tmp_path / "growing_bloom")
+        spark.range(0, 2_000).select(
+            F.col("id"), (F.col("id") % 7).cast("string").alias("tag")
+        ).coalesce(2).write.mode("overwrite").parquet(path)
+        m1 = file_bloom_manifest(spark, path, "tag", m_bits=512, k=2)
+        m1 = m1.localCheckpoint()
+        spark.range(2_000, 3_000).select(
+            F.col("id"), (F.col("id") % 7 + 10).cast("string").alias("tag")
+        ).coalesce(2).write.mode("append").parquet(path)
+        inc = bloom_manifest_update(spark, path, "tag", m1, m_bits=512, k=2)
+        full = file_bloom_manifest(spark, path, "tag", m_bits=512, k=2)
+
+        def canon(df):
+            return sorted(
+                (r["file"], r["n_values"], tuple(sorted(r["bloom"].items())))
+                for r in df.collect()
+            )
+
+        a, b = canon(inc), canon(full)
+        assert a == b
+        assert len(a) > m1.count()
+        again = bloom_manifest_update(spark, path, "tag", inc, m_bits=512, k=2)
+        assert canon(again) == a

@@ -113,6 +113,7 @@ SCALE_SENSITIVE = [
     "customer_spend_band_migration",
     "segment_top_brand",
     "layout_zone_manifest",
+    "bloom_pruned_source_stats",
 ]
 
 pytestmark = pytest.mark.skipif(
