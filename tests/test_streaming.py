@@ -1351,3 +1351,192 @@ def test_continuous_near_ingest_classifies_near_dups(spark, tmp_path):
     # standing state grew by exactly the new keepers (1, 2, 12)
     texts = spark.read.parquet(corpus_dir + "/texts/epoch=*")
     assert {r["doc_id"] for r in texts.collect()} == {1, 2, 12}
+
+
+# --- continuous manifest maintenance: land + zone/bloom per epoch ------------
+
+
+class TestManifestMaintainedIngest:
+    def _land(self, tmp_path, rows_by_file):
+        import json
+
+        in_dir = tmp_path / "landing"
+        in_dir.mkdir(exist_ok=True)
+        for name, rows in rows_by_file.items():
+            (in_dir / name).write_text(
+                "\n".join(json.dumps(r) for r in rows)
+            )
+        return in_dir
+
+    def test_drain_builds_table_and_both_manifests(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            bloom_pruned_read,
+            zone_pruned_read,
+        )
+        from quantms_utils_spark.streaming.layout import (
+            current_bloom_manifest,
+            current_zone_manifest,
+            start_manifest_maintained_ingest,
+        )
+
+        in_dir = self._land(
+            tmp_path,
+            {
+                "b0.json": [
+                    {"k": i, "tag": f"t{i % 4}", "v": float(i)}
+                    for i in range(0, 100)
+                ],
+                "b1.json": [
+                    {"k": i, "tag": f"t{i % 4}", "v": float(i)}
+                    for i in range(100, 200)
+                ],
+                "b2.json": [
+                    {"k": i, "tag": f"t{i % 4}", "v": float(i)}
+                    for i in range(200, 300)
+                ],
+            },
+        )
+        table_dir = str(tmp_path / "table")
+        manifest_dir = str(tmp_path / "manifests")
+        stream = (
+            spark.readStream.schema("k long, tag string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = start_manifest_maintained_ingest(
+            stream,
+            table_dir=table_dir,
+            manifest_dir=manifest_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            zone_cols=["k"],
+            bloom_col="tag",
+            m_bits=512,
+            k=3,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+        full = spark.read.parquet(table_dir)
+        assert full.count() == 300
+        # one manifest row per landed data file, in BOTH manifests
+        zm = current_zone_manifest(spark, manifest_dir)
+        bm = current_bloom_manifest(spark, manifest_dir)
+        n_files = full.select(F.col("_metadata.file_path")).distinct().count()
+        assert zm.count() == n_files == bm.count()
+        assert int(zm.agg(F.sum("n_rows")).collect()[0][0]) == 300
+
+        # range predicate through the standing zone manifest: exact + skips
+        pruned = zone_pruned_read(spark, table_dir, zm, "k", 0, 99)
+        got = sorted(
+            r["k"]
+            for r in pruned.filter(F.col("k").between(0, 99)).collect()
+        )
+        assert got == list(range(100))
+        assert (
+            pruned.select(F.col("_metadata.file_path")).distinct().count()
+            < n_files
+        )
+
+        # equality predicate through the standing bloom manifest: exact
+        bp = bloom_pruned_read(
+            spark, table_dir, bm, "tag", "t3", m_bits=512, k=3
+        )
+        assert (
+            sorted(r["k"] for r in bp.filter(F.col("tag") == "t3").collect())
+            == sorted(
+                r["k"] for r in full.filter(F.col("tag") == "t3").collect()
+            )
+        )
+
+    def test_replay_is_idempotent_and_second_drain_extends(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.streaming.layout import (
+            current_zone_manifest,
+            land_and_maintain,
+            start_manifest_maintained_ingest,
+        )
+
+        table_dir = str(tmp_path / "table")
+        manifest_dir = str(tmp_path / "manifests")
+        ckpt = str(tmp_path / "ckpt")  # ONE checkpoint owns the table
+        in_dir = self._land(
+            tmp_path,
+            {
+                "b0.json": [
+                    {"k": i, "tag": f"t{i % 3}"} for i in range(50)
+                ]
+            },
+        )
+
+        def drain():
+            stream = spark.readStream.schema("k long, tag string").json(
+                str(in_dir)
+            )
+            q = start_manifest_maintained_ingest(
+                stream,
+                table_dir=table_dir,
+                manifest_dir=manifest_dir,
+                checkpoint_dir=ckpt,
+                zone_cols=["k"],
+                bloom_col="tag",
+                m_bits=512,
+                k=2,
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        drain()
+        zm1 = sorted(
+            map(tuple, current_zone_manifest(spark, manifest_dir).collect())
+        )
+        n_rows_1 = spark.read.parquet(table_dir).count()
+        assert n_rows_1 == 50
+
+        # at-least-once REPLAY of the same epoch (the foreachBatch retry
+        # shape): everything keys on the epoch id and overwrites in place
+        batch = spark.read.schema("k long, tag string").json(str(in_dir))
+        land_and_maintain(
+            batch,
+            0,
+            table_dir=table_dir,
+            manifest_dir=manifest_dir,
+            zone_cols=["k"],
+            bloom_col="tag",
+            m_bits=512,
+            k=2,
+        )
+        assert spark.read.parquet(table_dir).count() == 50
+        zm2 = sorted(
+            map(tuple, current_zone_manifest(spark, manifest_dir).collect())
+        )
+        assert [r[1:] for r in zm1] == [r[1:] for r in zm2]  # same stats
+
+        # a later drain with the SAME checkpoint (epoch numbering continues;
+        # a fresh checkpoint would restart at 0 and clobber — the documented
+        # one-checkpoint-per-table invariant) extends table + manifests
+        self._land(
+            tmp_path,
+            {"late.json": [{"k": 1000 + i, "tag": "t9"} for i in range(25)]},
+        )
+        drain()
+        assert spark.read.parquet(table_dir).count() == 75
+        zm3 = current_zone_manifest(spark, manifest_dir)
+        assert int(zm3.agg(F.sum("n_rows")).collect()[0][0]) == 75
+
+    def test_requires_a_manifest_request(self, spark):
+        import pytest
+
+        from quantms_utils_spark.streaming.layout import land_and_maintain
+
+        with pytest.raises(ValueError, match="zone_cols and/or bloom_col"):
+            land_and_maintain(
+                spark.range(1),
+                0,
+                table_dir="/tmp/x",
+                manifest_dir="/tmp/y",
+            )
