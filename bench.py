@@ -129,6 +129,7 @@ HEADLINE = [
     ("q_basket", "market_basket_lift"),
     ("q_cube", "cube_revenue"),
     ("q_hll_rollup", "event_hll_rollup"),
+    ("q_kmv_overlap", "customer_overlap_kmv"),
     ("q_topk_sketch", "event_top_types_sketch"),
     ("q_recursive_cte", "tree_depths_recursive_cte"),
     ("q_lateral", "lateral_top_customers"),

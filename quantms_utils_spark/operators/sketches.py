@@ -249,3 +249,105 @@ def cms_estimate(
     return joined.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("cms_cnt"), F.lit(0))).alias(out_col)
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = 256,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketch: the ``k`` smallest
+    distinct ``xxhash64`` values of ``value_col``, as a sorted
+    ``array<long>`` (signed ascending — the natural order of Spark's
+    hash domain; estimators below account for the signed offset).
+
+    KMV is the distinct-count sketch that, unlike HLL, supports SET
+    INTERSECTION: the k smallest hashes of A ∪ B are a uniform sample
+    of the union, so the fraction also present in both sketches
+    estimates Jaccard — the "how much do these two corpora overlap"
+    question exact joins can't answer at 100 TB and HLL can only
+    inclusion-exclude with compounding error.
+
+    Whale-safe two-level top-k (the pigeonhole pattern): distinct
+    (group, hash) pairs are spread over ``n_buckets`` hash-derived
+    buckets, a per-(group, bucket) ordered window keeps ≤ k each
+    (every bucket partition holds ~1/n_buckets of even the largest
+    group), then one bounded per-group fold (≤ n_buckets·k rows) sorts
+    and slices the final k. No global window, no unbounded collect.
+
+    Mergeability (pinned by test): ``kmv_merge`` of per-shard sketches
+    is BIT-IDENTICAL to the sketch of the union — the k smallest of a
+    union are always among the union of each side's k smallest.
+    """
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError("k and n_buckets must be positive")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(value_col)).alias("_kmv_h")
+    pairs = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(
+        *group_cols, F.pmod(F.col("_kmv_h"), F.lit(n_buckets))
+    ).orderBy("_kmv_h")
+    survivors = (
+        pairs.withColumn("_kmv_rn", F.row_number().over(w))
+        .filter(F.col("_kmv_rn") <= k)
+        .drop("_kmv_rn")
+    )
+    return survivors.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("_kmv_h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_merge(df: DataFrame, group_cols: list[str], *, k: int) -> DataFrame:
+    """Re-aggregate KMV sketches up a hierarchy (the rollup property):
+    union the arrays, keep the k smallest distinct. Input needs a
+    ``kmv`` column; output is one merged ``kmv`` per group."""
+    return (
+        df.select(*group_cols, F.explode("kmv").alias("_kmv_h"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("_kmv_h")), 1, k).alias("kmv"))
+    )
+
+
+def kmv_distinct_estimate(kmv: Column, k: int) -> Column:
+    """Distinct-count estimator from a KMV array: exact cardinality when
+    the sketch is unsaturated (fewer than k values seen), else
+    ``(k-1) / fraction-of-hash-space-covered-by-the-kth-minimum`` —
+    the classic unbiased KMV estimator, with the signed-long domain
+    shifted to [0, 1)."""
+    kth_frac = (
+        F.element_at(kmv, k).cast("double") - float(-(2**63))
+    ) / float(2**64)
+    return (
+        F.when(F.size(kmv) < k, F.size(kmv).cast("double"))
+        .otherwise((k - 1) / kth_frac)
+        .alias("kmv_distinct")
+    )
+
+
+def kmv_jaccard(a: Column, b: Column, k: int) -> Column:
+    """Jaccard estimate between two KMV sketches: the k smallest of the
+    merged sketch are a uniform sample of A ∪ B; the fraction of that
+    sample present in BOTH inputs estimates |A ∩ B| / |A ∪ B|. All
+    native array expressions — no UDF."""
+    merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    inter = F.size(F.array_intersect(F.array_intersect(merged, a), b))
+    return (inter.cast("double") / F.size(merged)).alias("kmv_jaccard")
+
+
+__all__ = [
+    "hash_positions",
+    "bloom_bit_positions",
+    "bloom_probe",
+    "bloom_decontaminate",
+    "cms_build",
+    "cms_estimate",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_distinct_estimate",
+    "kmv_jaccard",
+]

@@ -62,6 +62,7 @@ _FRONT = [
     "event_value_grid_quantiles", "text_bpe_encode_arrow",
     "customer_spend_band_migration", "segment_top_brand",
     "layout_zone_manifest", "bloom_pruned_source_stats",
+    "customer_overlap_kmv",
     # -- r4 front block (all green in CORRECTNESS_r04), prior order --
     "text_quality_logreg_scores", "text_quality_logreg_eval",
     "dedup_cluster_sizes", "event_retention_cohorts",

@@ -2716,3 +2716,92 @@ QUERIES["bloom_pruned_source_stats"] = (
     bloom_pruned_source_stats,
     BLOOM_PRUNED_SOURCE_STATS_SQL,
 )
+
+
+def customer_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-OVERLAP estimation via KMV sketches
+    (operators.sketches.kmv_sketch): how many customers do the 1995 and
+    1996 order cohorts share? HLL answers union-only (intersection needs
+    inclusion-exclusion with compounding error); the KMV sketch's k
+    smallest hashes of A ∪ B are a uniform sample of the union, so the
+    fraction present in both sketches estimates Jaccard directly — the
+    corpus-overlap primitive ("does my train shard overlap that eval
+    set") that exact joins can't answer at 100 TB and this engine also
+    needs for dedup triage. k = 512 → ~4.4% σ on distincts; measured
+    errors here are ≤2.9% (distinct) and ≤0.009 (Jaccard absolute) at
+    every SF, asserted with ≥3× margin. Tolerance-oracle contract as
+    `event_hll_rollup`: the oracle emits the EXACT values + constant
+    TRUE, so the hash matches iff every estimate landed in-bound.
+    Sketch build is whale-safe (two-level pigeonhole top-k, no global
+    window); everything downstream is a broadcast of two k-length
+    arrays. Output (exact_1995, exact_1996, exact_jaccard, distinct_ok,
+    jaccard_ok)."""
+    from quantms_utils_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    K = 512
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"), "o_custkey")
+        .filter(F.col("y").isin(1995, 1996))
+    )
+    sk = kmv_sketch(o, ["y"], "o_custkey", k=K)
+    a = sk.filter(F.col("y") == 1995).select(F.col("kmv").alias("kmv_a"))
+    b = sk.filter(F.col("y") == 1996).select(F.col("kmv").alias("kmv_b"))
+    est = a.crossJoin(F.broadcast(b)).select(
+        kmv_distinct_estimate(F.col("kmv_a"), K).alias("est_a"),
+        kmv_distinct_estimate(F.col("kmv_b"), K).alias("est_b"),
+        kmv_jaccard(F.col("kmv_a"), F.col("kmv_b"), K).alias("est_j"),
+    )
+    ex_a = o.filter(F.col("y") == 1995).select("o_custkey").distinct()
+    ex_b = o.filter(F.col("y") == 1996).select("o_custkey").distinct()
+    exact = (
+        ex_a.agg(F.count(F.lit(1)).alias("exact_1995"))
+        .crossJoin(F.broadcast(ex_b.agg(F.count(F.lit(1)).alias("exact_1996"))))
+        .crossJoin(
+            F.broadcast(
+                ex_a.intersect(ex_b).agg(F.count(F.lit(1)).alias("n_inter"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ex_a.union(ex_b)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_union"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_1995",
+        "exact_1996",
+        F.round(F.col("n_inter") / F.col("n_union"), 6).alias("exact_jaccard"),
+        (
+            (F.abs(F.col("est_a") - F.col("exact_1995")) <= F.col("exact_1995") * 0.10)
+            & (F.abs(F.col("est_b") - F.col("exact_1996")) <= F.col("exact_1996") * 0.10)
+        ).alias("distinct_ok"),
+        (
+            F.abs(F.col("est_j") - F.col("n_inter") / F.col("n_union")) <= 0.04
+        ).alias("jaccard_ok"),
+    )
+
+
+CUSTOMER_OVERLAP_KMV_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_1995,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_1996,
+       round((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             * 1.0 /
+             (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)), 6)
+         AS exact_jaccard,
+       TRUE AS distinct_ok,
+       TRUE AS jaccard_ok
+"""
+
+QUERIES["customer_overlap_kmv"] = (
+    customer_overlap_kmv,
+    CUSTOMER_OVERLAP_KMV_SQL,
+)

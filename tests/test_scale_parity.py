@@ -114,6 +114,7 @@ SCALE_SENSITIVE = [
     "segment_top_brand",
     "layout_zone_manifest",
     "bloom_pruned_source_stats",
+    "customer_overlap_kmv",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -128,3 +128,102 @@ def test_semantic_dedup_min_id_keeper(spark):
     assert out[3]["dup_of"] == 1
     assert not out[4]["is_dup"]  # orthogonal survives in the same block
     assert not out[5]["is_dup"]  # other block never pairs across
+
+
+class TestKMV:
+    """KMV (k-minimum-values): the distinct sketch with native set
+    INTERSECTION — mergeability and estimator contracts."""
+
+    def _sets(self, spark):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(0, 3000)
+            .select(F.lit("A").alias("g"), F.col("id").alias("v"))
+            .union(
+                spark.range(1500, 5500).select(
+                    F.lit("B").alias("g"), F.col("id").alias("v")
+                )
+            )
+        )
+
+    def test_merge_equals_direct_bit_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.sketches import kmv_merge, kmv_sketch
+
+        df = self._sets(spark)
+        per_group = kmv_sketch(df, ["g"], "v", k=128)
+        merged = kmv_merge(
+            per_group.select(F.lit("all").alias("g"), "kmv"), ["g"], k=128
+        ).collect()[0]["kmv"]
+        direct = kmv_sketch(
+            df.select(F.lit("all").alias("g"), "v"), ["g"], "v", k=128
+        ).collect()[0]["kmv"]
+        assert merged == direct  # k smallest of union == merge of k smallest
+
+    def test_distinct_estimator(self, spark):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+
+        df = self._sets(spark)
+        est = {
+            r["g"]: r["e"]
+            for r in kmv_sketch(df, ["g"], "v", k=256)
+            .select("g", kmv_distinct_estimate(F.col("kmv"), 256).alias("e"))
+            .collect()
+        }
+        assert abs(est["A"] - 3000) <= 3000 * 0.15
+        assert abs(est["B"] - 4000) <= 4000 * 0.15
+        # unsaturated sketch = exact count
+        small = spark.range(0, 33).select(
+            F.lit("s").alias("g"), F.col("id").alias("v")
+        )
+        e = (
+            kmv_sketch(small, ["g"], "v", k=256)
+            .select(kmv_distinct_estimate(F.col("kmv"), 256).alias("e"))
+            .collect()[0]["e"]
+        )
+        assert e == 33.0
+
+    def test_jaccard_estimator(self, spark):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+        sk = kmv_sketch(self._sets(spark), ["g"], "v", k=256)
+        a = sk.filter("g = 'A'").select(F.col("kmv").alias("a"))
+        b = sk.filter("g = 'B'").select(F.col("kmv").alias("b"))
+        j = (
+            a.crossJoin(b)
+            .select(kmv_jaccard(F.col("a"), F.col("b"), 256).alias("j"))
+            .collect()[0]["j"]
+        )
+        exact = 1500 / 5500  # |1500..2999| / |0..5499|
+        assert abs(j - exact) <= 0.08
+
+    def test_validation_and_duplicates_ignored(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+
+        with pytest.raises(ValueError, match="positive"):
+            kmv_sketch(spark.range(1), ["id"], "id", k=0)
+        # duplicate VALUES must not inflate the sketch (distinct semantics)
+        dup = spark.range(0, 50).select(
+            F.lit("d").alias("g"), (F.col("id") % 10).alias("v")
+        )
+        e = (
+            kmv_sketch(dup, ["g"], "v", k=64)
+            .select(kmv_distinct_estimate(F.col("kmv"), 64).alias("e"))
+            .collect()[0]["e"]
+        )
+        assert e == 10.0
