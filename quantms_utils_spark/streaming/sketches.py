@@ -112,3 +112,85 @@ def start_continuous_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- continuous KMV: standing distinct/overlap sketches ----------------------
+
+
+def kmv_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    state_dir: str,
+) -> None:
+    """foreachBatch callback for the KMV loop: collapse the batch to its
+    per-group k-minimum-values sketches (``operators.sketches.kmv_sketch``)
+    and record them as ``epoch=N``. O(groups × k) per epoch regardless of
+    batch size; replay overwrites identical rows (xxhash64 is
+    deterministic)."""
+    from quantms_utils_spark.operators.sketches import kmv_sketch
+
+    kmv_sketch(batch_df, group_cols, value_col, k=k).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/epoch={int(epoch_id)}")
+
+
+def merged_kmv(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str],
+    *,
+    k: int,
+    upto_epoch: int | None = None,
+) -> DataFrame:
+    """The standing KMV sketch per group: ``kmv_merge`` over recorded
+    epochs. Because the k smallest of a union are always among the union
+    of each side's k smallest, this is BIT-IDENTICAL to sketching the
+    entire history in one batch (pinned by test) — the property that lets
+    a continuous overlap monitor ("how much does today's shard overlap
+    the standing corpus / that eval set") run on O(groups × k) state with
+    zero history re-reads."""
+    from quantms_utils_spark.operators.sketches import kmv_merge
+
+    before = (1 << 62) if upto_epoch is None else int(upto_epoch)
+    dirs = _list_epoch_dirs(spark, state_dir, before)
+    schema = ", ".join(f"{g} string" for g in group_cols) + ", kmv array<bigint>"
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return kmv_merge(spark.read.parquet(*dirs), group_cols, k=k)
+
+
+def start_continuous_kmv(
+    incoming: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a stream into the continuous KMV loop (availableNow drain).
+    Returns the StreamingQuery."""
+
+    def _batch_fn(batch_df: DataFrame, epoch_id: int) -> None:
+        kmv_batch(
+            batch_df,
+            epoch_id,
+            group_cols=group_cols,
+            value_col=value_col,
+            k=k,
+            state_dir=state_dir,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(_batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+__all__ += ["kmv_batch", "merged_kmv", "start_continuous_kmv"]

@@ -1540,3 +1540,92 @@ class TestManifestMaintainedIngest:
                 table_dir="/tmp/x",
                 manifest_dir="/tmp/y",
             )
+
+
+# --- continuous KMV: standing distinct/overlap sketch ------------------------
+
+
+class TestContinuousKMV:
+    def test_streaming_merge_bit_identical_to_batch(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_jaccard,
+            kmv_sketch,
+        )
+        from quantms_utils_spark.streaming.sketches import (
+            merged_kmv,
+            start_continuous_kmv,
+        )
+
+        in_dir = tmp_path / "landing"
+        in_dir.mkdir()
+        # three files -> three epochs (maxFilesPerTrigger=1); overlapping
+        # value ranges across groups
+        for i, (name, lo, hi) in enumerate(
+            [("b0.json", 0, 400), ("b1.json", 300, 800), ("b2.json", 600, 1200)]
+        ):
+            (in_dir / name).write_text(
+                "\n".join(
+                    json.dumps({"g": f"g{v % 2}", "v": v})
+                    for v in range(lo, hi)
+                )
+            )
+        state_dir = str(tmp_path / "kmv_state")
+        stream = (
+            spark.readStream.schema("g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = start_continuous_kmv(
+            stream,
+            group_cols=["g"],
+            value_col="v",
+            k=128,
+            state_dir=state_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+        standing = merged_kmv(spark, state_dir, ["g"], k=128)
+        batch_all = spark.read.schema("g string, v long").json(str(in_dir))
+        direct = kmv_sketch(batch_all, ["g"], "v", k=128)
+        a = {r["g"]: r["kmv"] for r in standing.collect()}
+        b = {r["g"]: r["kmv"] for r in direct.collect()}
+        assert a == b  # streaming merge == one-shot batch sketch, bitwise
+
+        # the standing sketch answers the overlap question
+        g0 = standing.filter("g = 'g0'").select(F.col("kmv").alias("a"))
+        g1 = standing.filter("g = 'g1'").select(F.col("kmv").alias("b"))
+        j = (
+            g0.crossJoin(g1)
+            .select(kmv_jaccard(F.col("a"), F.col("b"), 128).alias("j"))
+            .collect()[0]["j"]
+        )
+        assert j == 0.0  # g0=evens, g1=odds: DISJOINT value sets, and the
+        # sketch must report exactly zero overlap (no false intersection)
+        est = standing.select(
+            "g", kmv_distinct_estimate(F.col("kmv"), 128).alias("e")
+        ).collect()
+        for r in est:
+            assert abs(r["e"] - 600) <= 600 * 0.25
+
+    def test_empty_state_and_replay(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.streaming.sketches import kmv_batch, merged_kmv
+
+        state_dir = str(tmp_path / "kmv_state")
+        assert merged_kmv(spark, state_dir, ["g"], k=8).count() == 0
+        batch = spark.range(0, 100).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        kmv_batch(batch, 0, group_cols=["g"], value_col="v", k=8, state_dir=state_dir)
+        one = merged_kmv(spark, state_dir, ["g"], k=8).collect()[0]["kmv"]
+        # at-least-once replay of the same epoch: identical state
+        kmv_batch(batch, 0, group_cols=["g"], value_col="v", k=8, state_dir=state_dir)
+        assert merged_kmv(spark, state_dir, ["g"], k=8).collect()[0]["kmv"] == one
