@@ -130,6 +130,8 @@ HEADLINE = [
     ("q_cube", "cube_revenue"),
     ("q_hll_rollup", "event_hll_rollup"),
     ("q_kmv_overlap", "customer_overlap_kmv"),
+    ("q_unshipped", "unshipped_orders_revenue"),
+    ("q_delay_mix", "ship_delay_priority_mix"),
     ("q_topk_sketch", "event_top_types_sketch"),
     ("q_recursive_cte", "tree_depths_recursive_cte"),
     ("q_lateral", "lateral_top_customers"),

@@ -879,3 +879,110 @@ ORDER BY c_mktsegment
 """
 
 QUERIES["segment_top_brand"] = (segment_top_brand, SEGMENT_TOP_BRAND_SQL)
+
+
+def unshipped_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the 10 highest-revenue
+    BUILDING-segment orders placed before the cutoff whose lineitems ship
+    after it — the "what's worth expediting" report. Spark-first plan:
+    the customer-segment filter BROADCASTS into orders (dim semi-join,
+    no fact shuffle for it), the date predicates push into both parquet
+    scans, and the only real shuffle is the orderkey fact-to-fact join +
+    group. Top-10 via TakeOrderedAndProject on the EXACT decimal revenue
+    (round only at output, per the repo's decimal canonicalization rule),
+    orderkey tie-break so the selected set is deterministic in both
+    engines. Output (l_orderkey, o_orderdate, revenue)."""
+    cutoff = "1998-06-01"
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(
+        o.join(
+            broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_semi",
+        ).select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue_col()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+UNSHIPPED_ORDERS_REVENUE_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-06-01'
+  AND l_shipdate  > DATE '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum({_REV}) DESC, l_orderkey
+LIMIT 10
+"""
+
+QUERIES["unshipped_orders_revenue"] = (
+    unshipped_orders_revenue,
+    UNSHIPPED_ORDERS_REVENUE_SQL,
+)
+
+
+def ship_delay_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / critical priority), adapted to
+    the synthetic schema (no l_shipmode column): lineitems band by
+    ORDER-TO-SHIP DELAY (≤ 90 days on-time, else late) and each band
+    counts critical-priority (1-URGENT / 2-HIGH) vs lower-priority
+    lineitems — the "is slow fulfilment eating the urgent orders"
+    diagnostic. One fact-to-fact orderkey join, then a single
+    conditional-count aggregate over TWO derived dimensions — never two
+    scans, never a pivot shuffle. Output (delay_band, high_line_count,
+    low_line_count)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = F.when(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) <= 90,
+        F.lit("on-time"),
+    ).otherwise(F.lit("late"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+SHIP_DELAY_PRIORITY_MIX_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 90
+            THEN 'on-time' ELSE 'late' END AS delay_band,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ship_delay_priority_mix"] = (
+    ship_delay_priority_mix,
+    SHIP_DELAY_PRIORITY_MIX_SQL,
+)

@@ -115,6 +115,8 @@ SCALE_SENSITIVE = [
     "layout_zone_manifest",
     "bloom_pruned_source_stats",
     "customer_overlap_kmv",
+    "unshipped_orders_revenue",
+    "ship_delay_priority_mix",
 ]
 
 pytestmark = pytest.mark.skipif(
