@@ -718,3 +718,148 @@ QUERIES["text_quality_logreg_lift"] = (
     quality_logreg_lift,
     QUALITY_LOGREG_LIFT_SQL,
 )
+
+
+def event_cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B lift — the experimentation-platform workhorse
+    (Deng et al., WSDM'13): users hash-split into two variants, the
+    POST-period value metric is adjusted by each user's PRE-period value
+    (the covariate), removing the between-user variance the experiment
+    never randomized over. θ = cov(x, y)/var(x) pooled; adjusted lift =
+    raw lift − θ·(mean_x_B − mean_x_A); the theoretical variance
+    reduction is ρ² = cov²/(var_x·var_y).
+
+    Cross-engine determinism, the hard part: EVERY moment (Σx, Σy, Σx²,
+    Σy², Σxy, per-variant Σ) accumulates in DECIMAL — exact, so both
+    engines hold identical sums — and only the final θ/lift/ρ² formulas
+    run in double, written in the same operation order on both sides
+    (IEEE doubles are deterministic given identical inputs and order;
+    a float covar_pop would be partition-order-dependent and never
+    hash-match — the same reason `event_trend_slopes` pins its moments).
+    The variant split is the md5-prefix idiom both engines can compute
+    (`('0x'||substr(md5(user_id),1,6)) % 2`). ONE scan: conditional
+    pre/post sums per user, then ONE global moment aggregate (map-side
+    combinable, 1-row result). Output (n_a, n_b, lift_raw, lift_cuped,
+    var_reduction)."""
+    cutoff = "2024-01-16"
+    # (13,6) bounds per-user period sums at 10^7 (orders of magnitude above
+    # the data at any SF) while keeping the second-moment PRODUCTS exact in
+    # BOTH engines: (13,6)x(13,6) -> Spark DECIMAL(27,12) (< the 38 cap, no
+    # allowPrecisionLoss rounding), DuckDB int128 widening (an 18,6 square
+    # overflows DuckDB's int64 fixed-point and raises)
+    dec = "decimal(13,6)"
+    from quantms_utils_spark.operators.dedup import _fan_out
+
+    # testdata scans arrive as ONE partition; fan out so the md5 split and
+    # the per-user partial aggregate parallelize (same rule as the
+    # bootstrap family; never reduces a well-partitioned 100 TB scan)
+    e = _fan_out(load(spark, sf_dir, "events").select("user_id", "ts", "value"))
+    zero = F.lit(0).cast(dec)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ts") < cutoff, F.col("value").cast(dec))
+                ),
+                zero,
+            ).cast(dec).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("ts") >= cutoff, F.col("value").cast(dec))
+                ),
+                zero,
+            ).cast(dec).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 6),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            ),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(zero)).alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(zero)).alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(zero)).alias("sy_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(zero)).alias("sy_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    var_x = (d("sxx") - d("sx") * d("sx") / n) / n
+    var_y = (d("syy") - d("sy") * d("sy") / n) / n
+    cov = (d("sxy") - d("sx") * d("sy") / n) / n
+    theta = cov / var_x
+    lift_raw = d("sy_b") / d("n_b") - d("sy_a") / d("n_a")
+    lift_cuped = lift_raw - theta * (d("sx_b") / d("n_b") - d("sx_a") / d("n_a"))
+    return m.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(lift_cuped, 6).alias("lift_cuped"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("var_reduction"),
+    )
+
+
+EVENT_CUPED_AB_LIFT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN CAST(value AS DECIMAL(13,6)) END),
+                       0) AS DECIMAL(13,6)) AS x,
+         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN CAST(value AS DECIMAL(13,6)) END),
+                       0) AS DECIMAL(13,6)) AS y,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 2
+           AS variant
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         -- DECIMAL(19,6) operand forces DuckDB's int128 multiply path
+         -- (int64-class operands raise on overflow instead of widening);
+         -- values are exact either way, matching Spark's (27,12) products
+         sum(CAST(x AS DECIMAL(19,6)) * x) AS sxx,
+         sum(CAST(y AS DECIMAL(19,6)) * y) AS syy,
+         sum(CAST(x AS DECIMAL(19,6)) * y) AS sxy,
+         count(*) FILTER (variant = 0) AS n_a,
+         count(*) FILTER (variant = 1) AS n_b,
+         sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sx_a,
+         sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sx_b,
+         sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sy_a,
+         sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sy_b
+  FROM per_user
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift_raw,
+       round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+              - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             - (((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+               * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6)
+         AS lift_cuped,
+       round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+             / (((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
+         AS var_reduction
+FROM m
+"""
+
+QUERIES["event_cuped_ab_lift"] = (event_cuped_ab_lift, EVENT_CUPED_AB_LIFT_SQL)

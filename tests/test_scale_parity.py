@@ -117,6 +117,7 @@ SCALE_SENSITIVE = [
     "customer_overlap_kmv",
     "unshipped_orders_revenue",
     "ship_delay_priority_mix",
+    "event_cuped_ab_lift",
 ]
 
 pytestmark = pytest.mark.skipif(
