@@ -831,3 +831,71 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
         assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_unshipped_orders_q3_plan_shape(spark):
+    """Q3 shape: segment dim reaches orders as a BROADCAST semi-join, the
+    date predicates push into both parquet scans, and the top-10 is a
+    TakeOrderedAndProject (never a global sort of the aggregate)."""
+    from quantms_utils_spark.queries.classics import unshipped_orders_revenue
+
+    df = unshipped_orders_revenue(spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert "c_mktsegment" in pushed
+
+
+def test_cuped_single_pass_no_global_sort(spark):
+    """CUPED: one per-user conditional-sum aggregate + one 1-row moment
+    aggregate — two exchanges total (user hash + final single-partition
+    of ONE row), partial aggregation map-side, and no Sort anywhere."""
+    from quantms_utils_spark.queries.mlops import event_cuped_ab_lift
+
+    df = event_cuped_ab_lift(spark, SF)
+    plan = explain_str(df)
+    # tree nodes only (the formatted details repeat each operator)
+    assert plan.count("+- Exchange") <= 3  # fan-out + user groupBy + 1-row final
+    assert "partial_" in plan
+    assert "Sort " not in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_manifest_build_plan(spark):
+    """Bloom-manifest build: the column scan reads ONLY the probe column
+    (plus file metadata), and the bitmap packs through hash aggregates —
+    no sort-based aggregation, no join until the tiny n_values attach."""
+    from quantms_utils_spark.operators.layout import file_bloom_manifest
+
+    man = file_bloom_manifest(
+        spark, f"{SF}/documents.parquet", "source", m_bits=512, k=3
+    )
+    schemas = read_schema_columns(man)
+    assert schemas and all(cols == ["source"] for cols in schemas)
+    plan = explain_str(man)
+    assert "HashAggregate" in plan
+
+
+def test_kmv_sketch_no_global_window(spark):
+    """KMV build: the two-level pigeonhole top-k must partition its window
+    by (group, bucket) — never a global (unpartitioned) window sort."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.sketches import kmv_sketch
+    from quantms_utils_spark.tables import load
+
+    o = load(spark, SF, "orders").select(
+        (F.year("o_orderdate")).alias("y"), "o_custkey"
+    )
+    sk = kmv_sketch(o, ["y"], "o_custkey", k=64)
+    plan = explain_str(sk)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "expected a window node"
+    # a GLOBAL window's spec starts with the ORDER expression ("... ASC");
+    # a partitioned one starts with a partition column
+    assert all(" ASC" not in s and " DESC" not in s for s in specs)
+    # and the rank filter pushed into the shuffle as a group-limit
+    assert "WindowGroupLimit" in plan
