@@ -2805,3 +2805,138 @@ QUERIES["customer_overlap_kmv"] = (
     customer_overlap_kmv,
     CUSTOMER_OVERLAP_KMV_SQL,
 )
+
+
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival — time-to-event analytics with RIGHT
+    CENSORING, the estimator product analytics reaches for the moment
+    "time to first purchase" has users who never purchased (dropping
+    them biases survival down; counting them as converted biases it up;
+    KM handles both). Origin = each user's first signup; event = first
+    later purchase; users without one censor at the corpus horizon.
+
+    Spark shape: two filtered aggregates build the per-user
+    (duration, is_event) frame (one shuffle each), then the KM table
+    lives on the DISTINCT-duration frame — ≤ the day span of the corpus
+    (a few dozen rows), so the ordered cumulative windows (at-risk
+    counts from a descending cumulative sum; the survival product as
+    exp·Σ·ln in ascending duration order) are windows over a BOUNDED
+    aggregated frame, not the fact table. Cross-engine float
+    determinism: d_i/n_i are integer ratios, and both engines run the
+    identical exp(sum(ln(...))) in the identical ascending-duration
+    order. Output (duration_days, n_risk, n_events, survival) for event
+    durations only."""
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("tp"))
+        .join(su, "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce(F.col("tp"), F.col("h"))),
+                F.to_date("t0"),
+            ).alias("dur"),
+            F.col("tp").isNotNull().alias("is_event"),
+        )
+    )
+    by_day = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count(F.when(F.col("is_event"), 1)).alias("d_i"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # both windows run on the distinct-duration frame: bounded by the day
+    # span of the corpus, never the fact table (docstring contract)
+    km = (
+        by_day.withColumn("n_risk", F.sum("c").over(w_desc))
+        .withColumn(
+            # a fully-converting final risk set gives factor 0 — S drops to
+            # exactly 0 there; nullif keeps ln() defined (Spark nulls,
+            # DuckDB raises) and the zero_seen flag restores the 0
+            "factor",
+            F.log(F.nullif(1 - F.col("d_i") / F.col("n_risk"), F.lit(0.0))),
+        )
+        .withColumn(
+            "zero_seen",
+            F.max((F.col("d_i") == F.col("n_risk")).cast("int")).over(w_asc),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("zero_seen") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("factor").over(w_asc))
+            ),
+        )
+        .filter(F.col("d_i") > 0)
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_i").cast("long").alias("n_events"),
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("duration_days")
+
+
+USER_SURVIVAL_KM_SQL = """
+WITH su AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > su.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT date_diff('day', CAST(su.t0 AS DATE),
+                   CAST(coalesce(pu.tp, (SELECT max(ts) FROM events)) AS DATE))
+           AS dur,
+         pu.tp IS NOT NULL AS is_event
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+), by_day AS (
+  SELECT dur, count(*) AS c,
+         count(*) FILTER (is_event) AS d_i
+  FROM durs GROUP BY dur
+), km AS (
+  SELECT dur, d_i,
+         sum(c) OVER (ORDER BY dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_risk
+  FROM by_day
+)
+SELECT dur AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_i AS BIGINT) AS n_events,
+       round(CASE WHEN max(CASE WHEN d_i = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  = 1
+             THEN 0.0
+             ELSE exp(sum(ln(nullif(1 - d_i / n_risk, 0.0)))
+                      OVER (ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS survival
+FROM km
+WHERE TRUE
+QUALIFY d_i > 0
+ORDER BY duration_days
+"""
+
+QUERIES["user_survival_km"] = (user_survival_km, USER_SURVIVAL_KM_SQL)

@@ -118,6 +118,7 @@ SCALE_SENSITIVE = [
     "unshipped_orders_revenue",
     "ship_delay_priority_mix",
     "event_cuped_ab_lift",
+    "user_survival_km",
 ]
 
 pytestmark = pytest.mark.skipif(
