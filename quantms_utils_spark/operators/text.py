@@ -1062,3 +1062,56 @@ def bpe_encode_arrow(
         )
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 1024,
+) -> DataFrame:
+    """HASHING-TRICK vectorizer (Weinberger et al., ICML'09): each token
+    maps to a feature index ``md5(token) % dim`` with a ±1 sign from an
+    independent hash nibble, and per-(doc, index) signed counts form the
+    sparse vector — the fixed-dimension, vocabulary-free featurization a
+    100 TB text pipeline uses when a fitted vocabulary (two passes + a
+    broadcast dictionary) is off the table. Collisions cancel in
+    expectation because of the sign hash — the property that separates
+    this from naive modulo bucketing.
+
+    All hashing is the md5-prefix idiom both engines can replay, so the
+    vectors are bit-reproducible for the correctness gate (the engine
+    DEFAULT at scale would swap in xxhash64 — same shape, ~10x cheaper
+    per token — exactly like the minhash family's registry/engine split).
+    One explode + two hash aggregates, all map-side combinable. Output:
+    (id, idx, weight) sparse triplets, weight = signed count (long).
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    tok = F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")
+    ).alias("_fh_tok")
+    toks = df.select(F.col(id_col), tok).filter(F.col("_fh_tok") != "")
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_fh_tok")), 1, 6), 16, 10).cast(
+            "long"
+        ),
+        F.lit(dim),
+    ).alias("idx")
+    sign = F.when(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_fh_tok")), 7, 1), 16, 10).cast(
+                "long"
+            ),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).alias("sign")
+    return (
+        toks.select(F.col(id_col), idx, sign)
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

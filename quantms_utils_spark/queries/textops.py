@@ -1528,3 +1528,75 @@ def bpe_encode_arrow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_bpe_encode_arrow"] = (bpe_encode_arrow_counts, BPE_ENCODE_COUNTS_SQL)
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization QA (operators.text.feature_hash_vectors):
+    per document, the sparse-vector summary (token count, non-zero
+    feature count, exact integer squared L2 norm) over a 256-dim hashed
+    space. nnz < n_tokens exposes collisions; l2_sq is integer-exact so
+    the hash gate needs no float tolerance. The oracle replays the same
+    md5 index/sign hashes token-by-token — a tokenizer drift, a modulo
+    slip, or a sign-balance bug all mismatch. Output (doc_id, n_tokens,
+    nnz, l2_sq) for the first 50 docs."""
+    from quantms_utils_spark.operators.text import feature_hash_vectors
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    vec = feature_hash_vectors(d, "doc_id", "text", dim=256)
+    ntok = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    per_doc = vec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("weight") * F.col("weight")).cast("long").alias("l2_sq"),
+    )
+    return (
+        ntok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("nnz", F.lit(0)).alias("nnz"),
+            F.coalesce("l2_sq", F.lit(0)).alias("l2_sq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FEATURE_HASHING_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 50
+), nz AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 6))::BIGINT % 256 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok), 7, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks WHERE tok <> ''
+), vec AS (
+  SELECT doc_id, idx, sum(sign) AS weight
+  FROM nz GROUP BY doc_id, idx
+  HAVING sum(sign) <> 0
+), per_doc AS (
+  SELECT doc_id, count(*) AS nnz, sum(weight * weight) AS l2_sq
+  FROM vec GROUP BY doc_id
+), ntok AS (
+  SELECT doc_id, count(*) AS n_tokens FROM nz GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(ntok.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per_doc.nnz, 0) AS BIGINT) AS nnz,
+       CAST(coalesce(per_doc.l2_sq, 0) AS BIGINT) AS l2_sq
+FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+LEFT JOIN ntok USING (doc_id)
+LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["text_feature_hashing"] = (text_feature_hashing, TEXT_FEATURE_HASHING_SQL)

@@ -119,6 +119,7 @@ SCALE_SENSITIVE = [
     "ship_delay_priority_mix",
     "event_cuped_ab_lift",
     "user_survival_km",
+    "text_feature_hashing",
 ]
 
 pytestmark = pytest.mark.skipif(
