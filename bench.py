@@ -135,6 +135,7 @@ HEADLINE = [
     ("q_cuped", "event_cuped_ab_lift"),
     ("q_survival", "user_survival_km"),
     ("q_feat_hash", "text_feature_hashing"),
+    ("q_cusum", "event_changepoint_cusum"),
     ("q_topk_sketch", "event_top_types_sketch"),
     ("q_recursive_cte", "tree_depths_recursive_cte"),
     ("q_lateral", "lateral_top_customers"),

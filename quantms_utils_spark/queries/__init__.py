@@ -65,7 +65,7 @@ _FRONT = [
     "customer_overlap_kmv",
     "unshipped_orders_revenue", "ship_delay_priority_mix",
     "event_cuped_ab_lift", "user_survival_km",
-    "text_feature_hashing",
+    "text_feature_hashing", "event_changepoint_cusum",
     # -- r4 front block (all green in CORRECTNESS_r04), prior order --
     "text_quality_logreg_scores", "text_quality_logreg_eval",
     "dedup_cluster_sizes", "event_retention_cohorts",

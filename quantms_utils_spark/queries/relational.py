@@ -2940,3 +2940,87 @@ ORDER BY duration_days
 """
 
 QUERIES["user_survival_km"] = (user_survival_km, USER_SURVIVAL_KM_SQL)
+
+
+def event_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan — the classic sequential drift detector
+    (Page, 1954) run retrospectively over the daily value series: the
+    cumulative sum of deviations from the global mean peaks (in absolute
+    value) at the most likely level-shift day. Monitoring pipelines pair
+    this with `corpus_drift_psi` — PSI says THAT a distribution moved,
+    the CUSUM argmax says WHEN the level moved.
+
+    Spark shape: one map-side-combining daily aggregate over the fact
+    table (sums in DECIMAL — exact, so both engines agree bit-for-bit
+    before any float op), the global mean from the same decimal totals
+    broadcast as a 1-row frame, and the running sum as an ordered window
+    over the DISTINCT-day frame — bounded by the corpus day span (≤ a
+    few dozen rows), never the fact table. The double prefix sum runs in
+    identical day order on both engines, so floats match. Output
+    (day, daily_value, cusum, is_peak) for all days; is_peak marks the
+    max-|CUSUM| day (ties: earliest)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    tot = daily.agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # windows over the distinct-day frame only (bounded — see docstring)
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("v").cast("double").alias("dv"),
+            (
+                F.col("v").cast("double")
+                - F.col("s").cast("double") / F.col("n").cast("double")
+            ).alias("dev"),
+        )
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    w_all = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+    return (
+        cus.withColumn("rn", F.row_number().over(w_all))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("dv", 6).alias("daily_value"),
+            # + 0.0 normalizes IEEE negative zero: the final CUSUM is
+            # mathematically 0 and the float residue's SIGN is engine-
+            # dependent ("-0.0" vs "0.0" hash-differ as text)
+            (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+            (F.col("rn") == 1).alias("is_peak"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENT_CHANGEPOINT_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(v) AS s, count(*) AS n FROM daily),
+cus AS (
+  SELECT day,
+         CAST(v AS DOUBLE) AS dv,
+         sum(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN tot
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(dv, 6) AS daily_value,
+       round(cusum, 6) + 0.0 AS cusum,
+       row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1 AS is_peak
+FROM cus
+ORDER BY day
+"""
+
+QUERIES["event_changepoint_cusum"] = (
+    event_changepoint_cusum,
+    EVENT_CHANGEPOINT_CUSUM_SQL,
+)

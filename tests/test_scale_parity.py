@@ -120,6 +120,7 @@ SCALE_SENSITIVE = [
     "event_cuped_ab_lift",
     "user_survival_km",
     "text_feature_hashing",
+    "event_changepoint_cusum",
 ]
 
 pytestmark = pytest.mark.skipif(
