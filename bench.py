@@ -160,6 +160,65 @@ HEADLINE = [
 ]
 
 
+# The driver records only the LAST ~2000 chars of stdout and parses the
+# final JSON line out of that tail (BENCH_r04/r05 landed "parsed": null
+# because the single line with 88/111 queries outgrew the buffer; r1-r3
+# parsed fine at <=64 queries). Emission contract since round 6:
+#   * full result -> BENCH_SUITE_FULL.json next to this script (machine
+#     readable, committed from local runs) AND chunked part-lines on stdout;
+#   * the FINAL stdout line is a complete JSON summary whose "queries" dict
+#     is truncated (stable HEADLINE-order prefix == the r1-r3 comparison
+#     keys) so the whole line stays under FINAL_LINE_BUDGET chars.
+FINAL_LINE_BUDGET = 1700
+PART_LINE_QUERIES = 36
+
+
+def _emit(result: dict, timings: dict[str, float]) -> None:
+    """Write the full result to BENCH_SUITE_FULL.json, print chunked
+    part-lines, then print the guaranteed-parseable summary as the single
+    final stdout line."""
+    full = dict(result)
+    full["queries"] = timings
+    full["n_queries"] = len(timings)
+    full_path = Path(REPO_ROOT) / "BENCH_SUITE_FULL.json"
+    try:
+        full_path.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout part-lines still carry everything
+    keys = list(timings)
+    parts = [keys[i : i + PART_LINE_QUERIES] for i in range(0, len(keys), PART_LINE_QUERIES)]
+    for i, part in enumerate(parts, 1):
+        print(
+            json.dumps(
+                {
+                    "metric": f"{result['metric']}_part",
+                    "part": i,
+                    "of": len(parts),
+                    "queries": {k: timings[k] for k in part},
+                },
+                separators=(",", ":"),
+            )
+        )
+    # Summary line: stable prefix of the headline order, capped by byte budget.
+    summary = dict(result)
+    summary["n_queries"] = len(timings)
+    summary["detail"] = full_path.name
+    summary["queries_omitted"] = len(timings)  # placeholder for fit check
+    included: dict[str, float] = {}
+    for k in keys:
+        included[k] = timings[k]
+        summary["queries"] = included
+        if len(json.dumps(summary, separators=(",", ":"))) > FINAL_LINE_BUDGET:
+            included.pop(k)
+            break
+    summary["queries"] = included
+    summary["queries_omitted"] = len(timings) - len(included)
+    line = json.dumps(summary, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
+
+
 def _parse_args(argv: list[str]):
     import argparse
 
@@ -197,19 +256,17 @@ def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
         timings.update(json.loads(out)["queries"])
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "isolated_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "mode": "isolated",
-                "repeat": repeat,
-                "warmup": warmup,
-            }
-        )
+    _emit(
+        {
+            "metric": "isolated_suite_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "mode": "isolated",
+            "repeat": repeat,
+            "warmup": warmup,
+        },
+        timings,
     )
 
 
@@ -357,18 +414,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    spark.stop()  # before emit: nothing may print after the final JSON line
+    _emit(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        timings,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

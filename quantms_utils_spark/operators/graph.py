@@ -514,6 +514,7 @@ def k_core(
         .localCheckpoint()
     )
     prev = e.count()
+    converged = prev == 0
     for _ in range(max_iter):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("a")
@@ -524,8 +525,17 @@ def k_core(
         )
         n = e.count()
         if n == prev:
+            converged = True
             break
         prev = n
+    if not converged:
+        # a non-fixpoint edge set is a SUPERSET of the k-core — returning
+        # it silently would be wrong-but-plausible; fail loudly instead
+        # (same contract as tree_depths' max_rounds raise)
+        raise RuntimeError(
+            f"k_core did not reach the peeling fixpoint in max_iter={max_iter} "
+            "rounds; raise max_iter (rounds needed = peeling depth)"
+        )
     return e.select(F.col("a").alias("v")).distinct()
 
 

@@ -145,38 +145,42 @@ def compact_partitions(
     return plan
 
 
-def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
-    """FILE-level zone-map manifest: one row per parquet data file with
-    per-column min/max aggregated over its row groups, read from the
-    parquet FOOTERS only (pyarrow metadata — no data pages touched).
-
-    This is the manifest half of the lakehouse data-skipping design
-    (Delta/Iceberg file statistics, built from first principles): format
-    zone maps prune ROW GROUPS only after a task has opened the file,
-    while a manifest prunes the FILE LIST on the driver side — at 100 TB
-    the difference is scheduling thousands of no-op tasks vs none, and
-    the manifest itself is a tiny table you persist next to the data and
-    maintain incrementally per written file.
-
-    Footer reads are distributed (one task per file batch via
-    mapInPandas over the file list — the driver never opens a file);
-    output: (file, n_rows, <col>_min, <col>_max ...).
-    """
-    import pandas as pd
-
-    from pyspark.sql.functions import col as _c
-
+def _list_parquet_files(spark, path: str) -> list[str]:
+    """RECURSIVE parquet data-file listing (Hadoop ``listFiles(path, true)``)
+    so hive-partitioned / nested layouts are fully covered — a manifest
+    built from a top-level-only listing would silently omit nested files
+    and the pruned reads would then silently drop their rows, violating
+    the superset contract. Hidden files/dirs (``_``/``.`` prefixes, e.g.
+    ``_SUCCESS``, ``_metadata``) are excluded the same way Spark's own
+    file index excludes them. Paths come back scheme-qualified exactly as
+    ``_metadata.file_path`` reports them, so set algebra between listings
+    and scan-derived manifests is exact."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.getFileStatus(p).isFile():
-        files = [p.toString()]
-    else:
-        files = [
-            s.getPath().toString()
-            for s in fs.listStatus(p)
-            if s.getPath().getName().endswith(".parquet")
-        ]
+        return [p.toString()]
+    out: list[str] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        fp = it.next().getPath()
+        name = fp.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        # skip files under hidden intermediate dirs (_tmp/, .staging/ ...)
+        parts = fp.toString().split("/")
+        if any(seg.startswith(("_", ".")) for seg in parts[:-1] if seg):
+            continue
+        out.append(fp.toString())
+    return sorted(out)
+
+
+def _zone_map_for_files(spark, files: list[str], cols: list[str]) -> DataFrame:
+    """Footer-read zone-map rows for an EXPLICIT file list — the shared
+    kernel of :func:`file_zone_map` (whole directory) and
+    :func:`zone_map_update` (new files only, keeping updates O(new))."""
+    import pandas as pd
+
     files_df = spark.createDataFrame(
         [(f,) for f in files], schema="file string"
     ).repartition(max(1, min(len(files), 64)))
@@ -219,6 +223,98 @@ def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
     return files_df.mapInPandas(read_footers, schema=out_schema)
 
 
+def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
+    """FILE-level zone-map manifest: one row per parquet data file with
+    per-column min/max aggregated over its row groups, read from the
+    parquet FOOTERS only (pyarrow metadata — no data pages touched).
+
+    This is the manifest half of the lakehouse data-skipping design
+    (Delta/Iceberg file statistics, built from first principles): format
+    zone maps prune ROW GROUPS only after a task has opened the file,
+    while a manifest prunes the FILE LIST on the driver side — at 100 TB
+    the difference is scheduling thousands of no-op tasks vs none, and
+    the manifest itself is a tiny table you persist next to the data and
+    maintain incrementally per written file.
+
+    Footer reads are distributed (one task per file batch via
+    mapInPandas over the file list — the driver never opens a file);
+    listing is RECURSIVE (nested/hive-partitioned layouts included);
+    output: (file, n_rows, <col>_min, <col>_max ...).
+    """
+    return _zone_map_for_files(spark, _list_parquet_files(spark, path), cols)
+
+
+def _pruned_paths(
+    manifest: DataFrame, keep_cond: Column, max_list: int
+) -> list[str] | None:
+    """Directory-compacted read-path plan for a pruned scan (Delta-style
+    log compaction shape): group the manifest's kept files by parent
+    directory; a directory whose files are ALL kept contributes ONE dir
+    path, only partially-kept directories contribute individual file
+    paths. The whole plan runs as engine aggregates over the manifest
+    table — the driver materializes only the final path list, and only
+    up to ``max_list + 1`` rows (a ``limit`` bounds the collect).
+    Returns None when the plan exceeds ``max_list`` — callers fall back
+    to scanning the unpruned directory, which is a valid superset."""
+    m = manifest.select(
+        F.col("file"),
+        keep_cond.alias("_keep"),
+        F.regexp_replace("file", "/[^/]+$", "").alias("_dir"),
+    )
+    dir_stats = m.groupBy("_dir").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_keep"),
+    )
+    full_dirs = dir_stats.filter("n_keep = n").select(F.col("_dir").alias("p"))
+    partial_files = (
+        m.join(
+            dir_stats.filter("n_keep < n AND n_keep > 0").select("_dir"),
+            "_dir",
+            "left_semi",
+        )
+        .filter("_keep")
+        .select(F.col("file").alias("p"))
+    )
+    rows = full_dirs.unionByName(partial_files).limit(max_list + 1).collect()
+    if len(rows) > max_list:
+        return None
+    return sorted(r["p"] for r in rows)
+
+
+def _read_pruned(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    keep_cond: Column,
+    *,
+    max_list: int = 100_000,
+) -> DataFrame:
+    """Shared pruned-scan executor for zone-map / Bloom manifests.
+
+    Scale shape (round-6 de-collect): the keep decision runs as ONE tiny
+    aggregate over the manifest table; `kept == total` short-circuits to
+    the plain directory scan (no file list at all, Spark's own file
+    index does the listing); otherwise the path plan is
+    directory-compacted (:func:`_pruned_paths`) and bounded by
+    ``max_list`` — beyond that the scan falls back to the unpruned
+    directory (superset contract: pruning may only ever ADD files back,
+    never drop provable-relevant ones). ``basePath`` is pinned so
+    partition-column inference survives leaf-dir / file-level reads on
+    hive-partitioned layouts."""
+    stats = manifest.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(keep_cond, 1)).alias("kept"),
+    ).collect()[0]
+    if stats["kept"] == 0:
+        return spark.read.parquet(path).limit(0)
+    if stats["kept"] == stats["total"]:
+        return spark.read.parquet(path)
+    paths = _pruned_paths(manifest, keep_cond, max_list)
+    if paths is None:
+        return spark.read.parquet(path)
+    return spark.read.option("basePath", path).parquet(*paths)
+
+
 def zone_pruned_read(
     spark,
     path: str,
@@ -226,25 +322,20 @@ def zone_pruned_read(
     col: str,
     lo: float,
     hi: float,
+    *,
+    max_list: int = 100_000,
 ) -> DataFrame:
     """Read only the files whose [min,max] envelope for ``col`` overlaps
     [lo, hi], per the zone-map manifest — the pruned-scan half. Files
     with no statistics for the column are kept (a manifest must never
     silently drop data it cannot prove irrelevant). Returns the pruned
     DataFrame; apply the row-level filter on top — pruning is a superset
-    guarantee, not a filter."""
-    keep = [
-        r["file"]
-        for r in zone_map.filter(
-            (F.col(f"{col}_min").isNull())
-            | ((F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi))
-        )
-        .select("file")
-        .collect()
-    ]
-    if not keep:
-        return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*keep)
+    guarantee, not a filter. The keep decision and path planning run as
+    engine aggregates (:func:`_read_pruned`), bounded by ``max_list``."""
+    keep_cond = (F.col(f"{col}_min").isNull()) | (
+        (F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi)
+    )
+    return _read_pruned(spark, path, zone_map, keep_cond, max_list=max_list)
 
 
 __all__ += ["file_zone_map", "zone_pruned_read"]
@@ -258,24 +349,19 @@ def zone_map_update(
     upkeep that keeps the manifest O(new files) per batch instead of a
     full re-listing scan (same incremental discipline as the repo's CDC /
     incremental-MV / incremental-dedup family). Result is bit-identical
-    to a fresh ``file_zone_map`` over the whole directory."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    files = {
-        s.getPath().toString()
-        for s in fs.listStatus(p)
-        if s.getPath().getName().endswith(".parquet")
-    }
+    to a fresh ``file_zone_map`` over the whole directory.
+
+    Round-6 fix (ADVICE): the footer reader is scoped to the NEW file
+    list directly (``_zone_map_for_files(new)``), so each batch reads
+    O(new) footers — the previous shape built the full manifest and
+    semi-joined after the UDF, re-reading every footer per update.
+    Listing is recursive (nested layouts included)."""
+    files = set(_list_parquet_files(spark, path))
     known = {r["file"] for r in existing.select("file").collect()}
     new = sorted(files - known)
     if not new:
         return existing
-    new_df = spark.createDataFrame([(f,) for f in new], schema="file string")
-    # reuse the footer reader by scoping file_zone_map's listing to the
-    # new files: build the same mapInPandas over just this list
-    full = file_zone_map(spark, path, cols)
-    fresh = full.join(new_df, "file", "left_semi")
+    fresh = _zone_map_for_files(spark, new, cols)
     return existing.unionByName(fresh)
 
 
@@ -320,8 +406,20 @@ def file_bloom_manifest(
         raise ValueError("m_bits must be a positive multiple of 64")
     if k <= 0:
         raise ValueError("k must be positive")
+    return _bloom_manifest_from_scan(
+        spark.read.parquet(path), col, m_bits=m_bits, k=k
+    )
+
+
+def _bloom_manifest_from_scan(
+    scan: DataFrame, col: str, *, m_bits: int, k: int
+) -> DataFrame:
+    """Bloom-manifest kernel over an EXPLICIT parquet scan — shared by
+    :func:`file_bloom_manifest` (whole directory) and
+    :func:`bloom_manifest_update` (new files only, keeping updates
+    O(new data) instead of a full-table re-scan per batch)."""
     vals = (
-        spark.read.parquet(path)
+        scan
         .select(
             F.col("_metadata.file_path").alias("file"),
             F.col(col).alias("_v"),
@@ -394,6 +492,7 @@ def bloom_pruned_read(
     *,
     m_bits: int = 4096,
     k: int = 3,
+    max_list: int = 100_000,
 ) -> DataFrame:
     """Read only the files whose Bloom bitmap has ALL ``k`` bits set for
     ``value`` — the pruned-scan half of the equality-skipping design.
@@ -402,8 +501,9 @@ def bloom_pruned_read(
     :func:`file_bloom_manifest`), so those files prune. Superset
     contract as with :func:`zone_pruned_read`: the pruned frame may hold
     false-positive files' rows — apply the exact row-level filter on
-    top. The only driver materialization is the kept file list
-    (≤ #files rows)."""
+    top. The keep decision and path planning run as engine aggregates
+    over the manifest table (:func:`_read_pruned`): directory-compacted
+    path plan, driver materialization bounded by ``max_list``."""
     cond = F.lit(True)
     for p in bloom_value_positions(spark, value, m_bits=m_bits, k=k):
         w, b = divmod(p, 64)
@@ -411,10 +511,7 @@ def bloom_pruned_read(
         mask = (1 << b) if b < 63 else -(1 << 63)
         word = F.col("bloom").getItem(w)
         cond = cond & word.isNotNull() & (word.bitwiseAND(F.lit(mask)) != 0)
-    keep = [r["file"] for r in manifest.filter(cond).select("file").collect()]
-    if not keep:
-        return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*keep)
+    return _read_pruned(spark, path, manifest, cond, max_list=max_list)
 
 
 def bloom_manifest_update(
@@ -430,27 +527,27 @@ def bloom_manifest_update(
     not yet in ``existing`` and union their rows in — O(new files) per
     batch, same incremental discipline as :func:`zone_map_update`.
     Bit-identical to a fresh :func:`file_bloom_manifest` over the whole
-    directory (per-file rows are independent)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.getFileStatus(p).isFile():
-        files = {p.toString()}
-    else:
-        files = {
-            s.getPath().toString()
-            for s in fs.listStatus(p)
-            if s.getPath().getName().endswith(".parquet")
-        }
+    directory (per-file rows are independent).
+
+    Round-6 fix (ADVICE): the column scan is built from ONLY the new
+    file paths (``spark.read.parquet(*new)``) — the previous shape
+    scanned the whole directory and semi-joined after the aggregate,
+    which the join cannot push below, so every update paid O(all data).
+    Listing is recursive (nested layouts included); listing paths are
+    scheme-qualified the same way ``_metadata.file_path`` reports them,
+    so the set difference is exact."""
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    files = set(_list_parquet_files(spark, path))
     known = {r["file"] for r in existing.select("file").collect()}
-    # listing paths are scheme-qualified the same way _metadata.file_path
-    # reports them (hadoop Path.toString), so set difference is exact
     new = sorted(files - known)
     if not new:
         return existing
-    new_df = spark.createDataFrame([(f,) for f in new], schema="file string")
-    full = file_bloom_manifest(spark, path, col, m_bits=m_bits, k=k)
-    fresh = full.join(new_df, "file", "left_semi")
+    fresh = _bloom_manifest_from_scan(
+        spark.read.parquet(*new), col, m_bits=m_bits, k=k
+    )
     return existing.unionByName(fresh)
 
 

@@ -37,6 +37,7 @@ GLOBAL variant has no reference twin and exists for the 100 TB paths
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -139,11 +140,24 @@ def global_rank(
     ONE task, so a whale tie-group (one dominant value — the normal
     shape of rank-by-score data) would re-create the funnel this
     operator exists to remove, while the aggregate's map-side partial
-    min reduces the whale before it ever shuffles."""
+    min reduces the whale before it ever shuffles.
+
+    NULL tie values rank like ``rank()`` does: ``groupBy`` puts NULLs in
+    one group and the merge join is NULL-SAFE (``eqNullSafe`` per tie
+    col) — a plain equi-join would silently DROP null-keyed rows that
+    the window form ranks (round-6 ADVICE fix)."""
     ranked, _ = _two_phase(df, order_by, num_partitions)
     mins = ranked.groupBy(*tie_cols).agg(F.min("_gr_rn").alias(rank_col))
-    return ranked.join(mins, list(tie_cols)).select(
-        *df.columns, rank_col
+    r, m = ranked.alias("_gr_r"), mins.alias("_gr_m")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_gr_r.{c}").eqNullSafe(F.col(f"_gr_m.{c}"))
+            for c in tie_cols
+        ],
+    )
+    return r.join(m, cond).select(
+        *[F.col(f"_gr_r.{c}") for c in df.columns], F.col(f"_gr_m.{rank_col}")
     )
 
 

@@ -168,3 +168,34 @@ def test_reserved_column_clash_raises(spark):
     df = _data(spark, n=10).withColumnRenamed("v", "_gr_rn")
     with pytest.raises(ValueError, match="reserves column"):
         global_row_number(df, [F.col("id")])
+
+
+def test_rank_null_tie_values_match_window(spark):
+    """NULL tie-column values must rank exactly like rank() OVER — the
+    merge join is null-safe, so null-keyed rows are never dropped
+    (round-6 ADVICE fix)."""
+    from pyspark.sql import Window
+
+    from quantms_utils_spark.operators.rank import global_rank
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 13)
+        .alias("score"),
+    )
+    got = global_rank(
+        df,
+        [F.col("score").asc_nulls_first(), F.col("id").asc()],
+        ["score"],
+        rank_col="rnk",
+        num_partitions=8,
+    )
+    want = df.withColumn(
+        "rnk",
+        F.rank().over(Window.orderBy(F.col("score").asc_nulls_first())),
+    )
+    a = sorted(map(tuple, got.select("id", "score", "rnk").collect()))
+    b = sorted(map(tuple, want.select("id", "score", "rnk").collect()))
+    assert a == b
+    assert got.count() == 200  # null rows present, not join-dropped

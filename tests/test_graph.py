@@ -390,3 +390,21 @@ class TestKCore:
         for k in (2, 3, 4):
             got = {r["v"] for r in k_core(e, "s", "d", k=k).collect()}
             assert got == self._brute_k_core(pairs, k), k
+
+
+def test_k_core_raises_on_non_convergence(spark):
+    """max_iter exhausted before the peeling fixpoint must raise, not
+    silently return a superset (round-6 ADVICE fix; same contract as
+    tree_depths' max_rounds raise)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.graph import k_core
+
+    # a long path graph peels one layer per round from each end: with
+    # max_iter=1 the 2-core computation (empty) cannot converge in time
+    e = spark.range(30).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_core(e, "s", "d", k=2, max_iter=1)
