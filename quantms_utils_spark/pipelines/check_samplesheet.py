@@ -48,9 +48,20 @@ except Exception:  # pragma: no cover
 
 
 # Template tier: required columns per schema template (public SDRF-Proteomics
-# spec). Every template includes the minimal pipeline columns.
+# spec). Every template includes the minimal pipeline columns EXCEPT
+# comment[proteomics data acquisition method]: that column is a
+# quantms-pipeline requirement enforced by MINIMAL mode (the reference's
+# own test drives PXD000001 through --minimal and asserts exactly that
+# failure), while the official SDRF-Proteomics template predates it —
+# full sdrf-pipelines validation passes legacy sheets without it. The
+# full tier logs its absence as a warning instead (round-6 parity fix).
+_TEMPLATE_BASE_COLUMNS = tuple(
+    c
+    for c in MINIMAL_REQUIRED_COLUMNS
+    if c != "comment[proteomics data acquisition method]"
+)
 TEMPLATE_REQUIRED_COLUMNS: dict[str, tuple[str, ...]] = {
-    "ms-proteomics": MINIMAL_REQUIRED_COLUMNS
+    "ms-proteomics": _TEMPLATE_BASE_COLUMNS
     + (
         "characteristics[organism]",
         "characteristics[organism part]",
@@ -59,7 +70,7 @@ TEMPLATE_REQUIRED_COLUMNS: dict[str, tuple[str, ...]] = {
         "comment[technical replicate]",
         "comment[fraction identifier]",
     ),
-    "dia-acquisition": MINIMAL_REQUIRED_COLUMNS
+    "dia-acquisition": _TEMPLATE_BASE_COLUMNS
     + (
         "characteristics[organism]",
         "comment[technical replicate]",
@@ -178,6 +189,14 @@ def _validate_template(
     errors = _validate_minimal(spark, path)
     if errors and errors[0].endswith("no data rows."):
         return errors
+    # the acquisition-method column is a quantms MINIMAL-mode requirement,
+    # not an SDRF-Proteomics template one (see _TEMPLATE_BASE_COLUMNS note):
+    # the full tier accepts legacy sheets without it (warning logged below)
+    errors = [
+        e
+        for e in errors
+        if "'comment[proteomics data acquisition method]' is missing" not in e
+    ]
 
     df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
     cols = df.columns
@@ -190,6 +209,12 @@ def _validate_template(
             msg = f"ERROR: Required column '{col}' is missing from the SDRF file."
             if msg not in errors:
                 errors.append(msg)
+    if "comment[proteomics data acquisition method]" not in lower:
+        logger.warning(
+            "Column 'comment[proteomics data acquisition method]' is absent "
+            "(legacy SDRF): accepted by the full template, required by the "
+            "quantms pipeline's minimal check."
+        )
 
     # --- header ordering (SDRF spec: source name, characteristics...,
     # assay name, comment..., factor value... last) -------------------------
@@ -357,12 +382,17 @@ def _validate_template(
             # sdrf-pipelines' OLS client performs online. Unknown
             # accessions under partial prefixes stay unvalidatable —
             # absence from a subset proves nothing.
-            terms = ols_cache.all_terms()
+            # accepted set per accession = canonical name + any
+            # ecosystem-accepted alias (e.g. NT=Trypsin for MS:1001313 in
+            # the public PXD000001 sheet — sdrf-pipelines' name-keyed
+            # lookup accepts it); encoded as a pipe-joined map value so
+            # the membership test stays one map lookup + array_contains
+            accepted = ols_cache.accepted_name_sets()
             canon_map = F.create_map(
                 *[
                     F.lit(x)
-                    for pair in terms.items()
-                    for x in (pair[0], pair[1].lower())
+                    for acc, names in accepted.items()
+                    for x in (acc, "|".join(sorted(names)))
                 ]
             )
             nt_value = F.regexp_extract(cell, _NT_EXTRACT_RE, 1)
@@ -373,7 +403,10 @@ def _validate_template(
                         structured
                         & canon.isNotNull()
                         & (F.trim(nt_value) != "")
-                        & (F.lower(F.trim(nt_value)) != canon)
+                        & ~F.array_contains(
+                            F.split(canon, r"\|"),
+                            F.lower(F.trim(nt_value)),
+                        )
                     ).cast("long")
                 ).alias(f"olsnt_{len(aggs)}")
             )

