@@ -518,6 +518,7 @@ def connected_components(
         ).first()[0]
 
     prev_sum = _label_sum(labels)  # materializes the fused first round
+    converged = False
     for _ in range(max_iter):
         # Lazy checkpoints: the convergence probe below is the action that
         # materializes each round's label frame — one job per round instead
@@ -534,8 +535,19 @@ def connected_components(
         cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # non-converged labels are WRONG cluster assignments (not merely a
+        # superset) — fail loudly rather than return them (round-6, same
+        # contract as k_core / tree_depths). Rounds needed = component
+        # diameter; use connected_components_star for high-diameter graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (rounds needed = component diameter); raise max_iter or "
+            "use connected_components_star (O(log^2 n) rounds)"
+        )
     return labels
 
 
@@ -584,6 +596,7 @@ def connected_components_star(
     """
     e = _sym(edges, src, dst).localCheckpoint()
     prev = None
+    converged = False
     for _ in range(max_iter):
         # ---- large-star ---------------------------------------------------
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -615,8 +628,15 @@ def connected_components_star(
         e = small
         cur = _edge_fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in max_iter="
+            f"{max_iter} rounds (O(log^2 n) expected — this indicates a "
+            "pathological input or too-small max_iter)"
+        )
 
     # Fixed point: e holds (node, component-min) for every non-root node.
     # greatest/least in small-star guarantee v < u, so roots never appear

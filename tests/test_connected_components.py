@@ -100,8 +100,13 @@ class TestStarRoundComplexity:
         star = _labels(connected_components_star(e, "doc_a", "doc_b", max_iter=8))
         assert star == expected
 
-        partial = _labels(connected_components(e, "doc_a", "doc_b", max_iter=8))
-        assert partial != expected  # propagation genuinely needs more rounds
+        # propagation genuinely needs more rounds — and since round 6 it
+        # REFUSES to return the mid-flight (wrong) labels instead of
+        # silently handing them back
+        import pytest
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(e, "doc_a", "doc_b", max_iter=8)
 
     def test_star_handles_int_ids(self, spark):
         pairs = [(1, 2), (2, 3), (10, 11)]
@@ -186,3 +191,32 @@ class TestClusterDispatch:
         edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         with pytest.raises(ValueError, match="unknown method"):
             cluster_components(edges, "doc_a", "doc_b", method="bogus")
+
+
+def test_min_label_raises_on_non_convergence(spark):
+    """Round-6: a non-converged label frame is WRONG (labels not yet
+    propagated), so exhausting max_iter must raise, never return."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.dedup import connected_components
+
+    # a 30-node path needs ~diameter rounds; 2 is not enough
+    e = spark.range(30).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, "s", "d", max_iter=2)
+
+
+def test_star_raises_on_non_convergence(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.dedup import connected_components_star
+
+    e = spark.range(200).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("d")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(e, "s", "d", max_iter=1)
