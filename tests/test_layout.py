@@ -473,3 +473,52 @@ class TestManifestScaleHardening:
         assert got == want > 0
         # fallback read == full table (superset by construction)
         assert pruned.count() == 8_000
+
+
+def test_pruned_path_plan_property_random(spark):
+    """Property (seeded-random, 12 scenarios): expanding the planned paths
+    against the manifest covers EXACTLY the kept files — every kept file is
+    covered by its own path or its parent dir's path, and no unkept file is
+    covered. Fallback (None) fires iff the plan would exceed max_list."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import _pruned_paths
+
+    rng = random.Random(20260815)
+    for trial in range(12):
+        n_dirs = rng.randint(1, 8)
+        rows = []
+        for d in range(n_dirs):
+            for f in range(rng.randint(1, 12)):
+                rows.append(
+                    (f"file:/t{trial}/d{d}/f{f}.parquet", rng.random() < 0.5)
+                )
+        man = spark.createDataFrame(rows, "file string, keep boolean")
+        kept = {r for r, k in rows if k}
+        max_list = rng.choice([2, 5, 10_000])
+        paths = _pruned_paths(man, F.col("keep"), max_list)
+        if paths is None:
+            # recompute the minimal plan size by hand to confirm overflow
+            from collections import defaultdict
+
+            per_dir = defaultdict(lambda: [0, 0])
+            for r, k in rows:
+                d = r.rsplit("/", 1)[0]
+                per_dir[d][0] += 1
+                per_dir[d][1] += int(k)
+            plan_size = sum(
+                1 if tot == kp else kp
+                for tot, kp in per_dir.values()
+                if kp > 0
+            )
+            assert plan_size > max_list, (trial, plan_size, max_list)
+            continue
+        assert len(paths) <= max_list
+        covered = {
+            r
+            for r, _ in rows
+            if r in paths or r.rsplit("/", 1)[0] in paths
+        }
+        assert covered == kept, (trial, covered ^ kept)
