@@ -124,3 +124,46 @@ def test_curate_and_webingest_end_to_end(spark, tmp_path):
          "--token_budget", "1000000", "--master", "local[2]"],
     )
     assert res.exit_code == 0, res.output
+
+
+class TestBenchEmitContract:
+    """bench.py's final stdout line must parse out of the round driver's
+    2000-char stdout tail — r4/r5 landed `parsed: null` when the single
+    JSON line outgrew the buffer. Pins the budget against key growth."""
+
+    def test_final_line_fits_tail_at_max_keys(self, tmp_path, monkeypatch):
+        import io
+        import json
+        import sys
+
+        import bench
+
+        monkeypatch.setattr(bench, "REPO_ROOT", str(tmp_path))
+        keys = [k for k, _ in bench.HEADLINE]
+        # worst-case value widths: five digits + three decimals
+        timings = {k: 10000.123 for k in keys}
+        buf = io.StringIO()
+        real = sys.stdout
+        sys.stdout = buf
+        try:
+            bench._emit(
+                {
+                    "metric": "headline_suite_total",
+                    "value": 1234567.123,
+                    "unit": "sec",
+                    "sf": 0.1,
+                },
+                timings,
+            )
+        finally:
+            sys.stdout = real
+        out = buf.getvalue()
+        # driver model: keep the last 2000 chars, parse the last line
+        tail = out[-2000:]
+        parsed = json.loads(tail.strip().splitlines()[-1])
+        assert parsed["metric"] == "headline_suite_total"
+        assert parsed["n_queries"] == len(keys)
+        assert parsed["queries"]  # summary carries a stable key prefix
+        # and the full result is on disk with every key
+        full = json.loads((tmp_path / "BENCH_SUITE_FULL.json").read_text())
+        assert set(full["queries"]) == set(keys)
