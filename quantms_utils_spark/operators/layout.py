@@ -355,14 +355,32 @@ def zone_map_update(
     list directly (``_zone_map_for_files(new)``), so each batch reads
     O(new) footers — the previous shape built the full manifest and
     semi-joined after the UDF, re-reading every footer per update.
-    Listing is recursive (nested layouts included)."""
-    files = set(_list_parquet_files(spark, path))
-    known = {r["file"] for r in existing.select("file").collect()}
-    new = sorted(files - known)
+    Listing is recursive (nested layouts included); the known-file set
+    never materializes in Python — the listing anti-joins the standing
+    manifest engine-side and only the NEW names collect."""
+    new = _new_files(spark, path, existing)
     if not new:
         return existing
     fresh = _zone_map_for_files(spark, new, cols)
     return existing.unionByName(fresh)
+
+
+def _new_files(spark, path: str, existing: DataFrame) -> list[str]:
+    """Recursive listing minus the manifest's known files, computed as an
+    engine-side anti-join: the driver holds the directory listing (the
+    same cost Spark's own file index pays on any scan of ``path``) but
+    never a second full-size known-file list — only the new names come
+    back, and those are O(batch) by definition."""
+    listed = _list_parquet_files(spark, path)
+    if not listed:
+        return []
+    files_df = spark.createDataFrame([(f,) for f in listed], "file string")
+    return sorted(
+        r["file"]
+        for r in files_df.join(
+            existing.select("file"), "file", "left_anti"
+        ).collect()
+    )
 
 
 __all__.append("zone_map_update")
@@ -540,9 +558,7 @@ def bloom_manifest_update(
         raise ValueError("m_bits must be a positive multiple of 64")
     if k <= 0:
         raise ValueError("k must be positive")
-    files = set(_list_parquet_files(spark, path))
-    known = {r["file"] for r in existing.select("file").collect()}
-    new = sorted(files - known)
+    new = _new_files(spark, path, existing)
     if not new:
         return existing
     fresh = _bloom_manifest_from_scan(
