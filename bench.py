@@ -163,9 +163,13 @@ HEADLINE = [
 # The driver records only the LAST ~2000 chars of stdout and parses the
 # final JSON line out of that tail (BENCH_r04/r05 landed "parsed": null
 # because the single line with 88/111 queries outgrew the buffer; r1-r3
-# parsed fine at <=64 queries). Emission contract since round 6:
-#   * full result -> BENCH_SUITE_FULL.json next to this script (machine
-#     readable, committed from local runs) AND chunked part-lines on stdout;
+# parsed fine at <=64 queries). Emission contract since round 6 (tightened
+# round 7 per ADVICE + VERDICT #4):
+#   * chunked part-lines on stdout always carry every timing;
+#   * the full result file is written ONLY under --emit-full (driver runs
+#     stay read-only — clean `git status` after a bench run), and a run
+#     covering a strict subset of HEADLINE writes BENCH_SUITE_PARTIAL.json
+#     so it can never clobber the committed full-suite record;
 #   * the FINAL stdout line is a complete JSON summary whose "queries" dict
 #     is truncated (stable HEADLINE-order prefix == the r1-r3 comparison
 #     keys) so the whole line stays under FINAL_LINE_BUDGET chars.
@@ -173,18 +177,25 @@ FINAL_LINE_BUDGET = 1700
 PART_LINE_QUERIES = 36
 
 
-def _emit(result: dict, timings: dict[str, float]) -> None:
-    """Write the full result to BENCH_SUITE_FULL.json, print chunked
-    part-lines, then print the guaranteed-parseable summary as the single
-    final stdout line."""
+def _emit(
+    result: dict, timings: dict[str, float], write_full: bool = False
+) -> None:
+    """Print chunked part-lines then the guaranteed-parseable summary as
+    the single final stdout line; optionally persist the full result
+    (``write_full`` — the --emit-full flag)."""
     full = dict(result)
     full["queries"] = timings
     full["n_queries"] = len(timings)
-    full_path = Path(REPO_ROOT) / "BENCH_SUITE_FULL.json"
-    try:
-        full_path.write_text(json.dumps(full, indent=1) + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout part-lines still carry everything
+    full_path = None
+    if write_full:
+        all_keys = {k for k, _ in HEADLINE}
+        kind = "ISOLATED" if result.get("mode") == "isolated" else "SUITE"
+        scope = "FULL" if all_keys <= set(timings) else "PARTIAL"
+        full_path = Path(REPO_ROOT) / f"BENCH_{kind}_{scope}.json"
+        try:
+            full_path.write_text(json.dumps(full, indent=1) + "\n")
+        except OSError:
+            full_path = None  # read-only checkout: part-lines carry all
     keys = list(timings)
     parts = [keys[i : i + PART_LINE_QUERIES] for i in range(0, len(keys), PART_LINE_QUERIES)]
     for i, part in enumerate(parts, 1):
@@ -202,7 +213,7 @@ def _emit(result: dict, timings: dict[str, float]) -> None:
     # Summary line: stable prefix of the headline order, capped by byte budget.
     summary = dict(result)
     summary["n_queries"] = len(timings)
-    summary["detail"] = full_path.name
+    summary["detail"] = full_path.name if full_path else None
     summary["queries_omitted"] = len(timings)  # placeholder for fit check
     included: dict[str, float] = {}
     for k in keys:
@@ -225,6 +236,13 @@ def _parse_args(argv: list[str]):
     p = argparse.ArgumentParser()
     p.add_argument("--only", default="", help="comma-separated headline keys")
     p.add_argument("--isolated", action="store_true")
+    p.add_argument(
+        "--emit-full",
+        action="store_true",
+        help="persist the full result JSON (BENCH_SUITE_FULL.json for a "
+        "full-suite run, BENCH_SUITE_PARTIAL.json for a key subset); "
+        "default is stdout-only so driver runs keep the tree clean",
+    )
     p.add_argument("--repeat", type=int, default=5)
     p.add_argument("--warmup", type=int, default=1)
     args = p.parse_args(argv)
@@ -233,7 +251,9 @@ def _parse_args(argv: list[str]):
     return args
 
 
-def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
+def _run_isolated(
+    keys: list[str], repeat: int, warmup: int, write_full: bool = False
+) -> None:
     """One fresh JVM per query: re-invoke this script with --only per key
     and merge the single-query JSON lines. Attribution mode — the shared
     ~100-query JVM accumulates GC/codegen-cache state that can swing a
@@ -267,6 +287,7 @@ def _run_isolated(keys: list[str], repeat: int, warmup: int) -> None:
             "warmup": warmup,
         },
         timings,
+        write_full=write_full,
     )
 
 
@@ -274,7 +295,12 @@ def main() -> None:
     args = _parse_args(sys.argv[1:])
     only = [k for k in args.only.split(",") if k] or None
     if args.isolated:
-        _run_isolated(only or [k for k, _ in HEADLINE], args.repeat, args.warmup)
+        _run_isolated(
+            only or [k for k, _ in HEADLINE],
+            args.repeat,
+            args.warmup,
+            write_full=args.emit_full,
+        )
         return
     from quantms_utils_spark.session import get_spark
     from quantms_utils_spark.queries import REGISTRY
@@ -423,6 +449,7 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         timings,
+        write_full=args.emit_full,
     )
 
 

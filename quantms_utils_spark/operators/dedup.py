@@ -518,8 +518,13 @@ def connected_components(
         ).first()[0]
 
     prev_sum = _label_sum(labels)  # materializes the fused first round
-    converged = False
+    # Pre-loop fixpoint (ADVICE r6): an empty edge set yields an empty
+    # label frame (sum = null) — trivially converged; without this guard
+    # max_iter=0 (or any no-op loop) would raise on correct output.
+    converged = prev_sum is None
     for _ in range(max_iter):
+        if converged:
+            break
         # Lazy checkpoints: the convergence probe below is the action that
         # materializes each round's label frame — one job per round instead
         # of an eager-checkpoint job plus the probe.
@@ -595,9 +600,14 @@ def connected_components_star(
     ``connected_components``.
     """
     e = _sym(edges, src, dst).localCheckpoint()
-    prev = None
-    converged = False
+    # Pre-loop fixpoint (ADVICE r6): an empty (or self-loop-only) edge set
+    # is trivially converged — labels/roots over an empty frame are
+    # correct, and max_iter=0 must not raise on them.
+    prev = _edge_fingerprint(e)
+    converged = prev[0] == 0
     for _ in range(max_iter):
+        if converged:
+            break
         # ---- large-star ---------------------------------------------------
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (

@@ -158,8 +158,16 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.getFileStatus(p).isFile():
-        return [p.toString()]
+    root_status = fs.getFileStatus(p)
+    if root_status.isFile():
+        return [root_status.getPath().toString()]
+    # Hidden-segment filtering must be RELATIVE to the listing root — a
+    # dataset legitimately living under a '.'/'_'-prefixed ANCESTOR
+    # (~/.local/share/..., /data/_warehouse/tbl) would otherwise list as
+    # empty and the pruned read would silently return 0 rows. Spark's own
+    # InMemoryFileIndex filters hidden names only below the root, same rule.
+    root = root_status.getPath().toString()
+    prefix = root if root.endswith("/") else root + "/"
     out: list[str] = []
     it = fs.listFiles(p, True)
     while it.hasNext():
@@ -168,10 +176,11 @@ def _list_parquet_files(spark, path: str) -> list[str]:
         if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
         # skip files under hidden intermediate dirs (_tmp/, .staging/ ...)
-        parts = fp.toString().split("/")
-        if any(seg.startswith(("_", ".")) for seg in parts[:-1] if seg):
+        full = fp.toString()
+        rel = full[len(prefix):] if full.startswith(prefix) else full
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1] if seg):
             continue
-        out.append(fp.toString())
+        out.append(full)
     return sorted(out)
 
 
@@ -250,8 +259,10 @@ def _pruned_paths(
     """Directory-compacted read-path plan for a pruned scan (Delta-style
     log compaction shape): group the manifest's kept files by parent
     directory; a directory whose files are ALL kept contributes ONE dir
-    path, only partially-kept directories contribute individual file
-    paths. The whole plan runs as engine aggregates over the manifest
+    path, while partially-kept directories — and fully-kept dirs that are
+    strict ancestors of other manifest dirs (mixed-depth layouts, where a
+    whole-dir read could double-cover descendants) — contribute individual
+    file paths. The whole plan runs as engine aggregates over the manifest
     table — the driver materializes only the final path list, and only
     up to ``max_list + 1`` rows (a ``limit`` bounds the collect).
     Returns None when the plan exceeds ``max_list`` — callers fall back
@@ -265,10 +276,38 @@ def _pruned_paths(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("_keep"), 1)).alias("n_keep"),
     )
-    full_dirs = dir_stats.filter("n_keep = n").select(F.col("_dir").alias("p"))
+    # Mixed-depth guard: a dir that is a strict ANCESTOR of another
+    # manifest dir must never be emitted whole — a recursive/partition-
+    # discovering read of that dir would cover descendant files the plan
+    # also emits individually (double-read → duplicate rows, worse than
+    # the superset contract). Each dir explodes to its '/'-boundary
+    # strict prefixes (O(dirs × depth) rows, engine-side); kept-full dirs
+    # appearing in that ancestor set are demoted to individual file paths.
+    anc = dir_stats.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(_dir, '/')) > 1 THEN"
+                " transform(sequence(1, size(split(_dir, '/')) - 1),"
+                " i -> array_join(slice(split(_dir, '/'), 1, i), '/'))"
+                " ELSE array() END"
+            )
+        ).alias("_dir")
+    ).distinct()
+    dirs = dir_stats.join(
+        anc.withColumn("_has_desc", F.lit(True)), "_dir", "left"
+    )
+    full_dirs = dirs.filter(
+        (F.col("n_keep") == F.col("n")) & F.col("_has_desc").isNull()
+    ).select(F.col("_dir").alias("p"))
     partial_files = (
         m.join(
-            dir_stats.filter("n_keep < n AND n_keep > 0").select("_dir"),
+            dirs.filter(
+                (F.col("n_keep") > 0)
+                & (
+                    (F.col("n_keep") < F.col("n"))
+                    | F.col("_has_desc").isNotNull()
+                )
+            ).select("_dir"),
             "_dir",
             "left_semi",
         )
@@ -305,6 +344,11 @@ def _read_pruned(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(keep_cond, 1)).alias("kept"),
     ).collect()[0]
+    if stats["total"] == 0:
+        # An empty manifest proves nothing about the data — a stale or
+        # mis-built manifest (e.g. a listing bug) must degrade to the
+        # unpruned scan (superset contract), never to silent 0 rows.
+        return spark.read.parquet(path)
     if stats["kept"] == 0:
         return spark.read.parquet(path).limit(0)
     if stats["kept"] == stats["total"]:

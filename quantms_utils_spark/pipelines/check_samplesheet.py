@@ -385,14 +385,23 @@ def _validate_template(
             # accepted set per accession = canonical name + any
             # ecosystem-accepted alias (e.g. NT=Trypsin for MS:1001313 in
             # the public PXD000001 sheet — sdrf-pipelines' name-keyed
-            # lookup accepts it); encoded as a pipe-joined map value so
-            # the membership test stays one map lookup + array_contains
+            # lookup accepts it); encoded as a joined map value so the
+            # membership test stays one map lookup + array_contains. The
+            # separator is the ASCII unit separator (impossible in OBO
+            # names, unlike '|' which appears in some OBO synonyms —
+            # ADVICE r6); the guard below makes the assumption loud.
             accepted = ols_cache.accepted_name_sets()
+            sep = "\x1f"
+            if any(sep in n for names in accepted.values() for n in names):
+                raise ValueError(
+                    "ontology name contains the reserved \\x1f separator; "
+                    "accepted_name_sets() encoding is no longer unambiguous"
+                )
             canon_map = F.create_map(
                 *[
                     F.lit(x)
                     for acc, names in accepted.items()
-                    for x in (acc, "|".join(sorted(names)))
+                    for x in (acc, sep.join(sorted(names)))
                 ]
             )
             nt_value = F.regexp_extract(cell, _NT_EXTRACT_RE, 1)
@@ -404,7 +413,7 @@ def _validate_template(
                         & canon.isNotNull()
                         & (F.trim(nt_value) != "")
                         & ~F.array_contains(
-                            F.split(canon, r"\|"),
+                            F.split(canon, sep),
                             F.lower(F.trim(nt_value)),
                         )
                     ).cast("long")

@@ -154,6 +154,7 @@ class TestBenchEmitContract:
                     "sf": 0.1,
                 },
                 timings,
+                write_full=True,
             )
         finally:
             sys.stdout = real
@@ -167,3 +168,42 @@ class TestBenchEmitContract:
         # and the full result is on disk with every key
         full = json.loads((tmp_path / "BENCH_SUITE_FULL.json").read_text())
         assert set(full["queries"]) == set(keys)
+
+    def test_emit_never_writes_by_default_and_partial_never_clobbers(
+        self, tmp_path, monkeypatch
+    ):
+        """Round-7 (ADVICE low + VERDICT #4): default emission is
+        stdout-only (driver bench runs leave the tree clean), and a
+        subset-key run under --emit-full lands in *_PARTIAL.json — the
+        committed full-suite record can never be clobbered."""
+        import io
+        import json
+        import sys
+
+        import bench
+
+        monkeypatch.setattr(bench, "REPO_ROOT", str(tmp_path))
+        result = {"metric": "headline_suite_total", "value": 1.0,
+                  "unit": "sec", "sf": 0.1}
+        buf = io.StringIO()
+        real = sys.stdout
+        sys.stdout = buf
+        try:
+            bench._emit(result, {"q_chunk": 1.0})  # default: no write
+            bench._emit(dict(result), {"q_chunk": 1.0}, write_full=True)
+            bench._emit(
+                {**result, "metric": "isolated_suite_total",
+                 "mode": "isolated"},
+                {"q_chunk": 1.0},
+                write_full=True,
+            )
+        finally:
+            sys.stdout = real
+        names = sorted(p.name for p in tmp_path.iterdir())
+        assert names == [
+            "BENCH_ISOLATED_PARTIAL.json",
+            "BENCH_SUITE_PARTIAL.json",
+        ]
+        lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+        first_summary = json.loads(lines[1])  # part-line then summary
+        assert first_summary["detail"] is None

@@ -220,3 +220,27 @@ def test_star_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(e, "s", "d", max_iter=1)
+
+
+def test_empty_edges_trivially_converged(spark):
+    """ADVICE r6 (low): an empty edge frame (or max_iter=0 over one) is a
+    pre-loop fixpoint — both variants must return an empty label frame,
+    never raise non-convergence on trivially-correct output."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("s"), F.col("id").alias("d")
+    )
+    for fn in (connected_components, connected_components_star):
+        for mi in (0, 5):
+            out = fn(empty, "s", "d", max_iter=mi)
+            assert out.count() == 0
+            assert set(out.columns) == {"v", "label"}
+    # self-loop-only edges: star symmetrizes them away -> empty labels
+    loops = spark.range(3).select(F.col("id").alias("s"), F.col("id").alias("d"))
+    assert connected_components_star(loops, "s", "d", max_iter=0).count() == 0
