@@ -430,6 +430,29 @@ def _new_files(spark, path: str, existing: DataFrame) -> list[str]:
 __all__.append("zone_map_update")
 
 
+def manifest_reconcile(spark, path: str, existing: DataFrame) -> DataFrame:
+    """Drop manifest rows whose data files no longer exist on disk — the
+    DELETE half of manifest maintenance (round 7). ``zone_map_update`` /
+    ``bloom_manifest_update`` only ever ADD rows, so a compaction,
+    VACUUM, or manual delete leaves stale rows that keep vanished files
+    in the pruned path plan and fail the scan on a missing file.
+
+    Works for any manifest carrying a ``file`` column (zone-map and
+    Bloom manifests alike). The recursive listing is the same list
+    Spark's own file index holds for any scan of ``path``; it broadcasts
+    (file NAMES, tiny) and the manifest left-semi-joins it engine-side.
+    After a rewrite batch the full maintenance step is
+    ``reconcile → update``: bit-identical to a fresh build."""
+    listed = _list_parquet_files(spark, path)
+    files_df = spark.createDataFrame(
+        [(f,) for f in listed], schema="file string"
+    )
+    return existing.join(F.broadcast(files_df), "file", "left_semi")
+
+
+__all__.append("manifest_reconcile")
+
+
 def file_bloom_manifest(
     spark,
     path: str,

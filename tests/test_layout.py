@@ -639,3 +639,70 @@ def test_pruned_path_plan_property_random(spark):
                     cover[r] += 1
         assert {r for r in cover if cover[r]} == kept, (trial, set(cover) ^ kept)
         assert all(c == 1 for c in cover.values()), (trial, dict(cover))
+
+
+class TestManifestReconcile:
+    """Round-7: delete half of manifest maintenance — reconcile drops rows
+    for vanished files so a compaction/VACUUM never leaves the pruned path
+    plan pointing at missing files."""
+
+    def test_reconcile_then_update_equals_fresh_build(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            file_zone_map,
+            manifest_reconcile,
+            zone_map_update,
+            zone_pruned_read,
+        )
+
+        path = str(tmp_path / "churn")
+        spark.range(0, 3_000).select(
+            F.col("id"), (F.col("id") % 60).cast("double").alias("k")
+        ).repartitionByRange(3, "k").write.mode("overwrite").parquet(path)
+        zm = file_zone_map(spark, path, ["k"]).localCheckpoint()
+        assert zm.count() == 3
+        # simulate a rewrite batch: delete one file, append another
+        victim = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )[0]
+        os.remove(os.path.join(path, victim))
+        spark.range(3_000, 4_000).select(
+            F.col("id"), (F.col("id") % 60 + 100).cast("double").alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+        maintained = zone_map_update(
+            spark, path, ["k"], manifest_reconcile(spark, path, zm)
+        ).localCheckpoint()
+        fresh = file_zone_map(spark, path, ["k"])
+
+        def canon(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        assert canon(maintained) == canon(fresh)
+        assert maintained.count() == 3  # 3 - 1 + 1
+        # the stale manifest would plan the deleted file; the maintained
+        # one reads clean
+        got = zone_pruned_read(spark, path, maintained, "k", 100, 200).count()
+        assert got == 1_000
+
+    def test_reconcile_empty_dir_empties_manifest(self, spark, tmp_path):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from quantms_utils_spark.operators.layout import (
+            file_zone_map,
+            manifest_reconcile,
+        )
+
+        path = str(tmp_path / "gone")
+        spark.range(100).select(
+            F.col("id"), F.col("id").cast("double").alias("k")
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        zm = file_zone_map(spark, path, ["k"]).localCheckpoint()
+        for f in list((tmp_path / "gone").iterdir()):
+            if f.name.endswith(".parquet"):
+                f.unlink()
+        assert manifest_reconcile(spark, path, zm).count() == 0
