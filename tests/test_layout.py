@@ -706,3 +706,93 @@ class TestManifestReconcile:
             if f.name.endswith(".parquet"):
                 f.unlink()
         assert manifest_reconcile(spark, path, zm).count() == 0
+
+
+def test_pruned_path_plan_100k_files_nested(spark):
+    """Round-7 scale pin for the mixed-depth guard: the ancestor
+    explode+semi-join must stay engine-side and cheap at a 100k-row
+    manifest with depth-4 paths. 1000 leaf dirs under 100 mid dirs, plus
+    100 files sitting directly in the mid dirs (mixed depth) — every mid
+    dir is fully kept but must demote (descendants exist); leaf dirs
+    compact to one path each."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import _pruned_paths
+
+    n = 100_000
+    # id -> mid = id//1000 (100 dirs), leaf = id//100 (1000 dirs, 10/mid)
+    man = spark.range(n).select(
+        F.concat(
+            F.lit("file:/data/mid="),
+            (F.col("id") / 1000).cast("int").cast("string"),
+            F.lit("/leaf="),
+            (F.col("id") / 100).cast("int").cast("string"),
+            F.lit("/f"),
+            (F.col("id") % 100).cast("string"),
+            F.lit(".parquet"),
+        ).alias("file"),
+        F.lit(0.0).alias("k_min"),
+        F.lit(1.0).alias("k_max"),
+    ).unionByName(
+        # 100 direct files, one per mid dir (the mixed-depth shape)
+        spark.range(100).select(
+            F.concat(
+                F.lit("file:/data/mid="),
+                F.col("id").cast("string"),
+                F.lit("/direct.parquet"),
+            ).alias("file"),
+            F.lit(0.0).alias("k_min"),
+            F.lit(1.0).alias("k_max"),
+        )
+    )
+    keep = F.col("k_max") >= 0  # keep everything
+    t0 = time.perf_counter()
+    paths = _pruned_paths(man, keep, max_list=100_000)
+    dt = time.perf_counter() - t0
+    assert dt < 30, f"nested path planning took {dt:.1f}s"
+    assert paths is not None
+    dirs = [p for p in paths if not p.endswith(".parquet")]
+    files = [p for p in paths if p.endswith(".parquet")]
+    # 1000 leaf dirs compact; 100 mid dirs demote to their 1 direct file
+    assert len(dirs) == 1000 and all("/leaf=" in p for p in dirs)
+    assert len(files) == 100 and all(p.endswith("/direct.parquet") for p in files)
+
+
+def test_compaction_then_reconcile_update_rebuilds_manifest(spark, tmp_path):
+    """Integration: compaction is exactly the rewrite that strands stale
+    manifest rows — after compact_partitions rewrites the layout,
+    reconcile (drop vanished) + update (index new) must equal a fresh
+    manifest build over the compacted output."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import (
+        compact_partitions,
+        file_zone_map,
+        manifest_reconcile,
+        zone_map_update,
+    )
+
+    src = str(tmp_path / "pre")
+    spark.range(0, 6_000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") % 500).cast("double").alias("k"),
+    ).repartition(12).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "post")
+    df = spark.read.parquet(src)
+    compact_partitions(df, "part", out, target_bytes=1 << 20)
+    zm_stale = file_zone_map(spark, src, ["k"]).localCheckpoint()
+    # point the manifest at the NEW location: all old rows vanish, all
+    # compacted files are new
+    maintained = zone_map_update(
+        spark, out, ["k"], manifest_reconcile(spark, out, zm_stale)
+    )
+    fresh = file_zone_map(spark, out, ["k"])
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert canon(maintained) == canon(fresh)
+    assert maintained.count() > 0
