@@ -373,3 +373,43 @@ def test_edit_distance_pairs_no_duplicate_across_branches(spark):
     pairs = [(r.name_a, r.name_b) for r in rows]
     assert len(pairs) == len(set(pairs))
     assert set(pairs) == {("abc", "abd"), ("abcdef", "abcdeg")}
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 8) - 1),
+            st.integers(min_value=0, max_value=(1 << 8) - 1),
+            st.integers(min_value=0, max_value=(1 << 8) - 1),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_zorder_key_deinterleave_roundtrip(spark, pts):
+    """Morton interleaving is a bijection on masked coordinates: decoding
+    bit i*ndims+d of the key recovers dimension d exactly, for 2-D and
+    3-D, over the whole batch in one job. Injectivity follows (distinct
+    coordinate tuples -> distinct keys)."""
+    from quantms_utils_spark.operators.layout import zorder_key
+
+    bits = 8
+    df = spark.createDataFrame(pts, "x int, y int, z int")
+    got = df.select(
+        "x", "y", "z",
+        zorder_key([F.col("x"), F.col("y")], bits=bits).alias("k2"),
+        zorder_key([F.col("x"), F.col("y"), F.col("z")], bits=bits).alias("k3"),
+    ).collect()
+
+    def dec(key, ndims, d):
+        return sum(((key >> (i * ndims + d)) & 1) << i for i in range(bits))
+
+    for r in got:
+        assert (dec(r["k2"], 2, 0), dec(r["k2"], 2, 1)) == (r["x"], r["y"])
+        assert (
+            dec(r["k3"], 3, 0), dec(r["k3"], 3, 1), dec(r["k3"], 3, 2)
+        ) == (r["x"], r["y"], r["z"])
+    assert len({(r["x"], r["y"], r["z"]) for r in got}) == len(
+        {r["k3"] for r in got}
+    )
