@@ -239,9 +239,10 @@ def _parse_args(argv: list[str]):
     p.add_argument(
         "--emit-full",
         action="store_true",
-        help="persist the full result JSON (BENCH_SUITE_FULL.json for a "
-        "full-suite run, BENCH_SUITE_PARTIAL.json for a key subset); "
-        "default is stdout-only so driver runs keep the tree clean",
+        help="persist the full result JSON as "
+        "BENCH_{SUITE,ISOLATED}_{FULL,PARTIAL}.json (by mode and key "
+        "coverage); default is stdout-only so driver runs keep the tree "
+        "clean",
     )
     p.add_argument("--repeat", type=int, default=5)
     p.add_argument("--warmup", type=int, default=1)

@@ -675,7 +675,20 @@ def connected_components_star(
         .join(e.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
         .withColumn("label", F.col("v"))
     )
-    return labels.unionByName(roots)
+    out = labels.unionByName(roots)
+    # Contract parity with connected_components (round-7 review): _sym
+    # drops self-loops, so a vertex appearing ONLY in self-loops would
+    # vanish here while min-label returns it labeled as itself. Complete
+    # the vertex set from the (usually empty) self-loop frame — one
+    # filter + anti-join, lazy, no per-round cost.
+    loop_only = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("v"))
+        .distinct()
+        .join(out.select("v"), "v", "left_anti")
+        .withColumn("label", F.col("v"))
+    )
+    return out.unionByName(loop_only)
 
 
 def cluster_components(

@@ -276,14 +276,18 @@ def _pruned_paths(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("_keep"), 1)).alias("n_keep"),
     )
-    # Mixed-depth guard: a dir that is a strict ANCESTOR of another
-    # manifest dir must never be emitted whole — a recursive/partition-
-    # discovering read of that dir would cover descendant files the plan
-    # also emits individually (double-read → duplicate rows, worse than
-    # the superset contract). Each dir explodes to its '/'-boundary
-    # strict prefixes (O(dirs × depth) rows, engine-side); kept-full dirs
-    # appearing in that ancestor set are demoted to individual file paths.
-    anc = dir_stats.select(
+    # Mixed-depth guard: a dir that is a strict ANCESTOR of a dir that
+    # will itself emit paths (n_keep > 0) must never be emitted whole —
+    # a recursive/partition-discovering read of that dir would cover
+    # descendant files the plan also emits (double-read → duplicate
+    # rows, worse than the superset contract). Ancestors of dirs with
+    # NO kept files stay emit-whole-eligible: their descendants appear
+    # nowhere else in the plan, so the whole-dir read only adds superset
+    # rows, which the contract allows — demoting them too would explode
+    # whale dirs into per-file paths for nothing. Each kept-emitting dir
+    # explodes to its '/'-boundary strict prefixes (O(dirs × depth)
+    # rows, engine-side); kept-full dirs in that set demote to files.
+    anc = dir_stats.filter("n_keep > 0").select(
         F.explode(
             F.expr(
                 "CASE WHEN size(split(_dir, '/')) > 1 THEN"
@@ -386,7 +390,12 @@ __all__ += ["file_zone_map", "zone_pruned_read"]
 
 
 def zone_map_update(
-    spark, path: str, cols: list[str], existing: DataFrame
+    spark,
+    path: str,
+    cols: list[str],
+    existing: DataFrame,
+    *,
+    listed: list[str] | None = None,
 ) -> DataFrame:
     """Incremental manifest maintenance: footer-read ONLY the data files
     not yet in ``existing`` and union their rows in — the per-written-file
@@ -401,21 +410,25 @@ def zone_map_update(
     semi-joined after the UDF, re-reading every footer per update.
     Listing is recursive (nested layouts included); the known-file set
     never materializes in Python — the listing anti-joins the standing
-    manifest engine-side and only the NEW names collect."""
-    new = _new_files(spark, path, existing)
+    manifest engine-side and only the NEW names collect. ``listed``
+    reuses a caller-held listing (one LIST per reconcile→update batch)."""
+    new = _new_files(spark, path, existing, listed=listed)
     if not new:
         return existing
     fresh = _zone_map_for_files(spark, new, cols)
     return existing.unionByName(fresh)
 
 
-def _new_files(spark, path: str, existing: DataFrame) -> list[str]:
+def _new_files(
+    spark, path: str, existing: DataFrame, *, listed: list[str] | None = None
+) -> list[str]:
     """Recursive listing minus the manifest's known files, computed as an
     engine-side anti-join: the driver holds the directory listing (the
     same cost Spark's own file index pays on any scan of ``path``) but
     never a second full-size known-file list — only the new names come
     back, and those are O(batch) by definition."""
-    listed = _list_parquet_files(spark, path)
+    if listed is None:
+        listed = _list_parquet_files(spark, path)
     if not listed:
         return []
     files_df = spark.createDataFrame([(f,) for f in listed], "file string")
@@ -430,7 +443,9 @@ def _new_files(spark, path: str, existing: DataFrame) -> list[str]:
 __all__.append("zone_map_update")
 
 
-def manifest_reconcile(spark, path: str, existing: DataFrame) -> DataFrame:
+def manifest_reconcile(
+    spark, path: str, existing: DataFrame, *, listed: list[str] | None = None
+) -> DataFrame:
     """Drop manifest rows whose data files no longer exist on disk — the
     DELETE half of manifest maintenance (round 7). ``zone_map_update`` /
     ``bloom_manifest_update`` only ever ADD rows, so a compaction,
@@ -442,8 +457,12 @@ def manifest_reconcile(spark, path: str, existing: DataFrame) -> DataFrame:
     Spark's own file index holds for any scan of ``path``; it broadcasts
     (file NAMES, tiny) and the manifest left-semi-joins it engine-side.
     After a rewrite batch the full maintenance step is
-    ``reconcile → update``: bit-identical to a fresh build."""
-    listed = _list_parquet_files(spark, path)
+    ``reconcile → update``; pass the same ``listed`` to both so an
+    object-store path pays ONE recursive LIST per batch (at ~100k files
+    the listing dominates maintenance cost). Bit-identical to a fresh
+    build."""
+    if listed is None:
+        listed = _list_parquet_files(spark, path)
     files_df = spark.createDataFrame(
         [(f,) for f in listed], schema="file string"
     )
@@ -607,6 +626,7 @@ def bloom_manifest_update(
     *,
     m_bits: int = 4096,
     k: int = 3,
+    listed: list[str] | None = None,
 ) -> DataFrame:
     """Incremental Bloom-manifest maintenance: index ONLY the data files
     not yet in ``existing`` and union their rows in — O(new files) per
@@ -625,7 +645,7 @@ def bloom_manifest_update(
         raise ValueError("m_bits must be a positive multiple of 64")
     if k <= 0:
         raise ValueError("k must be positive")
-    new = _new_files(spark, path, existing)
+    new = _new_files(spark, path, existing, listed=listed)
     if not new:
         return existing
     fresh = _bloom_manifest_from_scan(

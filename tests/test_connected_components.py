@@ -241,6 +241,9 @@ def test_empty_edges_trivially_converged(spark):
             out = fn(empty, "s", "d", max_iter=mi)
             assert out.count() == 0
             assert set(out.columns) == {"v", "label"}
-    # self-loop-only edges: star symmetrizes them away -> empty labels
+    # self-loop-only edges: both variants label the vertex as itself —
+    # one shared contract (star completes the set _sym filters away)
     loops = spark.range(3).select(F.col("id").alias("s"), F.col("id").alias("d"))
-    assert connected_components_star(loops, "s", "d", max_iter=0).count() == 0
+    for fn in (connected_components, connected_components_star):
+        got = sorted(tuple(r) for r in fn(loops, "s", "d").collect())
+        assert got == [(0, 0), (1, 1), (2, 2)], fn.__name__

@@ -603,8 +603,9 @@ def test_pruned_path_plan_property_random(spark):
         paths = _pruned_paths(man, F.col("keep"), max_list)
 
         # hand-recompute the minimal plan (incl. the mixed-depth demotion
-        # rule: a fully-kept dir with any manifest file strictly below it
-        # emits file paths, never the whole dir)
+        # rule: a fully-kept dir demotes to file paths iff some dir
+        # strictly below it will itself emit, i.e. has kept files —
+        # zero-keep descendants only add contract-allowed superset rows)
         per_dir = defaultdict(lambda: [0, 0])
         for r, k in rows:
             d = r.rsplit("/", 1)[0]
@@ -613,7 +614,10 @@ def test_pruned_path_plan_property_random(spark):
         has_desc = {
             d
             for d in per_dir
-            if any(d2 != d and d2.startswith(d + "/") for d2 in per_dir)
+            if any(
+                d2 != d and d2.startswith(d + "/") and per_dir[d2][1] > 0
+                for d2 in per_dir
+            )
         }
         expect: list[str] = []
         for d, (tot, kp) in per_dir.items():
@@ -631,14 +635,19 @@ def test_pruned_path_plan_property_random(spark):
         assert paths == sorted(expect), trial
         assert len(paths) <= max_list
         # coverage: a dir path covers itself-prefixed files recursively;
-        # every kept file covered exactly once, no unkept file covered
+        # every kept file covered EXACTLY once, nothing covered twice
+        # (no double-read ever), and any extra covered file must be a
+        # contract-allowed superset row — a file in a zero-keep dir
+        # under an emitted whole-dir ancestor
         cover = defaultdict(int)
         for r, _ in rows:
             for p in paths:
                 if r == p or r.startswith(p + "/"):
                     cover[r] += 1
-        assert {r for r in cover if cover[r]} == kept, (trial, set(cover) ^ kept)
-        assert all(c == 1 for c in cover.values()), (trial, dict(cover))
+        assert all(cover[r] == 1 for r in kept), (trial, dict(cover))
+        assert all(c <= 1 for c in cover.values()), (trial, dict(cover))
+        for r in {f for f, c in cover.items() if c} - kept:
+            assert per_dir[r.rsplit("/", 1)[0]][1] == 0, (trial, r)
 
 
 class TestManifestReconcile:
