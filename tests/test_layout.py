@@ -805,3 +805,59 @@ def test_compaction_then_reconcile_update_rebuilds_manifest(spark, tmp_path):
 
     assert canon(maintained) == canon(fresh)
     assert maintained.count() > 0
+
+
+def test_shared_listing_drives_whole_maintenance_batch(spark, tmp_path):
+    """One recursive LIST per reconcile->update batch: both steps accept
+    the same pre-computed listing and match a fresh rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import (
+        _list_parquet_files,
+        bloom_manifest_update,
+        file_bloom_manifest,
+        file_zone_map,
+        manifest_reconcile,
+        zone_map_update,
+    )
+
+    path = str(tmp_path / "sharedlist")
+    spark.range(0, 2_000).select(
+        F.col("id"), (F.col("id") % 40).cast("double").alias("k"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    zm = file_zone_map(spark, path, ["k"]).localCheckpoint()
+    bm = file_bloom_manifest(
+        spark, path, "tag", m_bits=512, k=2
+    ).localCheckpoint()
+    victim = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(path, victim))
+    spark.range(2_000, 2_500).select(
+        F.col("id"), (F.col("id") % 40 + 80).cast("double").alias("k"),
+        (F.col("id") % 5 + 5).cast("string").alias("tag"),
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    listing = _list_parquet_files(spark, path)  # the ONE list
+    zm2 = zone_map_update(
+        spark, path, ["k"],
+        manifest_reconcile(spark, path, zm, listed=listing),
+        listed=listing,
+    )
+    bm2 = bloom_manifest_update(
+        spark, path, "tag",
+        manifest_reconcile(spark, path, bm, listed=listing),
+        m_bits=512, k=2, listed=listing,
+    )
+
+    def canon(d):
+        return sorted(
+            tuple(sorted(v.items()) if isinstance(v, dict) else v for v in r)
+            for r in d.collect()
+        )
+
+    assert canon(zm2) == canon(file_zone_map(spark, path, ["k"]))
+    assert canon(bm2) == canon(
+        file_bloom_manifest(spark, path, "tag", m_bits=512, k=2)
+    )
