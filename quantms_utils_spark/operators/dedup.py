@@ -616,6 +616,18 @@ def connected_components_star(
     ``connected_components``.
     """
     e = _sym(edges, src, dst).localCheckpoint()
+    # Self-loop vertices captured UP FRONT (ADVICE r7): building this frame
+    # from the original `edges` after the loop would re-execute the full
+    # upstream edge pipeline (e.g. LSH pair generation) on every action over
+    # the labels — the recomputation the checkpoint on `e` exists to avoid.
+    # eager=False: the frame is usually empty and only pays when the final
+    # union actually runs.
+    loops = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # Pre-loop fixpoint (ADVICE r6): an empty (or self-loop-only) edge set
     # is trivially converged — labels/roots over an empty frame are
     # correct, and max_iter=0 must not raise on them.
@@ -679,12 +691,11 @@ def connected_components_star(
     # Contract parity with connected_components (round-7 review): _sym
     # drops self-loops, so a vertex appearing ONLY in self-loops would
     # vanish here while min-label returns it labeled as itself. Complete
-    # the vertex set from the (usually empty) self-loop frame — one
-    # filter + anti-join, lazy, no per-round cost.
+    # the vertex set from the (usually empty) self-loop frame captured and
+    # checkpointed before the loop — one anti-join, no per-round cost, and
+    # no re-execution of the upstream edge pipeline (ADVICE r7).
     loop_only = (
-        edges.filter(F.col(src) == F.col(dst))
-        .select(F.col(src).alias("v"))
-        .distinct()
+        loops
         .join(out.select("v"), "v", "left_anti")
         .withColumn("label", F.col("v"))
     )

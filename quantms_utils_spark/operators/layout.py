@@ -177,7 +177,19 @@ def _list_parquet_files(spark, path: str) -> list[str]:
             continue
         # skip files under hidden intermediate dirs (_tmp/, .staging/ ...)
         full = fp.toString()
-        rel = full[len(prefix):] if full.startswith(prefix) else full
+        if not full.startswith(prefix):
+            # listFiles results must sit under the qualified root; a
+            # mismatch (scheme/authority qualification drift between
+            # getFileStatus and listFiles) would silently re-enable
+            # ABSOLUTE-path hidden filtering and reintroduce the
+            # empty-listing bug the relative filter fixed (ADVICE r7) —
+            # fail loudly instead of guessing.
+            raise RuntimeError(
+                f"_list_parquet_files: listed path {full!r} is not under "
+                f"the qualified listing root {prefix!r} — scheme/authority "
+                "qualification mismatch between getFileStatus and listFiles"
+            )
+        rel = full[len(prefix):]
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1] if seg):
             continue
         out.append(full)
