@@ -146,21 +146,39 @@ def compact_partitions(
 
 
 def _list_parquet_files(spark, path: str) -> list[str]:
+    """Recursive parquet data-file listing, paths only — thin wrapper over
+    :func:`_list_parquet_statuses` for callers that need no identity."""
+    return [f for f, _, _ in _list_parquet_statuses(spark, path)]
+
+
+def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
     """RECURSIVE parquet data-file listing (Hadoop ``listFiles(path, true)``)
     so hive-partitioned / nested layouts are fully covered — a manifest
     built from a top-level-only listing would silently omit nested files
     and the pruned reads would then silently drop their rows, violating
     the superset contract. Hidden files/dirs (``_``/``.`` prefixes, e.g.
     ``_SUCCESS``, ``_metadata``) are excluded the same way Spark's own
-    file index excludes them. Paths come back scheme-qualified exactly as
-    ``_metadata.file_path`` reports them, so set algebra between listings
-    and scan-derived manifests is exact."""
+    file index excludes them. Returns ``(path, size, mtime_ms)`` FILE
+    IDENTITY triples: paths come back scheme-qualified exactly as
+    ``_metadata.file_path`` reports them, and size/mtime equal
+    ``_metadata.file_size`` / ``unix_millis(file_modification_time)``
+    bit-for-bit (both sides read the same Hadoop ``FileStatus``), so set
+    algebra between listings and scan-derived manifests is exact —
+    including the identity columns, which is what lets
+    :func:`manifest_reconcile` detect a delete-and-recreate under the
+    SAME name (stale-stats churn, round 8)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     root_status = fs.getFileStatus(p)
     if root_status.isFile():
-        return [root_status.getPath().toString()]
+        return [
+            (
+                root_status.getPath().toString(),
+                root_status.getLen(),
+                root_status.getModificationTime(),
+            )
+        ]
     # Hidden-segment filtering must be RELATIVE to the listing root — a
     # dataset legitimately living under a '.'/'_'-prefixed ANCESTOR
     # (~/.local/share/..., /data/_warehouse/tbl) would otherwise list as
@@ -168,10 +186,11 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     # InMemoryFileIndex filters hidden names only below the root, same rule.
     root = root_status.getPath().toString()
     prefix = root if root.endswith("/") else root + "/"
-    out: list[str] = []
+    out: list[tuple[str, int, int]] = []
     it = fs.listFiles(p, True)
     while it.hasNext():
-        fp = it.next().getPath()
+        st = it.next()
+        fp = st.getPath()
         name = fp.getName()
         if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
@@ -185,29 +204,38 @@ def _list_parquet_files(spark, path: str) -> list[str]:
             # empty-listing bug the relative filter fixed (ADVICE r7) —
             # fail loudly instead of guessing.
             raise RuntimeError(
-                f"_list_parquet_files: listed path {full!r} is not under "
+                f"_list_parquet_statuses: listed path {full!r} is not under "
                 f"the qualified listing root {prefix!r} — scheme/authority "
                 "qualification mismatch between getFileStatus and listFiles"
             )
         rel = full[len(prefix):]
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1] if seg):
             continue
-        out.append(full)
+        out.append((full, st.getLen(), st.getModificationTime()))
     return sorted(out)
 
 
-def _zone_map_for_files(spark, files: list[str], cols: list[str]) -> DataFrame:
+def _zone_map_for_files(
+    spark, statuses: list[tuple[str, int, int]], cols: list[str]
+) -> DataFrame:
     """Footer-read zone-map rows for an EXPLICIT file list — the shared
     kernel of :func:`file_zone_map` (whole directory) and
-    :func:`zone_map_update` (new files only, keeping updates O(new))."""
+    :func:`zone_map_update` (new files only, keeping updates O(new)).
+    ``statuses`` are ``(file, size, mtime_ms)`` identity triples from
+    :func:`_list_parquet_statuses`; size/mtime ride through as the
+    ``file_size``/``file_mtime`` manifest columns that let
+    :func:`manifest_reconcile` drop rows for files REWRITTEN under the
+    same name (stale-stats churn, round 8) — they never influence the
+    pruning predicate itself."""
     import pandas as pd
 
     files_df = spark.createDataFrame(
-        [(f,) for f in files], schema="file string"
-    ).repartition(max(1, min(len(files), 64)))
+        statuses, schema="file string, file_size long, file_mtime long"
+    ).repartition(max(1, min(len(statuses), 64)))
 
-    out_schema = "file string, n_rows long, " + ", ".join(
-        f"{c}_min double, {c}_max double" for c in cols
+    out_schema = (
+        "file string, file_size long, file_mtime long, n_rows long, "
+        + ", ".join(f"{c}_min double, {c}_max double" for c in cols)
     )
     want = list(cols)
 
@@ -216,7 +244,9 @@ def _zone_map_for_files(spark, files: list[str], cols: list[str]) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for f in pdf["file"]:
+            for f, fsz, fmt in zip(
+                pdf["file"], pdf["file_size"], pdf["file_mtime"]
+            ):
                 md = pq.ParquetFile(f.replace("file:", "")).metadata
                 mins = {c: None for c in want}
                 maxs = {c: None for c in want}
@@ -234,7 +264,12 @@ def _zone_map_for_files(spark, files: list[str], cols: list[str]) -> DataFrame:
                             maxs[name] = (
                                 hi if maxs[name] is None else max(maxs[name], hi)
                             )
-                row = {"file": f, "n_rows": md.num_rows}
+                row = {
+                    "file": f,
+                    "file_size": fsz,
+                    "file_mtime": fmt,
+                    "n_rows": md.num_rows,
+                }
                 for c in want:
                     row[f"{c}_min"] = mins[c]
                     row[f"{c}_max"] = maxs[c]
@@ -260,9 +295,11 @@ def file_zone_map(spark, path: str, cols: list[str]) -> DataFrame:
     Footer reads are distributed (one task per file batch via
     mapInPandas over the file list — the driver never opens a file);
     listing is RECURSIVE (nested/hive-partitioned layouts included);
-    output: (file, n_rows, <col>_min, <col>_max ...).
+    output: (file, file_size, file_mtime, n_rows, <col>_min, <col>_max
+    ...) — the size/mtime identity columns exist solely so
+    :func:`manifest_reconcile` can detect same-name rewrites.
     """
-    return _zone_map_for_files(spark, _list_parquet_files(spark, path), cols)
+    return _zone_map_for_files(spark, _list_parquet_statuses(spark, path), cols)
 
 
 def _pruned_paths(
@@ -407,7 +444,7 @@ def zone_map_update(
     cols: list[str],
     existing: DataFrame,
     *,
-    listed: list[str] | None = None,
+    listed: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """Incremental manifest maintenance: footer-read ONLY the data files
     not yet in ``existing`` and union their rows in — the per-written-file
@@ -423,31 +460,60 @@ def zone_map_update(
     Listing is recursive (nested layouts included); the known-file set
     never materializes in Python — the listing anti-joins the standing
     manifest engine-side and only the NEW names collect. ``listed``
-    reuses a caller-held listing (one LIST per reconcile→update batch)."""
+    reuses a caller-held status listing (one LIST per reconcile→update
+    batch). Newness is decided on the FULL (file, size, mtime) identity
+    when the manifest carries it, so a file rewritten under the same
+    name between reconcile and update re-reads its footer and the row
+    reflects the new stats, never the cached ones (round 8 — run
+    ``manifest_reconcile`` first with the same ``listed`` so the stale
+    row is gone before this union adds the fresh one)."""
     new = _new_files(spark, path, existing, listed=listed)
     if not new:
         return existing
     fresh = _zone_map_for_files(spark, new, cols)
+    if "file_size" not in existing.columns:
+        # pre-identity manifest (round-7 schema): keep the union well-typed;
+        # such a manifest degrades to name-only churn detection.
+        fresh = fresh.drop("file_size", "file_mtime")
     return existing.unionByName(fresh)
 
 
+_IDENTITY_COLS = ("file_size", "file_mtime")
+
+
+def _has_identity(manifest: DataFrame) -> bool:
+    return all(c in manifest.columns for c in _IDENTITY_COLS)
+
+
 def _new_files(
-    spark, path: str, existing: DataFrame, *, listed: list[str] | None = None
-) -> list[str]:
-    """Recursive listing minus the manifest's known files, computed as an
-    engine-side anti-join: the driver holds the directory listing (the
-    same cost Spark's own file index pays on any scan of ``path``) but
-    never a second full-size known-file list — only the new names come
-    back, and those are O(batch) by definition."""
+    spark,
+    path: str,
+    existing: DataFrame,
+    *,
+    listed: list[tuple[str, int, int]] | None = None,
+) -> list[tuple[str, int, int]]:
+    """Recursive status listing minus the manifest's known files, computed
+    as an engine-side anti-join: the driver holds the directory listing
+    (the same cost Spark's own file index pays on any scan of ``path``)
+    but never a second full-size known-file list — only the new entries
+    come back, and those are O(batch) by definition. When the manifest
+    carries the (file_size, file_mtime) identity columns the anti-join
+    runs on the full triple, so a same-name rewrite counts as NEW; a
+    pre-identity manifest anti-joins on the name alone."""
     if listed is None:
-        listed = _list_parquet_files(spark, path)
+        listed = _list_parquet_statuses(spark, path)
     if not listed:
         return []
-    files_df = spark.createDataFrame([(f,) for f in listed], "file string")
+    files_df = spark.createDataFrame(
+        listed, "file string, file_size long, file_mtime long"
+    )
+    keys = (
+        ["file", *_IDENTITY_COLS] if _has_identity(existing) else ["file"]
+    )
     return sorted(
-        r["file"]
+        (r["file"], r["file_size"], r["file_mtime"])
         for r in files_df.join(
-            existing.select("file"), "file", "left_anti"
+            existing.select(*keys), keys, "left_anti"
         ).collect()
     )
 
@@ -456,7 +522,11 @@ __all__.append("zone_map_update")
 
 
 def manifest_reconcile(
-    spark, path: str, existing: DataFrame, *, listed: list[str] | None = None
+    spark,
+    path: str,
+    existing: DataFrame,
+    *,
+    listed: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """Drop manifest rows whose data files no longer exist on disk — the
     DELETE half of manifest maintenance (round 7). ``zone_map_update`` /
@@ -467,18 +537,31 @@ def manifest_reconcile(
     Works for any manifest carrying a ``file`` column (zone-map and
     Bloom manifests alike). The recursive listing is the same list
     Spark's own file index holds for any scan of ``path``; it broadcasts
-    (file NAMES, tiny) and the manifest left-semi-joins it engine-side.
-    After a rewrite batch the full maintenance step is
-    ``reconcile → update``; pass the same ``listed`` to both so an
-    object-store path pays ONE recursive LIST per batch (at ~100k files
-    the listing dominates maintenance cost). Bit-identical to a fresh
-    build."""
+    (file identity triples, tiny) and the manifest left-semi-joins it
+    engine-side. When the manifest carries the (file_size, file_mtime)
+    identity columns the semi-join runs on the FULL triple, so a file
+    deleted AND re-created under the same name with different content
+    (the stale-stats churn an object store can produce between a LIST
+    and a rewrite batch, round 8) drops its stale row here and re-enters
+    through the update as a fresh footer read; a pre-identity manifest
+    reconciles by name alone. Same-millisecond-same-size rewrites are
+    the one blind spot — the same limit any mtime+size identity has; on
+    stores exposing etags, swap the mtime column for the etag. After a
+    rewrite batch the full maintenance step is ``reconcile → update``;
+    pass the same ``listed`` to both so an object-store path pays ONE
+    recursive LIST per batch (at ~100k files the listing dominates
+    maintenance cost). Bit-identical to a fresh build."""
     if listed is None:
-        listed = _list_parquet_files(spark, path)
+        listed = _list_parquet_statuses(spark, path)
     files_df = spark.createDataFrame(
-        [(f,) for f in listed], schema="file string"
+        listed, schema="file string, file_size long, file_mtime long"
     )
-    return existing.join(F.broadcast(files_df), "file", "left_semi")
+    keys = (
+        ["file", *_IDENTITY_COLS] if _has_identity(existing) else ["file"]
+    )
+    return existing.join(
+        F.broadcast(files_df.select(*keys)), keys, "left_semi"
+    )
 
 
 __all__.append("manifest_reconcile")
@@ -508,7 +591,9 @@ def file_bloom_manifest(
     positions explode to (word_idx, one-hot mask) pairs, and two
     map-side-combining aggregates (bit_or per (file, word), then
     map_from_entries per file) pack the bitmap. Output:
-    (file, n_values, bloom). Nulls contribute nothing (an equality
+    (file, file_size, file_mtime, n_values, bloom) — size/mtime come
+    from ``_metadata`` and exist solely so :func:`manifest_reconcile`
+    can detect same-name rewrites. Nulls contribute nothing (an equality
     predicate never matches NULL).
 
     Unlike the footer zone map — where a missing statistic means "cannot
@@ -538,6 +623,10 @@ def _bloom_manifest_from_scan(
         scan
         .select(
             F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("file_size"),
+            F.unix_millis(
+                F.col("_metadata.file_modification_time")
+            ).alias("file_mtime"),
             F.col(col).alias("_v"),
         )
         .filter(F.col("_v").isNotNull())
@@ -564,7 +653,18 @@ def _bloom_manifest_from_scan(
         .groupBy("file", "word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
-    counts = vals.groupBy("file").agg(F.count(F.lit(1)).alias("n_values"))
+    # (file_size, file_mtime) are functionally dependent on file — they
+    # ride the per-file count aggregate as min()s (zero extra shuffle;
+    # they stay OUT of the wide (file, word_idx) aggregate's keys). The
+    # identity values equal the Hadoop listing's getLen/getModificationTime
+    # bit-for-bit (same FileStatus), so manifest_reconcile's triple
+    # semi-join against _list_parquet_statuses is exact for Bloom
+    # manifests too (stale-stats churn, round 8).
+    counts = vals.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min("file_size").alias("file_size"),
+        F.min("file_mtime").alias("file_mtime"),
+    )
     return (
         words.groupBy("file")
         .agg(
@@ -573,7 +673,7 @@ def _bloom_manifest_from_scan(
             ).alias("bloom")
         )
         .join(counts, "file")
-        .select("file", "n_values", "bloom")
+        .select("file", "file_size", "file_mtime", "n_values", "bloom")
     )
 
 
@@ -638,7 +738,7 @@ def bloom_manifest_update(
     *,
     m_bits: int = 4096,
     k: int = 3,
-    listed: list[str] | None = None,
+    listed: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """Incremental Bloom-manifest maintenance: index ONLY the data files
     not yet in ``existing`` and union their rows in — O(new files) per
@@ -661,8 +761,12 @@ def bloom_manifest_update(
     if not new:
         return existing
     fresh = _bloom_manifest_from_scan(
-        spark.read.parquet(*new), col, m_bits=m_bits, k=k
+        spark.read.parquet(*[f for f, _, _ in new]), col, m_bits=m_bits, k=k
     )
+    if "file_size" not in existing.columns:
+        # pre-identity manifest (round-7 schema): keep the union well-typed;
+        # such a manifest degrades to name-only churn detection.
+        fresh = fresh.drop("file_size", "file_mtime")
     return existing.unionByName(fresh)
 
 

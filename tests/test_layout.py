@@ -815,7 +815,7 @@ def test_shared_listing_drives_whole_maintenance_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from quantms_utils_spark.operators.layout import (
-        _list_parquet_files,
+        _list_parquet_statuses,
         bloom_manifest_update,
         file_bloom_manifest,
         file_zone_map,
@@ -839,7 +839,7 @@ def test_shared_listing_drives_whole_maintenance_batch(spark, tmp_path):
         (F.col("id") % 5 + 5).cast("string").alias("tag"),
     ).coalesce(1).write.mode("append").parquet(path)
 
-    listing = _list_parquet_files(spark, path)  # the ONE list
+    listing = _list_parquet_statuses(spark, path)  # the ONE list
     zm2 = zone_map_update(
         spark, path, ["k"],
         manifest_reconcile(spark, path, zm, listed=listing),
