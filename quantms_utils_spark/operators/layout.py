@@ -186,6 +186,13 @@ def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
     # InMemoryFileIndex filters hidden names only below the root, same rule.
     root = root_status.getPath().toString()
     prefix = root if root.endswith("/") else root + "/"
+    # Scheme/authority-free fallback prefix: ViewFileSystem / mounted
+    # namespaces legitimately return TARGET-resolved paths from listFiles
+    # (different scheme/authority) while getFileStatus reports the view
+    # path (ADVICE r8) — the path PORTION still nests, so relative hidden
+    # filtering stays exact even when the full-URI prefix test misses.
+    root_path = root_status.getPath().toUri().getPath() or "/"
+    path_prefix = root_path if root_path.endswith("/") else root_path + "/"
     out: list[tuple[str, int, int]] = []
     it = fs.listFiles(p, True)
     while it.hasNext():
@@ -196,19 +203,23 @@ def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
             continue
         # skip files under hidden intermediate dirs (_tmp/, .staging/ ...)
         full = fp.toString()
-        if not full.startswith(prefix):
-            # listFiles results must sit under the qualified root; a
-            # mismatch (scheme/authority qualification drift between
-            # getFileStatus and listFiles) would silently re-enable
-            # ABSOLUTE-path hidden filtering and reintroduce the
-            # empty-listing bug the relative filter fixed (ADVICE r7) —
-            # fail loudly instead of guessing.
-            raise RuntimeError(
-                f"_list_parquet_statuses: listed path {full!r} is not under "
-                f"the qualified listing root {prefix!r} — scheme/authority "
-                "qualification mismatch between getFileStatus and listFiles"
-            )
-        rel = full[len(prefix):]
+        if full.startswith(prefix):
+            rel = full[len(prefix):]
+        else:
+            full_path = fp.toUri().getPath()
+            if not full_path.startswith(path_prefix):
+                # neither the qualified URI nor the scheme-free path nests
+                # under the root; guessing here would silently re-enable
+                # ABSOLUTE-path hidden filtering and reintroduce the
+                # empty-listing bug the relative filter fixed (ADVICE r7)
+                # — fail loudly instead.
+                raise RuntimeError(
+                    f"_list_parquet_statuses: listed path {full!r} is not "
+                    f"under the qualified listing root {prefix!r} (nor its "
+                    f"path portion under {path_prefix!r}) — qualification "
+                    "mismatch between getFileStatus and listFiles"
+                )
+            rel = full_path[len(path_prefix):]
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1] if seg):
             continue
         out.append((full, st.getLen(), st.getModificationTime()))
@@ -461,12 +472,14 @@ def zone_map_update(
     never materializes in Python — the listing anti-joins the standing
     manifest engine-side and only the NEW names collect. ``listed``
     reuses a caller-held status listing (one LIST per reconcile→update
-    batch). Newness is decided on the FULL (file, size, mtime) identity
-    when the manifest carries it, so a file rewritten under the same
-    name between reconcile and update re-reads its footer and the row
-    reflects the new stats, never the cached ones (round 8 — run
-    ``manifest_reconcile`` first with the same ``listed`` so the stale
-    row is gone before this union adds the fresh one)."""
+    batch). Newness is NAME-ONLY (see :func:`_new_files`): update-alone
+    is idempotent and never touches an already-manifested file. A file
+    rewritten under the same name is handled by the documented
+    ``reconcile → update`` contract — :func:`manifest_reconcile` drops
+    the stale row on its identity semi-join, making the name new again
+    to this union, which then reflects the fresh footer stats (round 9,
+    reverting the round-8 triple-keyed newness that re-read clobbered
+    old files and duplicated rows on update-alone)."""
     new = _new_files(spark, path, existing, listed=listed)
     if not new:
         return existing
@@ -496,10 +509,19 @@ def _new_files(
     as an engine-side anti-join: the driver holds the directory listing
     (the same cost Spark's own file index pays on any scan of ``path``)
     but never a second full-size known-file list — only the new entries
-    come back, and those are O(batch) by definition. When the manifest
-    carries the (file_size, file_mtime) identity columns the anti-join
-    runs on the full triple, so a same-name rewrite counts as NEW; a
-    pre-identity manifest anti-joins on the name alone."""
+    come back, and those are O(batch) by definition.
+
+    The anti-join is NAME-ONLY, deliberately (round 9): keying it on the
+    full (file, file_size, file_mtime) identity triple (the round-8
+    mistake) makes any already-manifested file whose bytes changed count
+    as "new" — update-alone then footer-reads a possibly-clobbered old
+    file (destroying the O(new)/never-touch-old-files contract) and
+    unions a DUPLICATE row next to the stale one. Same-name-rewrite
+    detection lives solely in :func:`manifest_reconcile`'s identity
+    semi-join: under the documented ``reconcile → update`` maintenance
+    contract the reconcile drops the stale row first, so the rewritten
+    name is genuinely absent from the manifest this function sees and
+    re-enters here as a fresh footer read."""
     if listed is None:
         listed = _list_parquet_statuses(spark, path)
     if not listed:
@@ -507,13 +529,10 @@ def _new_files(
     files_df = spark.createDataFrame(
         listed, "file string, file_size long, file_mtime long"
     )
-    keys = (
-        ["file", *_IDENTITY_COLS] if _has_identity(existing) else ["file"]
-    )
     return sorted(
         (r["file"], r["file_size"], r["file_mtime"])
         for r in files_df.join(
-            existing.select(*keys), keys, "left_anti"
+            existing.select("file"), ["file"], "left_anti"
         ).collect()
     )
 
@@ -550,18 +569,35 @@ def manifest_reconcile(
     rewrite batch the full maintenance step is ``reconcile → update``;
     pass the same ``listed`` to both so an object-store path pays ONE
     recursive LIST per batch (at ~100k files the listing dominates
-    maintenance cost). Bit-identical to a fresh build."""
+    maintenance cost). Bit-identical to a fresh build.
+
+    NULL identity values degrade to name-only membership for that ROW
+    (round 9, ADVICE r8): a manifest assembled from mixed-era slices —
+    e.g. pre-round-8 epochs read alongside newer ones, where the merged
+    schema has the columns but old rows read as NULL — must not have its
+    live files dropped by a null-rejecting equality, or pruned reads
+    would silently omit those files' rows until the next update
+    (superset-contract violation)."""
     if listed is None:
         listed = _list_parquet_statuses(spark, path)
     files_df = spark.createDataFrame(
         listed, schema="file string, file_size long, file_mtime long"
     )
-    keys = (
-        ["file", *_IDENTITY_COLS] if _has_identity(existing) else ["file"]
+    if not _has_identity(existing):
+        return existing.join(
+            F.broadcast(files_df.select("file")), ["file"], "left_semi"
+        )
+    man = existing.alias("_man")
+    lst = F.broadcast(files_df).alias("_lst")
+    cond = (F.col("_man.file") == F.col("_lst.file")) & (
+        F.col("_man.file_size").isNull()
+        | F.col("_man.file_mtime").isNull()
+        | (
+            (F.col("_man.file_size") == F.col("_lst.file_size"))
+            & (F.col("_man.file_mtime") == F.col("_lst.file_mtime"))
+        )
     )
-    return existing.join(
-        F.broadcast(files_df.select(*keys)), keys, "left_semi"
-    )
+    return man.join(lst, cond, "left_semi")
 
 
 __all__.append("manifest_reconcile")

