@@ -1291,3 +1291,117 @@ def test_empty_manifest_pruned_reads_equal_full_scan_row_for_row(
     assert sorted(
         tuple(r) for r in bp.select("id", "k", "tag", "part").collect()
     ) == full
+
+
+def test_manifest_maintenance_random_churn_property(spark, tmp_path):
+    """Round-9 property test: under ANY seeded sequence of appends,
+    deletes, and same-name rewrites, the documented maintenance batch
+    (shared listing -> reconcile -> update) stays bit-identical to a
+    fresh build, for BOTH manifest kinds, every round. This is the
+    invariant the round-8 keying rework silently broke — a randomized
+    op mix guards the whole class of future keying mistakes, not just
+    the one replay."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quantms_utils_spark.operators.layout import (
+        _list_parquet_statuses,
+        bloom_manifest_update,
+        file_bloom_manifest,
+        file_zone_map,
+        manifest_reconcile,
+        zone_map_update,
+        zone_pruned_read,
+    )
+
+    rng = random.Random(90417)
+    path = str(tmp_path / "churnprop")
+    os.makedirs(path)
+
+    def write_file(name, lo_k, n):
+        full = os.path.join(path, name)
+        crc = os.path.join(path, f".{name}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # local-FS sidecar; object stores have none
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(
+                        [float(lo_k + i % 25) for i in range(n)],
+                        pa.float64(),
+                    ),
+                    "tag": pa.array(
+                        [f"t{lo_k}_{i % 4}" for i in range(n)], pa.string()
+                    ),
+                }
+            ),
+            full,
+        )
+
+    # seed files
+    names = [f"f{i:03d}.parquet" for i in range(6)]
+    for i, nm in enumerate(names):
+        write_file(nm, i * 100, 50)
+    zm = file_zone_map(spark, path, ["k"]).localCheckpoint()
+    bm = file_bloom_manifest(
+        spark, path, "tag", m_bits=512, k=2
+    ).localCheckpoint()
+
+    def canon(d):
+        return sorted(
+            tuple(sorted(v.items()) if isinstance(v, dict) else v for v in r)
+            for r in d.collect()
+        )
+
+    next_id = len(names)
+    next_k = 1_000
+    for _ in range(4):
+        # a churn batch: 0-2 appends, 0-1 delete, 0-1 same-name rewrite
+        for _ in range(rng.randint(0, 2)):
+            nm = f"f{next_id:03d}.parquet"
+            names.append(nm)
+            write_file(nm, next_k, rng.randint(20, 60))
+            next_id += 1
+            next_k += 100
+        if names and rng.random() < 0.7:
+            victim = names.pop(rng.randrange(len(names)))
+            os.remove(os.path.join(path, victim))
+            crc = os.path.join(path, f".{victim}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        if names and rng.random() < 0.7:
+            victim = names[rng.randrange(len(names))]
+            write_file(victim, next_k, rng.randint(20, 60))
+            next_k += 100
+
+        listing = _list_parquet_statuses(spark, path)  # ONE list per batch
+        zm = zone_map_update(
+            spark, path, ["k"],
+            manifest_reconcile(spark, path, zm, listed=listing),
+            listed=listing,
+        ).localCheckpoint()
+        bm = bloom_manifest_update(
+            spark, path, "tag",
+            manifest_reconcile(spark, path, bm, listed=listing),
+            m_bits=512, k=2, listed=listing,
+        ).localCheckpoint()
+
+        assert canon(zm) == canon(file_zone_map(spark, path, ["k"]))
+        assert canon(bm) == canon(
+            file_bloom_manifest(spark, path, "tag", m_bits=512, k=2)
+        )
+        # superset contract holds through the churn: a pruned range read
+        # filtered exactly equals the full-scan filter
+        lo, hi = 0.0, float(next_k)
+        got = (
+            zone_pruned_read(spark, path, zm, "k", lo, hi)
+            .filter(F.col("k").between(lo, hi)).count()
+        )
+        want = (
+            spark.read.parquet(path)
+            .filter(F.col("k").between(lo, hi)).count()
+        )
+        assert got == want

@@ -1629,3 +1629,33 @@ class TestContinuousKMV:
         # at-least-once replay of the same epoch: identical state
         kmv_batch(batch, 0, group_cols=["g"], value_col="v", k=8, state_dir=state_dir)
         assert merged_kmv(spark, state_dir, ["g"], k=8).collect()[0]["kmv"] == one
+
+
+def test_epoch_slice_manifests_carry_no_identity_columns(spark, tmp_path):
+    """Round-9 schema pin: the streaming epoch-slice manifests must NOT
+    carry (file_size, file_mtime) — they are epoch-keyed, never
+    identity-reconciled, and an mtime column breaks replay
+    bit-idempotence (the r8 regression). This pin keeps a batch-side
+    schema change from silently leaking back in."""
+    from quantms_utils_spark.streaming.layout import (
+        current_bloom_manifest,
+        current_zone_manifest,
+        land_and_maintain,
+    )
+
+    table_dir = str(tmp_path / "pin_table")
+    manifest_dir = str(tmp_path / "pin_manifests")
+    batch = spark.range(20).selectExpr(
+        "id as k", "cast(id % 3 as string) as tag"
+    )
+    land_and_maintain(
+        batch, 0, table_dir=table_dir, manifest_dir=manifest_dir,
+        zone_cols=["k"], bloom_col="tag", m_bits=512, k=2,
+    )
+    zm = current_zone_manifest(spark, manifest_dir)
+    bm = current_bloom_manifest(spark, manifest_dir)
+    for df in (zm, bm):
+        assert "file_size" not in df.columns
+        assert "file_mtime" not in df.columns
+    assert {"file", "n_rows", "k_min", "k_max"} <= set(zm.columns)
+    assert {"file", "n_values", "bloom"} <= set(bm.columns)
