@@ -1125,7 +1125,11 @@ class TestListingQualificationDrift:
     the listing must succeed with exact relative hidden-filtering. Only a
     genuine drift (path portions don't nest either) fails loudly. Driven
     through duck-typed fakes of the tiny Hadoop surface the function
-    touches — the logic under test is pure Python."""
+    touches — the logic under test is pure Python. Round-9 note: the
+    default listing now runs engine-side (binaryFile scan); the gateway
+    drain these tests pin is the documented fallback, equality-pinned
+    against the engine path in
+    test_engine_listing_equals_gateway_listing."""
 
     class _Uri:
         def __init__(self, s):
@@ -1211,7 +1215,7 @@ class TestListingQualificationDrift:
         path portions nest, so files list with exact relative filtering
         (the hidden _tmp/ subdir still excludes)."""
         from quantms_utils_spark.operators.layout import (
-            _list_parquet_statuses,
+            _list_parquet_statuses_gateway,
         )
 
         fake = self._fake_spark(
@@ -1223,7 +1227,7 @@ class TestListingQualificationDrift:
                 "hdfs://targetns/data/tbl/_tmp/c.parquet",
             ],
         )
-        got = _list_parquet_statuses(fake, "viewfs://cluster/data/tbl")
+        got = _list_parquet_statuses_gateway(fake, "viewfs://cluster/data/tbl")
         assert [f for f, _, _ in got] == [
             "hdfs://targetns/data/tbl/a.parquet",
             "hdfs://targetns/data/tbl/nested/b.parquet",
@@ -1236,7 +1240,7 @@ class TestListingQualificationDrift:
         import pytest
 
         from quantms_utils_spark.operators.layout import (
-            _list_parquet_statuses,
+            _list_parquet_statuses_gateway,
         )
 
         fake = self._fake_spark(
@@ -1245,7 +1249,7 @@ class TestListingQualificationDrift:
             ["file:/elsewhere/a.parquet"],
         )
         with pytest.raises(RuntimeError, match="not under"):
-            _list_parquet_statuses(fake, "file:/data/tbl")
+            _list_parquet_statuses_gateway(fake, "file:/data/tbl")
 
 
 def test_empty_manifest_pruned_reads_equal_full_scan_row_for_row(
@@ -1405,3 +1409,52 @@ def test_manifest_maintenance_random_churn_property(spark, tmp_path):
             .filter(F.col("k").between(lo, hi)).count()
         )
         assert got == want
+
+
+def test_engine_listing_equals_gateway_listing(spark, tmp_path):
+    """Round-9: the default engine-side listing (binaryFile scan through
+    Spark's own file index) must be BIT-IDENTICAL to the gateway drain it
+    replaced — paths, sizes, and mtimes — on a layout exercising every
+    filtering rule: nested dirs, hidden ('_'/'.') leaf files, hidden
+    intermediate dirs, non-parquet files, and a root-is-file case. This
+    is the divergence guard for keeping two listing implementations."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quantms_utils_spark.operators.layout import (
+        _list_parquet_statuses,
+        _list_parquet_statuses_gateway,
+    )
+
+    root = tmp_path / "listing"
+    (root / "nested" / "deep").mkdir(parents=True)
+    (root / "_staging").mkdir()
+    (root / ".hidden").mkdir()
+
+    def wf(rel):
+        pq.write_table(
+            pa.table({"k": pa.array([1.0, 2.0], pa.float64())}),
+            str(root / rel),
+        )
+
+    wf("a.parquet")
+    wf("nested/b.parquet")
+    wf("nested/deep/c.parquet")
+    wf("_staging/skip1.parquet")   # hidden intermediate dir
+    wf(".hidden/skip2.parquet")    # hidden intermediate dir
+    wf("_skip3.parquet")           # hidden leaf
+    (root / "notes.txt").write_text("not parquet")
+
+    engine = _list_parquet_statuses(spark, str(root))
+    gateway = _list_parquet_statuses_gateway(spark, str(root))
+    assert engine == gateway
+    assert [f.rsplit("/", 1)[-1] for f, _, _ in engine] == [
+        "a.parquet", "b.parquet", "c.parquet"
+    ]
+    # root-is-file: both short-circuit on getFileStatus, identical
+    single = str(root / "a.parquet")
+    assert _list_parquet_statuses(spark, single) == (
+        _list_parquet_statuses_gateway(spark, single)
+    )
