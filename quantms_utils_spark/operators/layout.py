@@ -309,13 +309,27 @@ def _zone_map_for_files(
 
     def read_footers(batches):
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        def open_footer(uri: str):
+            # Store-agnostic footer open (round 9): resolve the qualified
+            # URI through pyarrow's filesystem registry (file:/hdfs:/s3:
+            # — whatever scheme the listing qualified) instead of the
+            # previous local-only `replace("file:", "")` hack, so the
+            # executor-side footer read works against the same stores the
+            # engine scans. Unknown schemes fall back to the raw path.
+            try:
+                fsys, rel = pafs.FileSystem.from_uri(uri)
+            except Exception:  # scheme pyarrow can't resolve
+                return pq.ParquetFile(uri)
+            return pq.ParquetFile(fsys.open_input_file(rel))
 
         for pdf in batches:
             rows = []
             for f, fsz, fmt in zip(
                 pdf["file"], pdf["file_size"], pdf["file_mtime"]
             ):
-                md = pq.ParquetFile(f.replace("file:", "")).metadata
+                md = open_footer(f).metadata
                 mins = {c: None for c in want}
                 maxs = {c: None for c in want}
                 for rg in range(md.num_row_groups):
