@@ -297,9 +297,16 @@ def _zone_map_for_files(
     pruning predicate itself."""
     import pandas as pd
 
+    # Footer-read fan-out scales with the CLUSTER, not a fixed constant:
+    # a hard 64-partition cap is fine on local[32] but serializes 100k
+    # remote footer GETs into 64 tasks on a 1000-executor cluster
+    # (~1.5k sequential round trips per task). Cap at 2x default
+    # parallelism (floor 64 keeps small clusters busy), never more than
+    # one file per task.
+    fanout = max(64, spark.sparkContext.defaultParallelism * 2)
     files_df = spark.createDataFrame(
         statuses, schema="file string, file_size long, file_mtime long"
-    ).repartition(max(1, min(len(statuses), 64)))
+    ).repartition(max(1, min(len(statuses), fanout)))
 
     out_schema = (
         "file string, file_size long, file_mtime long, n_rows long, "
