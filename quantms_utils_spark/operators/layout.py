@@ -151,26 +151,71 @@ def _list_parquet_files(spark, path: str) -> list[str]:
     return [f for f, _, _ in _list_parquet_statuses(spark, path)]
 
 
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path.
+    ``DataFrameReader.load`` glob-interprets its path: a directory whose
+    literal name contains ``[`` / ``{`` / ``*`` / ``?`` would silently
+    list a DIFFERENT file set (e.g. ``run[12]`` expanding to siblings
+    ``run1``/``run2``) — verified on Spark 4.1.2. The Hadoop Path/
+    FileSystem APIs used everywhere else here are literal and need no
+    escaping."""
+    import re
+
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
+
+
+def _hidden_below_root(full: str, root: str) -> bool:
+    """True when any path segment BELOW the listing root (including the
+    leaf file name) starts with ``_`` or ``.``. Deliberately STRICTER
+    than the recursive file lookup's own rule, which keeps ``_``-names
+    containing ``=``: the pruned reads' full-scan branches go through
+    ``spark.read.parquet``, whose partition-inferring index ignores such
+    names (verified empirically on Spark 4.1.2 — ``_year=2020/b.parquet``
+    and ``_x=1.parquet`` list under ``recursiveFileLookup`` but
+    contribute no rows to the parquet scan), and the manifest's domain
+    must equal the scan's or a partially-pruned read would return rows a
+    full scan never sees. Filtering is RELATIVE to the root (a dataset
+    under a hidden ANCESTOR like ~/.local/share/tbl lists normally,
+    ADVICE r6), computed on the URI path portion when the full-URI
+    prefix misses (ViewFileSystem target resolution, ADVICE r8); when
+    neither nests the file is KEPT — never silently drop listed data."""
+    from urllib.parse import urlparse
+
+    prefix = root if root.endswith("/") else root + "/"
+    if full.startswith(prefix):
+        rel = full[len(prefix):]
+    else:
+        fp = urlparse(full).path or full
+        rp = urlparse(root).path or root
+        rp = rp if rp.endswith("/") else rp + "/"
+        if not fp.startswith(rp):
+            return False
+        rel = fp[len(rp):]
+    return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
+
+
 def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
     """RECURSIVE parquet data-file listing, returning ``(path, size,
     mtime_ms)`` FILE IDENTITY triples — nested/hive layouts fully covered
     (a top-level-only listing would silently omit nested files and the
     pruned reads would drop their rows, violating the superset contract),
     hidden files/dirs (``_``/``.`` prefixes, e.g. ``_SUCCESS``) excluded
-    below the root exactly the way Spark's own file index excludes them.
+    below the root via :func:`_hidden_below_root` so the manifest domain
+    matches what ``spark.read.parquet`` scans.
 
     Round 9: the listing runs through Spark's OWN file index — a
-    ``binaryFile`` scan with ``recursiveFileLookup`` + ``*.parquet`` glob,
-    reading only (path, length, modificationTime), so the content column
-    is pruned and no file bytes move. Rationale at 100 TB: the previous
-    shape drained a Hadoop ``listFiles`` RemoteIterator through the py4j
+    ``binaryFile`` scan with ``recursiveFileLookup`` + ``*.parquet`` glob
+    (root glob-escaped, :func:`_glob_escape`), reading only
+    (path, length, modificationTime), so the content column is pruned
+    and no file bytes move. Rationale at 100 TB: the previous shape
+    drained a Hadoop ``listFiles`` RemoteIterator through the py4j
     gateway at ~7 driver round trips PER FILE (~6 ms/file measured —
     minutes of pure driver stall at 100k files), while the engine path
     parallelizes discovery across the cluster (driver thread pool below,
     a distributed job above ``parallelPartitionDiscovery.threshold``) and
-    only the O(files) status rows collect. Verified bit-identical to the
-    gateway drain on nested + hidden-dir fixtures (equality pinned in
-    tests). Paths/sizes/mtimes come from the same ``FileStatus`` Spark's
+    only the O(files) status rows collect. Bit-identical to the gateway
+    drain (equality pinned in tests, incl. the strict-vs-``=`` hidden
+    cases). Paths/sizes/mtimes come from the same ``FileStatus`` Spark's
     scans qualify, so set algebra against scan-derived manifests
     (``_metadata.file_path`` / ``file_size`` /
     ``unix_millis(file_modification_time)``) stays exact — which is what
@@ -178,24 +223,15 @@ def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
     the SAME name. The gateway drain survives as
     :func:`_list_parquet_statuses_gateway`, the logged fallback for
     stores where the ``binaryFile`` scan itself fails."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    root_status = fs.getFileStatus(p)
+    root_status = _root_file_status(spark, path)
     if root_status.isFile():
-        return [
-            (
-                root_status.getPath().toString(),
-                root_status.getLen(),
-                root_status.getModificationTime(),
-            )
-        ]
+        return [_status_triple(root_status)]
     try:
         rows = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.parquet")
             .option("recursiveFileLookup", "true")
-            .load(path)
+            .load(_glob_escape(path))
             .select(
                 "path",
                 "length",
@@ -211,12 +247,37 @@ def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
             "the gateway drain — correct but O(files) driver round trips",
             path, type(exc).__name__, exc,
         )
-        return _list_parquet_statuses_gateway(spark, path)
-    return sorted((r["path"], r["length"], r["mtime"]) for r in rows)
+        return _list_parquet_statuses_gateway(
+            spark, path, root_status=root_status
+        )
+    root = root_status.getPath().toString()
+    return sorted(
+        (r["path"], r["length"], r["mtime"])
+        for r in rows
+        if not _hidden_below_root(r["path"], root)
+    )
+
+
+def _root_file_status(spark, path: str):
+    """The Hadoop ``FileStatus`` of the listing root (one gateway round
+    trip) — shared by both listing implementations so the root-is-file
+    short-circuit cannot diverge between them."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getFileStatus(p)
+
+
+def _status_triple(status) -> tuple[str, int, int]:
+    return (
+        status.getPath().toString(),
+        status.getLen(),
+        status.getModificationTime(),
+    )
 
 
 def _list_parquet_statuses_gateway(
-    spark, path: str
+    spark, path: str, *, root_status=None
 ) -> list[tuple[str, int, int]]:
     """Driver-side fallback listing: drain Hadoop ``listFiles(path, true)``
     through the py4j gateway. Semantics identical to
@@ -227,27 +288,31 @@ def _list_parquet_statuses_gateway(
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    root_status = fs.getFileStatus(p)
+    if root_status is None:
+        root_status = fs.getFileStatus(p)
     if root_status.isFile():
-        return [
-            (
-                root_status.getPath().toString(),
-                root_status.getLen(),
-                root_status.getModificationTime(),
-            )
-        ]
+        return [_status_triple(root_status)]
     # Hidden-segment filtering must be RELATIVE to the listing root — a
     # dataset legitimately living under a '.'/'_'-prefixed ANCESTOR
     # (~/.local/share/..., /data/_warehouse/tbl) would otherwise list as
-    # empty and the pruned read would silently return 0 rows. Spark's own
-    # InMemoryFileIndex filters hidden names only below the root, same rule.
+    # empty and the pruned read would silently return 0 rows.
     root = root_status.getPath().toString()
     prefix = root if root.endswith("/") else root + "/"
-    # Scheme/authority-free fallback prefix: ViewFileSystem / mounted
-    # namespaces legitimately return TARGET-resolved paths from listFiles
-    # (different scheme/authority) while getFileStatus reports the view
-    # path (ADVICE r8) — the path PORTION still nests, so relative hidden
-    # filtering stays exact even when the full-URI prefix test misses.
+    # Prefix candidates beyond the qualified root, tried in order:
+    # (a) the mount-RESOLVED root — ViewFileSystem/mounted namespaces
+    # return target-resolved paths from listFiles (possibly remapping the
+    # path portion too, e.g. viewfs://c/data/tbl -> hdfs://ns/warehouse/
+    # data/tbl) while getFileStatus reports the view path (ADVICE r8);
+    # resolvePath surfaces the exact target prefix. (b) the scheme/
+    # authority-free path portion, for mounts that resolve scheme and
+    # authority but keep the path.
+    try:
+        resolved = fs.resolvePath(p).toString()
+        resolved_prefix = (
+            resolved if resolved.endswith("/") else resolved + "/"
+        )
+    except Exception:  # store without resolvePath support
+        resolved_prefix = None
     root_path = root_status.getPath().toUri().getPath() or "/"
     path_prefix = root_path if root_path.endswith("/") else root_path + "/"
     out: list[tuple[str, int, int]] = []
@@ -262,18 +327,19 @@ def _list_parquet_statuses_gateway(
         full = fp.toString()
         if full.startswith(prefix):
             rel = full[len(prefix):]
+        elif resolved_prefix and full.startswith(resolved_prefix):
+            rel = full[len(resolved_prefix):]
         else:
             full_path = fp.toUri().getPath()
             if not full_path.startswith(path_prefix):
-                # neither the qualified URI nor the scheme-free path nests
-                # under the root; guessing here would silently re-enable
-                # ABSOLUTE-path hidden filtering and reintroduce the
-                # empty-listing bug the relative filter fixed (ADVICE r7)
-                # — fail loudly instead.
+                # no candidate prefix nests the listed path; guessing
+                # would silently re-enable ABSOLUTE-path hidden filtering
+                # and reintroduce the empty-listing bug the relative
+                # filter fixed (ADVICE r7) — fail loudly instead.
                 raise RuntimeError(
                     f"_list_parquet_statuses: listed path {full!r} is not "
                     f"under the qualified listing root {prefix!r} (nor its "
-                    f"path portion under {path_prefix!r}) — qualification "
+                    f"resolved/path-portion prefixes) — qualification "
                     "mismatch between getFileStatus and listFiles"
                 )
             rel = full_path[len(path_prefix):]
@@ -318,17 +384,34 @@ def _zone_map_for_files(
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
 
+        # Store-agnostic footer opens (round 9): resolve the qualified URI
+        # through pyarrow's filesystem registry (file:/hdfs:/s3: — whatever
+        # scheme the listing qualified) instead of the previous local-only
+        # `replace("file:", "")` hack. The filesystem is memoized by URI
+        # prefix — from_uri constructs a NEW filesystem per call (for
+        # object stores that's credential-chain/region resolution), which
+        # would dominate the microsecond footer GET if paid per file.
+        fs_by_prefix: list[tuple[str, object]] = []
+
         def open_footer(uri: str):
-            # Store-agnostic footer open (round 9): resolve the qualified
-            # URI through pyarrow's filesystem registry (file:/hdfs:/s3:
-            # — whatever scheme the listing qualified) instead of the
-            # previous local-only `replace("file:", "")` hack, so the
-            # executor-side footer read works against the same stores the
-            # engine scans. Unknown schemes fall back to the raw path.
+            if uri.startswith("file:"):
+                # Hadoop-qualified local path: strip the scheme directly.
+                # from_uri would require a VALID URI, and Hadoop emits the
+                # DECODED form — a filename with brackets/spaces is not
+                # URI-parseable but is a perfectly good local path.
+                local = uri[5:]
+                while local.startswith("//"):
+                    local = local[1:]
+                return pq.ParquetFile(local)
+            for pre, fsys in fs_by_prefix:
+                if uri.startswith(pre):
+                    return pq.ParquetFile(fsys.open_input_file(uri[len(pre):]))
             try:
                 fsys, rel = pafs.FileSystem.from_uri(uri)
             except Exception:  # scheme pyarrow can't resolve
                 return pq.ParquetFile(uri)
+            if rel and uri.endswith(rel):
+                fs_by_prefix.append((uri[: len(uri) - len(rel)], fsys))
             return pq.ParquetFile(fsys.open_input_file(rel))
 
         for pdf in batches:
@@ -562,10 +645,13 @@ def zone_map_update(
     if not new:
         return existing
     fresh = _zone_map_for_files(spark, new, cols)
-    if "file_size" not in existing.columns:
-        # pre-identity manifest (round-7 schema): keep the union well-typed;
-        # such a manifest degrades to name-only churn detection.
-        fresh = fresh.drop("file_size", "file_mtime")
+    missing = [c for c in _IDENTITY_COLS if c not in existing.columns]
+    if missing:
+        # pre-/partial-identity manifest (round-7 schema, or one identity
+        # column swapped out, e.g. mtime->etag): drop exactly the columns
+        # the existing manifest lacks so the union stays well-typed; such
+        # a manifest reconciles by name only (_has_identity needs both).
+        fresh = fresh.drop(*missing)
     return existing.unionByName(fresh)
 
 
@@ -877,10 +963,11 @@ def bloom_manifest_update(
     fresh = _bloom_manifest_from_scan(
         spark.read.parquet(*[f for f, _, _ in new]), col, m_bits=m_bits, k=k
     )
-    if "file_size" not in existing.columns:
-        # pre-identity manifest (round-7 schema): keep the union well-typed;
-        # such a manifest degrades to name-only churn detection.
-        fresh = fresh.drop("file_size", "file_mtime")
+    missing = [c for c in _IDENTITY_COLS if c not in existing.columns]
+    if missing:
+        # pre-/partial-identity manifest: drop exactly the columns the
+        # existing manifest lacks (see zone_map_update).
+        fresh = fresh.drop(*missing)
     return existing.unionByName(fresh)
 
 

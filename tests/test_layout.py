@@ -1233,6 +1233,34 @@ class TestListingQualificationDrift:
             "hdfs://targetns/data/tbl/nested/b.parquet",
         ]
 
+    def test_remapped_mount_resolves_via_resolvePath(self, monkeypatch):
+        """A ViewFileSystem mount that REMAPS the path portion
+        (viewfs://c/data/tbl -> hdfs://ns/warehouse/data/tbl): neither the
+        view-root URI nor its path portion prefixes the listed paths, but
+        fs.resolvePath surfaces the target root — relative hidden
+        filtering must work against it instead of raising."""
+        from quantms_utils_spark.operators.layout import (
+            _list_parquet_statuses_gateway,
+        )
+
+        fake = self._fake_spark(
+            monkeypatch,
+            "viewfs://cluster/data/tbl",
+            [
+                "hdfs://ns/warehouse/data/tbl/a.parquet",
+                "hdfs://ns/warehouse/data/tbl/_tmp/skip.parquet",
+            ],
+        )
+        # attach a resolvePath that reports the remapped target root
+        T = TestListingQualificationDrift
+        fake._jvm.org.apache.hadoop.fs.Path("x")._fs.resolvePath = (
+            lambda p: T._Path("hdfs://ns/warehouse/data/tbl")
+        )
+        got = _list_parquet_statuses_gateway(fake, "viewfs://cluster/data/tbl")
+        assert [f for f, _, _ in got] == [
+            "hdfs://ns/warehouse/data/tbl/a.parquet"
+        ]
+
     def test_genuine_drift_fails_loudly(self, monkeypatch):
         """Neither the full URI nor the path portion nests under the root:
         guessing would re-enable absolute-path hidden filtering (the r7
@@ -1445,6 +1473,11 @@ def test_engine_listing_equals_gateway_listing(spark, tmp_path):
     wf("_staging/skip1.parquet")   # hidden intermediate dir
     wf(".hidden/skip2.parquet")    # hidden intermediate dir
     wf("_skip3.parquet")           # hidden leaf
+    (root / "_year=2020").mkdir()
+    wf("_year=2020/skip4.parquet")  # '='-containing '_'-dir: recursive
+    wf("_x=1.parquet")              # lookup keeps these, the parquet scan
+    # ignores them (verified on 4.1.2) — the manifest domain must match
+    # the SCAN, so both listings exclude them (strict rule).
     (root / "notes.txt").write_text("not parquet")
 
     engine = _list_parquet_statuses(spark, str(root))
@@ -1457,4 +1490,80 @@ def test_engine_listing_equals_gateway_listing(spark, tmp_path):
     single = str(root / "a.parquet")
     assert _list_parquet_statuses(spark, single) == (
         _list_parquet_statuses_gateway(spark, single)
+    )
+
+
+def test_listing_root_with_glob_metachars_is_literal(spark, tmp_path):
+    """Round-9: DataFrameReader.load glob-interprets its path — a literal
+    directory named with glob metachars (run[12]) must list ITS OWN files,
+    not a sibling's (run1/), which is what an unescaped load silently
+    does. The listing escapes the root; Hadoop Path APIs are literal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quantms_utils_spark.operators.layout import (
+        _list_parquet_statuses,
+        file_zone_map,
+    )
+
+    tbl = pa.table({"k": pa.array([1.0, 2.0], pa.float64())})
+    g = tmp_path / "run[12]"
+    sib = tmp_path / "run1"
+    g.mkdir(); sib.mkdir()
+    pq.write_table(tbl, str(g / "mine.parquet"))
+    pq.write_table(tbl, str(sib / "other.parquet"))
+
+    got = _list_parquet_statuses(spark, str(g))
+    assert [f.rsplit("/", 1)[-1] for f, _, _ in got] == ["mine.parquet"]
+    zm = file_zone_map(spark, str(g), ["k"]).collect()
+    assert len(zm) == 1 and zm[0]["file"].endswith("mine.parquet")
+
+
+def test_partial_identity_manifest_updates_and_reconciles(spark, tmp_path):
+    """Round-9 (review finding): a manifest carrying only ONE identity
+    column (e.g. a partially migrated schema, or mtime swapped for an
+    etag) must not crash the update union — exactly the missing columns
+    drop from the fresh rows, and reconcile degrades to name-only."""
+    import os
+
+    from quantms_utils_spark.operators.layout import (
+        bloom_manifest_update,
+        file_bloom_manifest,
+        file_zone_map,
+        manifest_reconcile,
+        zone_map_update,
+    )
+
+    path = str(tmp_path / "partialid")
+    spark.range(0, 2_000).select(
+        F.col("id"), (F.col("id") % 40).cast("double").alias("k"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    zm = (
+        file_zone_map(spark, path, ["k"]).drop("file_mtime").localCheckpoint()
+    )
+    bm = (
+        file_bloom_manifest(spark, path, "tag", m_bits=512, k=2)
+        .drop("file_mtime")
+        .localCheckpoint()
+    )
+    victim = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(path, victim))
+    spark.range(5_000, 5_500).select(
+        F.col("id"), (F.col("id") % 40).cast("double").alias("k"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    zm2 = zone_map_update(
+        spark, path, ["k"], manifest_reconcile(spark, path, zm)
+    )
+    bm2 = bloom_manifest_update(
+        spark, path, "tag", manifest_reconcile(spark, path, bm),
+        m_bits=512, k=2,
+    )
+    assert sorted(zm2.columns) == sorted(zm.columns)  # no file_mtime back
+    assert zm2.count() == 2 and bm2.count() == 2
+    assert (
+        zm2.select(F.sum("n_rows")).collect()[0][0]
+        == spark.read.parquet(path).count()
     )
