@@ -569,19 +569,27 @@ def _read_pruned(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(keep_cond, 1)).alias("kept"),
     ).collect()[0]
+    # Every spark.read.parquet argument below is a LITERAL path (the
+    # table root, or manifest file paths in Hadoop's decoded form), so
+    # glob metacharacters must be escaped (_glob_escape) or a bracketed
+    # dir name silently reads a DIFFERENT file set. basePath stays RAW:
+    # it's a literal prefix compared against the scanned file paths, and
+    # escaping it would break that match.
     if stats["total"] == 0:
         # An empty manifest proves nothing about the data — a stale or
         # mis-built manifest (e.g. a listing bug) must degrade to the
         # unpruned scan (superset contract), never to silent 0 rows.
-        return spark.read.parquet(path)
+        return spark.read.parquet(_glob_escape(path))
     if stats["kept"] == 0:
-        return spark.read.parquet(path).limit(0)
+        return spark.read.parquet(_glob_escape(path)).limit(0)
     if stats["kept"] == stats["total"]:
-        return spark.read.parquet(path)
+        return spark.read.parquet(_glob_escape(path))
     paths = _pruned_paths(manifest, keep_cond, max_list)
     if paths is None:
-        return spark.read.parquet(path)
-    return spark.read.option("basePath", path).parquet(*paths)
+        return spark.read.parquet(_glob_escape(path))
+    return spark.read.option("basePath", path).parquet(
+        *[_glob_escape(p) for p in paths]
+    )
 
 
 def zone_pruned_read(
@@ -808,7 +816,7 @@ def file_bloom_manifest(
     if k <= 0:
         raise ValueError("k must be positive")
     return _bloom_manifest_from_scan(
-        spark.read.parquet(path), col, m_bits=m_bits, k=k
+        spark.read.parquet(_glob_escape(path)), col, m_bits=m_bits, k=k
     )
 
 
@@ -961,7 +969,8 @@ def bloom_manifest_update(
     if not new:
         return existing
     fresh = _bloom_manifest_from_scan(
-        spark.read.parquet(*[f for f, _, _ in new]), col, m_bits=m_bits, k=k
+        spark.read.parquet(*[_glob_escape(f) for f, _, _ in new]),
+        col, m_bits=m_bits, k=k,
     )
     missing = [c for c in _IDENTITY_COLS if c not in existing.columns]
     if missing:

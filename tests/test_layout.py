@@ -1515,8 +1515,23 @@ def test_listing_root_with_glob_metachars_is_literal(spark, tmp_path):
 
     got = _list_parquet_statuses(spark, str(g))
     assert [f.rsplit("/", 1)[-1] for f, _, _ in got] == ["mine.parquet"]
-    zm = file_zone_map(spark, str(g), ["k"]).collect()
-    assert len(zm) == 1 and zm[0]["file"].endswith("mine.parquet")
+    zm = file_zone_map(spark, str(g), ["k"]).localCheckpoint()
+    rows = zm.collect()
+    assert len(rows) == 1 and rows[0]["file"].endswith("mine.parquet")
+    # end-to-end: BOTH pruned-read branches (full-scan short-circuit and
+    # the explicit pruned path list) read the literal dir, never run1/
+    from quantms_utils_spark.operators.layout import zone_pruned_read
+
+    full = zone_pruned_read(spark, str(g), zm, "k", 0.0, 10.0)  # kept==total
+    assert full.count() == 2
+    import pandas as pd  # noqa: F401
+    two = zm.unionByName(
+        zm.withColumn("file", F.concat(F.col("file"), F.lit(".gone")))
+          .withColumn("k_min", F.lit(100.0))
+          .withColumn("k_max", F.lit(200.0))
+    )
+    part = zone_pruned_read(spark, str(g), two, "k", 0.0, 10.0)  # partial
+    assert part.count() == 2
 
 
 def test_partial_identity_manifest_updates_and_reconciles(spark, tmp_path):
