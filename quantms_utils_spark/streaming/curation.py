@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from quantms_utils_spark.operators.layout import _glob_escape
+
 __all__ = ["classify_and_grow", "start_continuous_ingest"]
 
 
@@ -76,7 +78,10 @@ def _read_standing(
     dirs = _list_epoch_dirs(spark, corpus_dir, before_epoch)
     if not dirs:
         return spark.createDataFrame([], fp_schema)
-    return spark.read.schema(fp_schema).parquet(*dirs)
+    # literal listed paths: escape glob metachars (see operators.layout._glob_escape)
+    return spark.read.schema(fp_schema).parquet(
+        *[_glob_escape(d) for d in dirs]
+    )
 
 
 def classify_and_grow(
@@ -100,10 +105,15 @@ def classify_and_grow(
     fps = batch_df.select(
         F.col(id_col).alias("bid"), _norm_fp(text_col).alias("fp")
     )
-    # in-batch keeper per fingerprint (min id), then standing-corpus lookup
+    # in-batch keeper per fingerprint (min id), then standing-corpus lookup.
+    # LEFT join (round 9): a NULL fingerprint (NULL text) never
+    # equi-matches, and the previous inner join silently DROPPED such
+    # docs from the epoch output; with the left join they classify 'new'
+    # with no match, exactly as the batch twin incremental_dedup's left
+    # join does.
     keepers = fps.groupBy("fp").agg(F.min("bid").alias("keeper_id"))
     classified = (
-        fps.join(keepers, "fp")
+        fps.join(keepers, "fp", "left")
         .join(F.broadcast(standing), "fp", "left")
         .select(
             F.col("bid").alias(id_col),
@@ -120,9 +130,12 @@ def classify_and_grow(
     classified.write.mode("overwrite").parquet(
         f"{out_dir}/epoch={int(epoch_id)}"
     )
-    # grow the standing corpus with genuinely-new fingerprints only
+    # grow the standing corpus with genuinely-new fingerprints only; a
+    # NULL fingerprint is excluded — it can never match anything later,
+    # so storing it would only accrete junk rows in the corpus
     new_fps = (
-        keepers.join(standing.select("fp"), "fp", "left_anti")
+        keepers.filter(F.col("fp").isNotNull())
+        .join(standing.select("fp"), "fp", "left_anti")
         .select("fp", F.col("keeper_id").alias("match_id"))
     )
     new_fps.write.mode("overwrite").parquet(
@@ -209,9 +222,11 @@ def classify_and_grow_near(
     fps = batch_df.select(
         F.col(id_col).alias("bid"), _norm_fp(text_col).alias("fp")
     )
+    # LEFT join for the same NULL-fingerprint reason as classify_and_grow:
+    # NULL-text docs must classify 'new', never silently drop
     keepers = fps.groupBy("fp").agg(F.min("bid").alias("keeper_id"))
     base = (
-        fps.join(keepers, "fp")
+        fps.join(keepers, "fp", "left")
         .join(F.broadcast(standing_fp), "fp", "left")
         .select(
             "bid",
@@ -288,7 +303,11 @@ def classify_and_grow_near(
     new_ids = classified.filter(F.col("status") == "new").select(
         F.col(id_col)
     )
-    new_docs = batch_df.join(new_ids, id_col, "left_semi")
+    # NULL-text 'new' docs stay OUT of the corpus: no fingerprint, no
+    # shingles — they can never match a later doc, only accrete junk
+    new_docs = batch_df.join(new_ids, id_col, "left_semi").filter(
+        _norm_fp(text_col).isNotNull()
+    )
     new_docs.select(
         _norm_fp(text_col).alias("fp"), F.col(id_col).alias("match_id")
     ).write.mode("overwrite").parquet(f"{corpus_dir}/fps/epoch={epoch}")

@@ -19,8 +19,17 @@ Scale / correctness shape (same contract as ``streaming.curation``):
   instead of classifying the epoch against itself.
 - Change detection is the same map-side ``xxhash64`` over canonicalized
   non-key columns as batch ``table_diff`` (hash contract documented
-  there); only (keys, 8-byte digest) rows persist as state — state size
-  is proportional to the key space, never the payload.
+  there); only (keys, 8-byte digest) rows persist as state — and only
+  for the epoch's CHANGED keys (round 9): ``max_by(digest, epoch)``
+  reconstructs each key's latest digest whether or not later epochs
+  re-wrote it, so re-delivered full snapshots (the common CDC-polling
+  shape) grow state O(changes) per epoch, not O(keys) — previously every
+  epoch persisted the whole key set and state grew with total rows seen.
+- NULL key values are first-class (round 9): last-per-key collapses via
+  a window (partitionBy groups NULLs like groupBy), and the standing
+  lookup joins null-safely — the previous equi-joins silently dropped
+  NULL-key rows that batch ``table_diff``'s full-outer join classifies
+  as inserted.
 - Within a batch, the LAST row per key wins (upsert semantics), ordered
   by a stable in-batch sequence via ``monotonically_increasing_id``.
 """
@@ -29,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from quantms_utils_spark.operators.layout import _glob_escape
 from quantms_utils_spark.streaming.curation import _list_epoch_dirs
 
 __all__ = ["diff_and_apply", "start_continuous_diff"]
@@ -68,7 +78,9 @@ def diff_and_apply(
 
     dirs = _list_epoch_dirs(spark, state_dir, int(epoch_id))
     if dirs:
-        prior = spark.read.schema(state_schema).parquet(*dirs)
+        prior = spark.read.schema(state_schema).parquet(
+            *[_glob_escape(d) for d in dirs]
+        )
         standing = (
             prior.groupBy(*keys)
             .agg(F.max_by("digest", "epoch").alias("_prev"))
@@ -78,33 +90,61 @@ def diff_and_apply(
             *keys, F.col("digest").alias("_prev")
         )
 
-    # upsert semantics inside the batch: last row per key wins
-    seq = batch_df.withColumn("_seq", F.monotonically_increasing_id())
-    latest = seq.groupBy(*keys).agg(F.max("_seq").alias("_seq"))
-    batch_last = seq.join(latest, [*keys, "_seq"]).drop("_seq")
+    # upsert semantics inside the batch: last row per key wins. A window
+    # (not a groupBy + self-join-back) so NULL key values collapse into
+    # their own group instead of vanishing through a null-rejecting
+    # equi-join, and the full row rides along — no second join needed.
+    from functools import reduce
 
-    digests = _digest(batch_last, keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc())
+    batch_last = (
+        batch_df.withColumn("_seq", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_seq", "_rn")
+    )
+
+    non_keys = [c for c in batch_last.columns if c not in keys]
+    payload = (
+        F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in non_keys
+            ]
+        )
+        if non_keys
+        else F.lit(0).cast("long")
+    )
+    digested = batch_last.withColumn("digest", payload).alias("b")
+    s = standing.alias("s")
+    # null-safe standing lookup: a NULL-key row must compare against its
+    # stored digest, not classify 'inserted' forever
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"b.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
     classified = (
-        digests.join(standing, keys, "left")
+        digested.join(s, cond, "left")
+        .select("b.*", F.col("s._prev").alias("_prev"))
         .withColumn(
             "status",
             F.when(F.col("_prev").isNull(), F.lit("inserted"))
             .when(F.col("_prev") != F.col("digest"), F.lit("updated"))
             .otherwise(F.lit("unchanged")),
         )
+        .localCheckpoint(eager=True)  # one computation feeds both writes
     )
-    changes = (
-        batch_last.join(
-            classified.filter(F.col("status") != "unchanged").select(
-                *keys, "status"
-            ),
-            keys,
-        )
+    changes = classified.filter(F.col("status") != "unchanged")
+    changes.drop("digest", "_prev").write.mode("overwrite").parquet(
+        f"{out_dir}/epoch={int(epoch_id)}"
     )
-    changes.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
-    digests.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/epoch={int(epoch_id)}")
+    # state delta: ONLY the changed keys' digests — unchanged keys keep
+    # their older-epoch rows and max_by still reconstructs them
+    changes.select(
+        *keys, "digest", F.lit(int(epoch_id)).alias("epoch")
+    ).write.mode("overwrite").parquet(f"{state_dir}/epoch={int(epoch_id)}")
 
 
 def start_continuous_diff(

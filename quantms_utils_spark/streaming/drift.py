@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from quantms_utils_spark.operators.layout import _glob_escape
 from quantms_utils_spark.operators.ml import population_stability_from_counts
 from quantms_utils_spark.streaming.curation import _list_epoch_dirs
 
@@ -37,10 +38,19 @@ def bins_batch(
     batch_df: DataFrame, epoch_id: int, *, bin_col: str, state_dir: str
 ) -> None:
     """foreachBatch callback: collapse the batch to per-bin counts and
-    record them as ``epoch=N`` (replay-safe overwrite)."""
-    counts = batch_df.groupBy(F.col(bin_col).alias("bin")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    record them as ``epoch=N`` (replay-safe overwrite). ``bin_col`` must
+    be an integral histogram-bin index — it is cast to long so the state
+    matches the pinned ``_BIN_SCHEMA`` read (an int32 column written
+    as-is would fail the schema-forced re-read); a non-integral column
+    fails loudly here instead of corrupting state."""
+    dt = batch_df.schema[bin_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bin_col must be an integral bin index, got {bin_col!r}: {dt}"
+        )
+    counts = batch_df.groupBy(
+        F.col(bin_col).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
     counts.write.mode("overwrite").parquet(f"{state_dir}/epoch={int(epoch_id)}")
 
 
@@ -55,7 +65,7 @@ def standing_bins(
         return spark.createDataFrame([], _BIN_SCHEMA).drop("epoch")
     return (
         spark.read.schema(_BIN_SCHEMA)
-        .parquet(*dirs)
+        .parquet(*[_glob_escape(d) for d in dirs])
         .groupBy("bin")
         .agg(F.sum("n").alias("n"))
     )

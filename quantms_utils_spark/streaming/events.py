@@ -137,6 +137,18 @@ def sessionize_stateful(
             val_list.append(pdf["value"])
         ts = pd.concat(ts_list)
         vals = pd.concat(val_list)
+
+        def arm_timeout(deadline_ms: int) -> None:
+            # setTimeoutTimestamp RAISES (INVALID_TIMEOUT_TIMESTAMP,
+            # killing the whole query) when the deadline is already
+            # behind the watermark — reachable when a key receives only
+            # null-ts rows (they pass the late filter) in the batch where
+            # the watermark first passes its stored deadline, since data
+            # is processed before timeouts fire. Clamp to watermark+1 so
+            # the session flushes on the NEXT timeout sweep instead.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(deadline_ms), wm + 1))
+
         # Null event times would become NaT → int64-min → a garbage session
         # start AND a setTimeoutTimestamp before the watermark, which kills
         # the whole query. Drop them row-wise instead.
@@ -145,7 +157,7 @@ def sessionize_stateful(
         if len(ts) == 0:
             if state.exists:
                 start, last, n, total = state.get
-                state.setTimeoutTimestamp(int(last) // 1000 + gap_seconds * 1000)
+                arm_timeout(int(last) // 1000 + gap_seconds * 1000)
             return
         order = ts.argsort(kind="stable")
         # Normalize to µs regardless of the incoming datetime64 resolution
@@ -173,8 +185,10 @@ def sessionize_stateful(
                 total += float(v)
 
         state.update((int(start), int(last), int(n), float(total)))
-        # Flush the open session once event time passes its gap deadline.
-        state.setTimeoutTimestamp(int(last) // 1000 + gap_seconds * 1000)
+        # Flush the open session once event time passes its gap deadline
+        # (watermark-clamped: allowed-late rows can carry event times whose
+        # deadline already trails the watermark).
+        arm_timeout(int(last) // 1000 + gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -539,7 +553,10 @@ def attribute_purchases_stateful(
             if etype == "purchase":
                 if last is not None:
                     out.append((user_id, int(eid), last, float(val)))
-            else:
+            elif pd.notna(etype):
+                # a NULL event_type must not clobber the carried channel —
+                # the batch twin uses last(..., ignorenulls=True); a None/
+                # NaN here would also poison the StringType state column
                 last = etype
         state.update((last,))
         if out:

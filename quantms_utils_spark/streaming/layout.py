@@ -130,13 +130,21 @@ def current_zone_manifest(spark, manifest_dir: str) -> DataFrame:
     """The standing zone-map manifest: one row per landed data file,
     assembled by reading the epoch-keyed manifest table (the epoch
     partition column is dropped — pruning is file-granular)."""
-    return spark.read.parquet(f"{manifest_dir}/zone").drop("epoch")
+    from quantms_utils_spark.operators.layout import _glob_escape
+
+    return spark.read.parquet(
+        _glob_escape(f"{manifest_dir}/zone")
+    ).drop("epoch")
 
 
 def current_bloom_manifest(spark, manifest_dir: str) -> DataFrame:
     """The standing Bloom manifest, same assembly as
     :func:`current_zone_manifest`."""
-    return spark.read.parquet(f"{manifest_dir}/bloom").drop("epoch")
+    from quantms_utils_spark.operators.layout import _glob_escape
+
+    return spark.read.parquet(
+        _glob_escape(f"{manifest_dir}/bloom")
+    ).drop("epoch")
 
 
 __all__ = [

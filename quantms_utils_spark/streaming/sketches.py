@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from quantms_utils_spark.operators.layout import _glob_escape
 from quantms_utils_spark.operators.sketches import cms_build, cms_estimate
 from quantms_utils_spark.streaming.curation import _list_epoch_dirs
 
@@ -63,7 +64,7 @@ def merged_sketch(
         return spark.createDataFrame([], _CELL_SCHEMA).drop("epoch")
     return (
         spark.read.schema(_CELL_SCHEMA)
-        .parquet(*dirs)
+        .parquet(*[_glob_escape(d) for d in dirs])
         .groupBy("cms_row", "cms_bucket")
         .agg(F.sum("cms_cnt").alias("cms_cnt"))
     )
@@ -145,6 +146,7 @@ def merged_kmv(
     *,
     k: int,
     upto_epoch: int | None = None,
+    group_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """The standing KMV sketch per group: ``kmv_merge`` over recorded
     epochs. Because the k smallest of a union are always among the union
@@ -157,10 +159,22 @@ def merged_kmv(
 
     before = (1 << 62) if upto_epoch is None else int(upto_epoch)
     dirs = _list_epoch_dirs(spark, state_dir, before)
-    schema = ", ".join(f"{g} string" for g in group_cols) + ", kmv array<bigint>"
     if not dirs:
+        # No epoch exists yet, so group-column types cannot be read from
+        # the state — pass ``group_types`` ({col: spark type string}) for
+        # non-string groups, or the empty frame defaults them to string
+        # and a downstream unionByName/join against the real type fails
+        # only on fresh state (the schema converges once an epoch lands).
+        types = group_types or {}
+        schema = (
+            ", ".join(f"{g} {types.get(g, 'string')}" for g in group_cols)
+            + ", kmv array<bigint>"
+        )
         return spark.createDataFrame([], schema)
-    return kmv_merge(spark.read.parquet(*dirs), group_cols, k=k)
+    return kmv_merge(
+        spark.read.parquet(*[_glob_escape(d) for d in dirs]),
+        group_cols, k=k,
+    )
 
 
 def start_continuous_kmv(

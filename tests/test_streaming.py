@@ -1659,3 +1659,193 @@ def test_epoch_slice_manifests_carry_no_identity_columns(spark, tmp_path):
         assert "file_mtime" not in df.columns
     assert {"file", "n_rows", "k_min", "k_max"} <= set(zm.columns)
     assert {"file", "n_values", "bloom"} <= set(bm.columns)
+
+
+def test_classify_and_grow_null_text_classifies_new(spark, tmp_path):
+    """Round-9 (review finding): a NULL-text document must appear in the
+    epoch output classified 'new' — the previous inner keeper-join
+    silently dropped it (null fp never equi-matches), diverging from the
+    batch twin incremental_dedup's left join. NULL fingerprints also
+    stay out of the standing corpus."""
+    from quantms_utils_spark.streaming.curation import classify_and_grow
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    classify_and_grow(b0, 0, corpus_dir=corpus_dir, out_dir=out_dir)
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(out_dir + "/epoch=0").collect()
+    }
+    assert got == {
+        1: ("new", None),
+        2: ("new", None),          # present, not silently dropped
+        3: ("batch_dup", 1),
+    }
+    fps = spark.read.parquet(corpus_dir + "/epoch=0").collect()
+    assert all(r["fp"] is not None for r in fps)  # no junk NULL-fp rows
+    assert len(fps) == 1
+
+
+def test_continuous_diff_null_key_rows_are_first_class(spark, tmp_path):
+    """Round-9 (review finding): a NULL key value must flow through the
+    CDC loop like any other key — emitted 'inserted' once, then
+    'unchanged' (no output) on re-delivery, 'updated' on change. The
+    previous equi-joins dropped NULL-key rows entirely."""
+    from quantms_utils_spark.streaming.diff import diff_and_apply
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (None, "x")], "k long, v string"
+    )
+    diff_and_apply(b0, 0, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    out0 = {
+        (r["k"], r["v"], r["status"])
+        for r in spark.read.parquet(out_dir + "/epoch=0").collect()
+    }
+    assert out0 == {(1, "a", "inserted"), (None, "x", "inserted")}
+
+    # re-delivery: NULL-key row is unchanged -> no output (it previously
+    # either vanished or would re-insert forever)
+    b1 = spark.createDataFrame(
+        [(None, "x"), (2, "b")], "k long, v string"
+    )
+    diff_and_apply(b1, 1, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    out1 = {
+        (r["k"], r["v"], r["status"])
+        for r in spark.read.parquet(out_dir + "/epoch=1").collect()
+    }
+    assert out1 == {(2, "b", "inserted")}
+
+    # change under the NULL key -> updated
+    b2 = spark.createDataFrame([(None, "y")], "k long, v string")
+    diff_and_apply(b2, 2, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    out2 = {
+        (r["k"], r["v"], r["status"])
+        for r in spark.read.parquet(out_dir + "/epoch=2").collect()
+    }
+    assert out2 == {(None, "y", "updated")}
+
+
+def test_continuous_diff_state_grows_with_changes_not_keys(spark, tmp_path):
+    """Round-9 (review finding): each epoch's state slice holds ONLY the
+    changed keys' digests — a re-delivered full snapshot (the common
+    CDC-polling shape) must not re-persist the whole key set per epoch,
+    or state grows O(total rows ever seen)."""
+    from quantms_utils_spark.streaming.diff import diff_and_apply
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    full = [(i, f"v{i}") for i in range(50)]
+    b0 = spark.createDataFrame(full, "k long, v string")
+    diff_and_apply(b0, 0, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    assert spark.read.parquet(state_dir + "/epoch=0").count() == 50
+
+    # full snapshot again, ONE row changed
+    changed = [(i, "CHANGED" if i == 7 else f"v{i}") for i in range(50)]
+    b1 = spark.createDataFrame(changed, "k long, v string")
+    diff_and_apply(b1, 1, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    st1 = spark.read.parquet(state_dir + "/epoch=1").collect()
+    assert len(st1) == 1 and st1[0]["k"] == 7  # O(changes), not O(keys)
+
+    # and the reconstruction still classifies correctly from mixed epochs
+    b2 = spark.createDataFrame(changed, "k long, v string")
+    diff_and_apply(b2, 2, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    assert spark.read.parquet(state_dir + "/epoch=2").count() == 0
+    import os
+
+    assert not os.path.exists(out_dir + "/epoch=2") or (
+        spark.read.parquet(out_dir + "/epoch=2").count() == 0
+    )
+
+
+def test_attribution_null_event_type_keeps_carried_channel(
+    spark, tmp_path
+):
+    """Round-9 (review finding): a NULL event_type between a click and a
+    purchase must not clobber the carried channel — the batch twin uses
+    last(..., ignorenulls=True). Previously the purchase lost its credit
+    (or NaN poisoned the string state)."""
+    import json
+
+    from quantms_utils_spark.streaming.events import (
+        attribute_purchases_stateful,
+    )
+
+    in_dir = tmp_path / "attr_null_in"
+    in_dir.mkdir()
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": "2024-01-01T00:00:00",
+         "event_type": "click", "value": 0.0},
+        {"user_id": 1, "event_id": 2, "ts": "2024-01-01T00:01:00",
+         "event_type": None, "value": 0.0},
+        {"user_id": 1, "event_id": 3, "ts": "2024-01-01T00:02:00",
+         "event_type": "purchase", "value": 9.0},
+    ]
+    with open(in_dir / "b.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, "
+        "event_type string, value double"
+    ).json(str(in_dir))
+    collected = []
+    q = (
+        attribute_purchases_stateful(stream)
+        .writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "attr_null_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert [(r["event_id"], r["channel"], r["value"]) for r in collected] == [
+        (3, "click", 9.0)
+    ]
+
+
+def test_bins_batch_casts_integral_and_rejects_non_integral(
+    spark, tmp_path
+):
+    """Round-9 (review finding): an int32 bin column must round-trip
+    through the pinned 'bin long' state schema (cast on write); a
+    non-integral bin column fails loudly instead of corrupting state."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.streaming.drift import bins_batch, standing_bins
+
+    state_dir = str(tmp_path / "bins")
+    ints = spark.range(100).select((F.col("id") % 4).cast("int").alias("b"))
+    bins_batch(ints, 0, bin_col="b", state_dir=state_dir)
+    got = {
+        r["bin"]: r["n"] for r in standing_bins(spark, state_dir).collect()
+    }
+    assert got == {0: 25, 1: 25, 2: 25, 3: 25}
+
+    strings = spark.range(10).select(F.lit("bucket").alias("b"))
+    with pytest.raises(ValueError, match="integral"):
+        bins_batch(strings, 1, bin_col="b", state_dir=state_dir)
+
+
+def test_merged_kmv_empty_state_honors_group_types(spark, tmp_path):
+    """Round-9 (review finding): before any epoch lands, merged_kmv's
+    empty frame must be able to carry the caller's group-column types —
+    hardcoded strings made fresh-state pipelines fail joins that work
+    once an epoch exists."""
+    from quantms_utils_spark.streaming.sketches import merged_kmv
+
+    empty = merged_kmv(
+        spark, str(tmp_path / "nostate"), ["user_id"], k=8,
+        group_types={"user_id": "bigint"},
+    )
+    assert dict(empty.dtypes)["user_id"] == "bigint"
+    assert empty.count() == 0
