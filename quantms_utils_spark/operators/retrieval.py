@@ -59,6 +59,10 @@ def inverted_postings(
     branch (no common-subexpression reuse across a self-join), doubling the
     token explosion — the window computes df from the already-aggregated
     (term, doc) rows in the same DAG. Two shuffles total, one corpus scan.
+    With ``max_df`` set, a salted pre-pass strips whale terms BEFORE the
+    window (round 9, see inline comment), bounding every window partition
+    at max_df rows — the funnel guard costs one extra pruned corpus pass
+    and only when the caller asked for stopword removal.
     ``first_pos`` is 1-based token position (phrase/proximity seeds).
     """
     toks = docs.select(
@@ -71,6 +75,29 @@ def inverted_postings(
         F.count(F.lit(1)).alias("tf"),
         (F.min("__pos") + 1).alias("first_pos"),
     )
+    if max_df is not None:
+        # Whale guard (round 9): the df window funnels every posting of a
+        # term through ONE partition's sort — a stopword present in ~every
+        # document puts O(corpus) rows into one task even though max_df
+        # would drop it afterwards. Compute the (by definition FEW) whale
+        # terms first via a salted two-phase count — fully parallel, no
+        # single-term partition ever holds more than its salt share — and
+        # broadcast-anti-join them away BEFORE the window, which bounds
+        # every window partition at max_df rows. Costs one extra pruned
+        # (id, term) pass over the corpus; without max_df the single-scan
+        # window shape below is kept unchanged.
+        whale_terms = (
+            toks.groupBy(
+                "term",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).alias("_s"),
+            )
+            .agg(F.count_distinct(F.col(id_col)).alias("_c"))
+            .groupBy("term")
+            .agg(F.sum("_c").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("term")
+        )
+        tf = tf.join(F.broadcast(whale_terms), "term", "left_anti")
     w = Window.partitionBy("term")
     out = tf.withColumn("df", F.count(F.lit(1)).over(w)).filter(
         F.col("df") >= min_df
@@ -96,10 +123,29 @@ def bm25_scores(
 
     idf uses the non-negative BM25+ style ``ln(1 + (N - df + 0.5)/(df + 0.5))``
     so common terms cannot produce negative contributions.
+
+    Query terms are normalized (trim + lowercase) to match
+    ``normalized_tokens``' casing — a raw uppercase term would otherwise
+    silently match nothing — and weighted by their multiplicity in the
+    query (true bag semantics: a term repeated in the query multiplies
+    its contribution, round 9).
+
+    Two corpus passes by design: the (N, avgdl) stats aggregate and the
+    match branch are independent subtrees, and Catalyst has no
+    common-subexpression reuse across them (ReuseExchange needs
+    bit-identical exchanges, which column pruning breaks — verified).
+    The stats subtree only tokenizes and counts (no explode/shuffle of
+    tokens), so the duplicated work is one map-side tokenization, the
+    price of keeping the operator a pure plan with no cache side effects.
     """
-    if not query_terms:
+    from collections import Counter
+
+    qcounts = Counter(
+        t.strip().lower() for t in query_terms if t and t.strip()
+    )
+    if not qcounts:
         raise ValueError("query_terms must be non-empty")
-    terms = F.array(*[F.lit(t) for t in query_terms])
+    terms = F.array(*[F.lit(t) for t in qcounts])
 
     base = docs.select(
         F.col(id_col),
@@ -130,7 +176,19 @@ def bm25_scores(
         1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     )
     denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
-    contrib = idf * F.col("_tf") * (k1 + 1.0) / denom
+    # bag semantics: the contribution of a term repeated in the query
+    # scales with its query frequency (a tiny literal map, k/v per term)
+    qf = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for t, c in qcounts.items()
+                for x in (t, float(c))
+            ]
+        ),
+        F.col("_term"),
+    )
+    contrib = qf * idf * F.col("_tf") * (k1 + 1.0) / denom
     return (
         scored.withColumn("_contrib", contrib)
         .groupBy(id_col)

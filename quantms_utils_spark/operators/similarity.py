@@ -35,7 +35,17 @@ def unit_vector(vec: Column) -> Column:
     return let_once(
         vec,
         lambda v: let_once(
-            l2_norm(v), lambda nr: F.transform(v, lambda x: x / nr)
+            l2_norm(v),
+            lambda nr: F.transform(
+                # zero-norm guard (round 9): an all-zero embedding would
+                # divide by zero — NULL elements (ANSI off) that crash the
+                # numpy GEMMs downstream, or a DivideByZeroException (ANSI
+                # on). Dividing by 1 keeps it the zero vector: cosine 0
+                # against everything, which is the right "no information"
+                # answer.
+                v,
+                lambda x: x / F.when(nr > 0.0, nr).otherwise(F.lit(1.0)),
+            ),
         ),
     )
 
@@ -59,6 +69,41 @@ def cosine_sim(a: Column, b: Column) -> Column:
             _to_double(b),
             lambda bd: dot(ad, bd) / (l2_norm(ad) * l2_norm(bd)),
         ),
+    )
+
+
+def _tile_exploded(
+    df: DataFrame, id_col: str, vec_col: str, block_col: str, n_buckets: int
+) -> DataFrame:
+    """Shared GEMM-tiling prologue of :func:`cosine_pairs_blocked` and
+    :func:`knn_self_join` (round 9: extracted so the pair-coverage scheme
+    cannot drift between the two consumers): unit-normalize, hash each
+    row into one of ``n_buckets`` deterministic sub-buckets, and explode
+    it to the unordered (ti, tj) tiles its bucket participates in — a row
+    in bucket b appears once per bucket t as (min(t,b), max(t,b)), so
+    every unordered pair of rows meets in EXACTLY one tile and no
+    distinct is needed."""
+    normed = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        unit_vector(_to_double(F.col(vec_col))).alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bkt"),
+    )
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda t: F.struct(
+            F.least(t, F.col("bkt")).alias("ti"),
+            F.greatest(t, F.col("bkt")).alias("tj"),
+        ),
+    )
+    return normed.select(
+        "block", "id", "u", "bkt",
+        F.explode(F.array_distinct(tiles)).alias("tile"),
+    ).select(
+        "block", "id", "u", "bkt",
+        F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"),
     )
 
 
@@ -102,25 +147,7 @@ def cosine_pairs_blocked(
 
     from pyspark.sql.types import StructField, StructType
 
-    normed = df.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id"),
-        unit_vector(_to_double(F.col(vec_col))).alias("u"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bkt"),
-    )
-    # Tiles this row participates in: pairing its bucket with every bucket t
-    # as an unordered (ti, tj). Row in bucket b appears once per t — the pair
-    # of two rows in buckets (b1, b2) meets exactly in tile (min, max).
-    tiles = F.transform(
-        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-        lambda t: F.struct(
-            F.least(t, F.col("bkt")).alias("ti"),
-            F.greatest(t, F.col("bkt")).alias("tj"),
-        ),
-    )
-    exploded = normed.select(
-        "block", "id", "u", "bkt", F.explode(F.array_distinct(tiles)).alias("tile")
-    ).select("block", "id", "u", "bkt", F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"))
+    exploded = _tile_exploded(df, id_col, vec_col, block_col, n_buckets)
 
     id_field = df.schema[id_col].dataType
     out_schema = StructType(
@@ -247,7 +274,6 @@ def kmeans_train(
     formulation.
     """
     centroids = init
-    vec = _to_double(F.col(vec_col))
     for _ in range(n_iter):
         # two projections: mixing the argmin struct fold and a generator
         # (posexplode) in ONE select makes the analyzer rename the struct
@@ -541,26 +567,7 @@ def knn_self_join(
     from pyspark.sql import Window
     from pyspark.sql.types import StructField, StructType
 
-    normed = df.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id"),
-        unit_vector(_to_double(F.col(vec_col))).alias("u"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bkt"),
-    )
-    tiles = F.transform(
-        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-        lambda t: F.struct(
-            F.least(t, F.col("bkt")).alias("ti"),
-            F.greatest(t, F.col("bkt")).alias("tj"),
-        ),
-    )
-    exploded = normed.select(
-        "block", "id", "u", "bkt",
-        F.explode(F.array_distinct(tiles)).alias("tile"),
-    ).select(
-        "block", "id", "u", "bkt",
-        F.col("tile.ti").alias("ti"), F.col("tile.tj").alias("tj"),
-    )
+    exploded = _tile_exploded(df, id_col, vec_col, block_col, n_buckets)
 
     id_field = df.schema[id_col].dataType
     out_schema = StructType(
@@ -584,9 +591,16 @@ def knn_self_join(
         idx = np.argpartition(-G, kk - 1, axis=1)[:, :kk]
         for r in range(G.shape[0]):
             for c in idx[r]:
+                g = G[r, c]
+                if not np.isfinite(g):
+                    # the -inf-masked diagonal (self pair) reaches the
+                    # candidate cut when a block has < kk competitors —
+                    # emitting it would hand every small block a phantom
+                    # (id, id, -Infinity) neighbor row (round 9)
+                    continue
                 out_id.append(ids_a[r])
                 out_nbr.append(ids_b[c])
-                out_cos.append(G[r, c])
+                out_cos.append(g)
         return out_id, out_nbr, out_cos
 
     def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -702,7 +716,11 @@ def kmeans_train_fast(
     import numpy as np
     import pandas as pd
 
-    centroids = init
+    # argmin ties break to the FIRST index, so the centroid list must be
+    # cid-sorted for "ties break to the lowest cid" to hold regardless of
+    # the caller's init order (kmeans_train's struct array_min breaks ties
+    # by actual cid; round 9 aligns the fast form)
+    centroids = sorted(init, key=lambda cv: cv[0])
     for _ in range(n_iter):
         cids = [c for c, _ in centroids]
         C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])

@@ -141,3 +141,50 @@ def test_inverted_postings_df_band(spark):
         r["term"] for r in inverted_postings(df, min_df=1, max_df=1).collect()
     }
     assert terms == {"rare"}
+
+
+def test_bm25_query_terms_normalized_and_bag_weighted(spark):
+    """Round-9 (review findings): uppercase/whitespace query terms must
+    match the lowercased token stream (previously silently empty), and a
+    term repeated in the query must weight its contribution by its query
+    frequency (bag semantics per the docstring)."""
+    from quantms_utils_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie recipe"), (2, "apple apple tart"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["apple"]).collect()}
+    upper = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, [" Apple "]).collect()}
+    assert plain and upper == plain  # normalization: same ranking
+
+    doubled = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["apple", "apple"]).collect()
+    }
+    assert set(doubled) == set(plain)
+    for k in plain:
+        assert abs(doubled[k] - 2 * plain[k]) < 1e-12  # qf multiplies
+
+
+def test_inverted_postings_max_df_strips_whales_same_result(spark):
+    """Round-9: the salted whale pre-pass must return exactly the rows
+    the plain window + post-filter formulation returns."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(i, "the common words " + ("rare " if i == 0 else "")) for i in range(30)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, inverted_postings(docs, max_df=10).collect())
+    )
+    # 'the'/'common'/'words' appear in all 30 docs -> stripped; 'rare' stays
+    assert got == [("rare", 0, 1, 4, 1)]
+    # and min_df-only path is untouched
+    all_terms = {
+        r["term"] for r in inverted_postings(docs, min_df=1).collect()
+    }
+    assert all_terms == {"the", "common", "words", "rare"}

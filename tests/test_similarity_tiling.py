@@ -176,3 +176,80 @@ class TestKnnSelfJoin:
             by_id.setdefault(r["vec_id"], []).append(r["neighbor_id"])
         assert sorted(by_id[1]) == [2] and sorted(by_id[2]) == [1]
         assert 3 not in by_id  # singleton block: no neighbors
+
+
+def test_knn_self_join_small_block_has_no_phantom_self_neighbor(spark):
+    """Round-9 (review finding): a block with fewer than k competitors
+    must not emit the -inf-masked self pair as a phantom neighbor row."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.similarity import knn_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "a"),
+        ],
+        "vec_id long, vec array<double>, label string",
+    )
+    out = knn_self_join(
+        df, "vec_id", "vec", block_col="label", k=5, n_buckets=2
+    ).collect()
+    assert all(r["neighbor_id"] != r["vec_id"] for r in out)
+    assert all(r["cos_sim"] > float("-inf") for r in out)
+    # each vector still gets its 2 real neighbors
+    from collections import Counter
+
+    per_id = Counter(r["vec_id"] for r in out)
+    assert per_id == {1: 2, 2: 2, 3: 2}
+
+
+def test_unit_vector_zero_norm_yields_zero_vector(spark):
+    """Round-9 (review finding): an all-zero embedding must normalize to
+    the zero vector (cosine 0 against everything), not NULL elements that
+    crash the numpy GEMMs downstream."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        unit_vector,
+    )
+
+    row = (
+        spark.createDataFrame([([0.0, 0.0, 0.0],)], "v array<double>")
+        .select(unit_vector(F.col("v")).alias("u"))
+        .collect()[0]
+    )
+    assert row["u"] == [0.0, 0.0, 0.0]
+
+    # end-to-end: a zero vector in a block must not crash the GEMM tile
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [1.0, 0.0], "a"),
+            (3, [0.0, 0.0], "a"),
+        ],
+        "vec_id long, vec array<double>, label string",
+    )
+    pairs = cosine_pairs_blocked(
+        df, "vec_id", "vec", "label", threshold=0.9, n_buckets=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_kmeans_train_fast_unsorted_init_matches_sorted(spark):
+    """Round-9 (review finding): tie-breaks go to the LOWEST cid
+    regardless of the caller's init list order (argmin picks first
+    position, so the list must be cid-sorted internally)."""
+    from quantms_utils_spark.operators.similarity import kmeans_train_fast
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0],), ([2.0, 0.0],), ([1.0, 0.0],)],  # middle is a tie
+        "vec array<double>",
+    )
+    init_sorted = [(2, [0.0, 0.0]), (5, [2.0, 0.0])]
+    init_rev = [(5, [2.0, 0.0]), (2, [0.0, 0.0])]
+    a = kmeans_train_fast(df, "vec", init=init_sorted, n_iter=1)
+    b = kmeans_train_fast(df, "vec", init=init_rev, n_iter=1)
+    assert a == b  # the tie point lands in cid 2 either way
