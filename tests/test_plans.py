@@ -481,19 +481,35 @@ def test_interval_overlap_join_no_nested_loop(spark):
 
 
 def test_inverted_postings_two_exchanges(spark):
-    """The index build is exactly two shuffles (tf aggregate, df aggregate +
-    re-join on the same key) — never a third Exchange for the join back."""
+    """Without max_df the index build is exactly two shuffles (tf
+    aggregate, then the term-partitioned df window) over ONE corpus
+    scan/explode — the window formulation must not re-derive tf for the
+    df branch the way a groupBy+join-back would (ReuseExchange does not
+    fire across column-pruned subtrees, verified round 9)."""
+    from quantms_utils_spark.operators.retrieval import inverted_postings
+    from quantms_utils_spark.tables import load
+
+    df = inverted_postings(load(spark, SF, "documents"), min_df=2)
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Generate posexplode") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_postings_max_df_whale_guard_plan(spark):
+    """With max_df the salted whale pre-pass deliberately pays ONE extra
+    pruned corpus pass (round 9) so no window partition can exceed
+    max_df rows; the whale set joins back as a BROADCAST anti-join and
+    nothing degenerates to a cartesian/BNLJ."""
     from quantms_utils_spark.operators.retrieval import inverted_postings
     from quantms_utils_spark.tables import load
 
     df = inverted_postings(load(spark, SF, "documents"), min_df=2, max_df=50)
     plan = explain_str(df, "simple")
-    # two hash shuffles (tf agg, then the term-partitioned df window) and —
-    # critically — ONE corpus scan/explode: the window formulation must not
-    # re-derive tf for the df branch the way a groupBy+join-back would
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert plan.count("Generate posexplode") == 1
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == 2  # the documented trade
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
