@@ -52,11 +52,18 @@ def lang_id(col: Column) -> Column:
 
 
 def ws_token_count(col: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    ).cast("long")
+    """Whitespace token count; empty/blank text counts 0. Counts the
+    NON-EMPTY ``\\s+``-separated chunks (round 9): the previous
+    trim-then-split form miscounted edge tabs/newlines — Spark ``trim``
+    strips only ASCII spaces, so ``'\\thello\\n'`` split to
+    ``['', 'hello', '']`` and counted 3, and whitespace-only text
+    counted 2 instead of the documented 0. The DuckDB oracle twin is the
+    same filter (``list_filter(regexp_split_to_array(...), x -> x <>
+    '')``)."""
+    return (
+        F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+        .cast("long")
+    )
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -174,21 +181,33 @@ def repetition_signals(
             F.count(F.lit(1)).alias("n_distinct_grams"),
         )
     )
-    safe_words = F.greatest(F.col("n_words"), F.lit(1))
+    safe_words = F.greatest(F.coalesce(F.col("n_words"), F.lit(0)), F.lit(1))
     safe_grams = F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1))
+    # anchor on the full document set (round 9): zero-token docs (blank or
+    # NULL text) produce no exploded rows, and an aggregate-anchored join
+    # silently dropped them — "for each document" means every document, as
+    # remove_duplicate_spans in this family already does. They emit zeroed
+    # signals.
     return (
-        word_stats.join(gram_stats, id_col, "left")
+        df.select(id_col)
+        .join(word_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
         .select(
             id_col,
-            F.col("n_words"),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
             F.round(
-                (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+                (
+                    F.coalesce(F.col("n_words"), F.lit(0))
+                    - F.coalesce(F.col("n_distinct_words"), F.lit(0))
+                ).cast("double")
                 / safe_words,
                 4,
             ).alias("dup_word_frac"),
-            F.round(F.col("top_word_cnt").cast("double") / safe_words, 4).alias(
-                "top_word_frac"
-            ),
+            F.round(
+                F.coalesce(F.col("top_word_cnt"), F.lit(0)).cast("double")
+                / safe_words,
+                4,
+            ).alias("top_word_frac"),
             F.round(
                 (
                     F.coalesce(F.col("n_grams"), F.lit(0))
@@ -612,6 +631,19 @@ def merge_pairs_fold(syms: Column, picks: Sequence[tuple[str, str]]) -> Column:
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint``'s storage blocks. PySpark exposes no
+    public API for this (``unpersist`` only covers ``persist``); the
+    checkpointed RDD sits inside the plan's LogicalRDD node. Safe only
+    once every frame derived from ``df`` has been materialized — freeing
+    earlier makes the derived checkpoint's own materialization fail on
+    missing blocks."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # accessor shape is Spark-internal; never fatal
+        pass
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -678,6 +710,13 @@ def bpe_merges(
     words = (
         _fan_out(df)
         .select(F.explode(normalized_tokens(F.col(text_col))).alias("w"))
+        # the NUL byte is merge_pairs_fold's reserved map-key separator;
+        # it survives normalized_tokens (\x00 is not whitespace), and a
+        # token carrying it could alias two different pairs onto one map
+        # key (DUPLICATED_MAP_KEY mid-round, or a silent mis-merge).
+        # Tokens with NULs are excluded from induction — no effect on
+        # real text (round 9).
+        .filter(~F.col("w").contains("\x00"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms", F.split(F.col("w"), ""))
@@ -689,6 +728,7 @@ def bpe_merges(
     eff_batch = batch_size
     try:
         current = words
+        prev_ckpt = None
         while len(out) < n_merges:
             # over-collect candidates so conflict skips rarely starve a
             # round; bounded (<= 4*M rows of two short strings + a long)
@@ -721,6 +761,13 @@ def bpe_merges(
                 .collect()
             )
             n_rounds += 1
+            # the collect above materialized `current`; the checkpoint it
+            # was derived FROM no longer feeds anything — release its
+            # storage blocks now, keeping executor storage O(1) in rounds
+            # instead of one retained type-table copy per round (round 9)
+            if prev_ckpt is not None:
+                _free_local_checkpoint(prev_ckpt)
+                prev_ckpt = None
             if not top:
                 break
             picks = []
@@ -743,6 +790,10 @@ def bpe_merges(
             syms = merge_pairs_fold(F.col("syms"), [(l, r) for l, r, _ in picks])
             # fully-merged word types (one symbol left) can never produce a
             # pair again — drop them so late rounds scan a shrinking table
+            if current is not words:
+                # freed only AFTER the next round's aggregate materializes
+                # the checkpoint we are about to create from it
+                prev_ckpt = current
             current = (
                 current.withColumn("syms", syms)
                 .filter(F.size("syms") > 1)
@@ -752,6 +803,9 @@ def bpe_merges(
                 eff_batch = min(eff_batch * 2, max_batch_size)
     finally:
         words.unpersist()
+        for leftover in (prev_ckpt, current):
+            if leftover is not None and leftover is not words:
+                _free_local_checkpoint(leftover)
     if _rounds_out is not None:
         _rounds_out.append(n_rounds)
     return spark.createDataFrame(
@@ -808,9 +862,14 @@ def duplicate_spans(
 
     Shape: explode n-grams → one (doc, gram) reduction (map-side
     combinable) → a window count over partitionBy(gram) for the
-    documents-per-gram cardinality (the (doc, gram) frame is already
-    gram-partitioned by the aggregate, so no third shuffle) → one per-doc
-    rollup. No self-join, no collect; the gram stream never outlives its
+    documents-per-gram cardinality → one per-doc rollup. The gram window
+    IS a third exchange (round-9 correction of this docstring: the
+    aggregate hash-partitions on (doc, gram), which does not satisfy
+    partitionBy(gram) — verified in the executed plan) — but it moves the
+    already-REDUCED (doc, gram) rows, a small fraction of the exploded
+    gram stream, and the alternative (a groupBy(gram) + join-back) would
+    re-run the whole explode for the second branch since ReuseExchange
+    does not fire across column-pruned subtrees. No self-join, no collect; the gram stream never outlives its
     two reductions. At 100 TB the (doc, gram) table is the working set —
     bounded by corpus tokens, shrunk by the first reduction.
     """
@@ -1021,44 +1080,60 @@ def bpe_encode_arrow(
     Returns the input plus ``out_col: array<array<string>>`` (symbol
     sequence per word, same contract as :func:`bpe_apply`).
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
     rank = {(l, r): i for i, (l, r) in enumerate(merges)}
+    # Java \s is ASCII-only — Python str.split()/\s match Unicode spaces
+    # (NBSP, U+2028, ...), which would draw DIFFERENT word boundaries
+    # than normalized_tokens on multilingual/web text (round 9)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _encode_word(word: str) -> list[str]:
+        # IN-ORDER fold semantics at best-rank-loop speed: the fold chain
+        # applies rules 0..M-1 once each, so its effective applications
+        # are exactly "the smallest-rank rule >= (last applied rank + 1)
+        # present in the current symbols", repeatedly — a rule passed
+        # over is never revisited. A plain best-rank tokenizer loop (the
+        # round-8 form) IS NOT equivalent when the merge list derives one
+        # string two ways (e.g. ab+c and a+bc): it re-applies the
+        # earlier rule to symbols a later rule created, diverging from
+        # bpe_apply (round 9, pinned by test). Cost stays O(|word|²),
+        # independent of the merge-list size.
         syms = list(word)
-        # standard tokenizer encode: repeatedly merge the best-ranked
-        # adjacent pair present (equivalent to applying rules in learned
-        # order, each as a full left-to-right pass)
+        ptr = 0
         while len(syms) > 1:
             best = None
-            for i in range(len(syms) - 1):
-                r = rank.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best[0]):
-                    best = (r, i)
+            for pair in zip(syms, syms[1:]):
+                r = rank.get(pair)
+                if r is not None and r >= ptr and (best is None or r < best):
+                    best = r
             if best is None:
                 break
-            _, _i = best
-            l, r = merges[best[0]]
+            l, r2 = merges[best]
             out, i = [], 0
             while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r2:
+                    out.append(l + r2)
                     i += 2
                 else:
                     out.append(syms[i])
                     i += 1
             syms = out
+            ptr = best + 1
         return syms
 
     @pandas_udf("array<array<string>>")
     def _encode(texts: pd.Series) -> pd.Series:
         # same tokenization as normalized_tokens(): lowercase, split on
-        # any whitespace run — keeps the fold-chain contract exactly
+        # ASCII whitespace runs — keeps the fold-chain contract exactly
         return texts.map(
             lambda t: []
             if t is None
-            else [_encode_word(w) for w in t.lower().split()]
+            else [
+                _encode_word(w) for w in ws_re.split(t.lower()) if w
+            ]
         )
 
     return df.withColumn(out_col, _encode(F.col(text_col)))

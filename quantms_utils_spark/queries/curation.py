@@ -33,8 +33,7 @@ CURATION_SQL = rf"""
 WITH RECURSIVE qm AS (
   SELECT doc_id, text, source,
     CAST(length(text) AS BIGINT) AS n_chars_m,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
       AS n_tokens,
     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
       AS alpha_chars,
@@ -116,8 +115,7 @@ WITH RECURSIVE qm AS (
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ), tok AS (
   SELECT doc_id, source,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
       AS doc_tokens
   FROM clean
 ), tot AS (

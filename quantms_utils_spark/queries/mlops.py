@@ -25,8 +25,7 @@ _FEATURES = ["x0", "x1", "x2"]
 # ws-token count twin of operators.text.ws_token_count (same as
 # TOKEN_COUNTS_SQL in queries/textops.py)
 _WS_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
 )
 
 _D_SQL = f"""d AS (

@@ -190,8 +190,7 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LENGTH_HISTOGRAM_SQL = r"""
 WITH d AS (
-  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS t
+  SELECT len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
   FROM documents
 ), h AS (
   SELECT CAST(floor(t / 32) AS INT) AS bucket,

@@ -79,8 +79,7 @@ QUALITY_SCORES_SQL = r"""
 WITH m AS (
   SELECT doc_id,
     CAST(length(text) AS BIGINT) AS n_chars_m,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars,
     CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to|in)\b')) AS BIGINT) AS stop_tokens
@@ -111,8 +110,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
-  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
@@ -384,13 +382,15 @@ WITH d AS (
          count(*) AS n_distinct_grams
   FROM gc GROUP BY 1
 )
-SELECT ws.doc_id, n_words,
-  round((n_words - n_distinct_words)::DOUBLE / greatest(n_words, 1), 4)
-    AS dup_word_frac,
-  round(top_word_cnt::DOUBLE / greatest(n_words, 1), 4) AS top_word_frac,
+SELECT dd.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+  round((coalesce(n_words, 0) - coalesce(n_distinct_words, 0))::DOUBLE
+        / greatest(coalesce(n_words, 0), 1), 4) AS dup_word_frac,
+  round(coalesce(top_word_cnt, 0)::DOUBLE
+        / greatest(coalesce(n_words, 0), 1), 4) AS top_word_frac,
   round((coalesce(n_grams, 0) - coalesce(n_distinct_grams, 0))::DOUBLE
         / greatest(coalesce(n_grams, 0), 1), 4) AS dup_ngram_frac
-FROM ws LEFT JOIN gs USING (doc_id)
+FROM documents dd LEFT JOIN ws ON ws.doc_id = dd.doc_id
+LEFT JOIN gs ON gs.doc_id = dd.doc_id
 """
 
 
@@ -506,8 +506,7 @@ def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_SQL = r"""
 WITH tok AS (
   SELECT doc_id, source,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
       AS doc_tokens
   FROM documents
 ), tot AS (
@@ -539,8 +538,7 @@ def pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SQL = r"""
 WITH tok AS (
   SELECT doc_id, source,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
       AS doc_tokens
   FROM documents
 ), cum AS (
@@ -706,9 +704,8 @@ def quality_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_PERCENTILE_BAND_SQL = r"""
 WITH base AS (
   SELECT doc_id, source,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
-              END AS BIGINT) AS n_tokens
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ), ranked AS (
   SELECT doc_id, source, n_tokens,
@@ -1268,8 +1265,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 READABILITY_SQL = r"""
 WITH c AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w,
          greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
          len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
   FROM documents
@@ -1427,8 +1423,7 @@ WITH s AS (
   SELECT {_FERTILITY_LANG_CASE} AS predicted_lang,
     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
     CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
       AS ws_tokens,
     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
          AS BIGINT) AS bpe_tokens

@@ -23,7 +23,8 @@ def test_repetition_signals_values(spark):
             (1, "a a a a"),          # one word repeated 4x
             (2, "a b c d"),          # all distinct
             (3, "x"),                # single word: no 2-grams
-            (4, "  "),               # blank: no tokens -> dropped
+            (4, "  "),               # blank: zeroed signals (round 9)
+            (5, None),               # NULL text: zeroed signals too
         ],
         "doc_id long, text string",
     )
@@ -31,7 +32,15 @@ def test_repetition_signals_values(spark):
         r["doc_id"]: r
         for r in repetition_signals(df, "doc_id", "text").collect()
     }
-    assert set(rows) == {1, 2, 3}  # blank doc has no words
+    # round 9: "for each document" means EVERY document — blank/NULL-text
+    # docs emit zeroed rows instead of silently vanishing (the family's
+    # remove_duplicate_spans already emits a row per doc)
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for blank in (4, 5):
+        assert rows[blank]["n_words"] == 0
+        assert rows[blank]["dup_word_frac"] == 0.0
+        assert rows[blank]["top_word_frac"] == 0.0
+        assert rows[blank]["dup_ngram_frac"] == 0.0
     assert rows[1]["n_words"] == 4
     assert rows[1]["dup_word_frac"] == 0.75
     assert rows[1]["top_word_frac"] == 1.0
@@ -731,3 +740,62 @@ def test_bpe_5000_merges_stress(spark):
     assert m.count() == 5000
     assert rounds[0] <= 25, rounds
     assert time.time() - t0 < 300
+
+
+def test_ws_token_count_edge_whitespace(spark):
+    """Round-9 (review finding): edge tabs/newlines must not inflate the
+    count (Spark trim strips only spaces, so the old trim-then-split form
+    counted '\\thello\\n' as 3 and tab-only text as 2)."""
+    from quantms_utils_spark.operators.text import ws_token_count
+
+    df = spark.createDataFrame(
+        [(" hello  world ",), ("\thello\n",), ("",), ("\t",), ("a\nb",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(ws_token_count(F.col("t"))).collect()]
+    assert got == [2, 1, 0, 0, 2]
+
+
+def test_bpe_encode_arrow_in_order_on_dual_derivation(spark):
+    """Round-9 (review finding): when the merge list derives one string
+    two ways (ab+c and a+bc), the Arrow encoder must follow the fold
+    chain's IN-ORDER semantics — a plain best-rank loop re-applies an
+    earlier rule to symbols a later rule created and diverges."""
+    from quantms_utils_spark.operators.text import bpe_apply, bpe_encode_arrow
+
+    merges = [("b", "c"), ("a", "b"), ("ab", "c"), ("abc", "d"), ("a", "bc")]
+    df = spark.createDataFrame([("abcd",)], "text string")
+    arrow = bpe_encode_arrow(df, "text", merges).collect()
+    fold = df.select(bpe_apply(F.col("text"), merges).alias("symbols")).collect()
+    assert arrow[0]["symbols"] == fold[0]["symbols"] == [["abc", "d"]]
+
+
+def test_bpe_encode_arrow_ascii_whitespace_boundaries(spark):
+    """Round-9 (review finding): NBSP is NOT a word boundary for Java \\s
+    (normalized_tokens), so the Python-side encoder must not split on it
+    either."""
+    from quantms_utils_spark.operators.text import (
+        bpe_encode_arrow,
+        normalized_tokens,
+    )
+
+    df = spark.createDataFrame([("foo bar baz",)], "text string")
+    n_words_catalyst = df.select(
+        F.size(normalized_tokens(F.col("text"))).alias("n")
+    ).collect()[0]["n"]
+    enc = bpe_encode_arrow(df, "text", [("b", "a")]).collect()[0]["symbols"]
+    assert len(enc) == n_words_catalyst == 2  # 'foo\xa0bar' stays one word
+
+
+def test_bpe_merges_excludes_nul_tokens(spark):
+    """Round-9 (review finding): the NUL byte is merge_pairs_fold's
+    reserved map-key separator and survives normalized_tokens — tokens
+    carrying it are excluded from induction instead of aliasing two
+    different pairs onto one map key (DUPLICATED_MAP_KEY mid-round)."""
+    from quantms_utils_spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [("aa aa aa",), ("a\x00b a\x00b a\x00b a\x00b",)], "text string"
+    )
+    got = bpe_merges(df, "text", n_merges=1).collect()
+    assert [(r["left"], r["right"]) for r in got] == [("a", "a")]
