@@ -90,6 +90,10 @@ def label_propagation(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
+    # deterministic release of the pinned undirected edge frame (round 9,
+    # same rationale as pagerank)
+    labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
     return labels
 
 
@@ -153,6 +157,14 @@ def pagerank(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final ranks (lineage truncated off the pinned edge
+    # asset) and release the persisted |E|-row frame deterministically —
+    # the discipline triangle_count already follows; previously every
+    # pagerank call leaked one pinned edge copy for the session's life
+    # (round 9). The returned frame carries its own O(|V|) checkpoint
+    # blocks, freed by the ContextCleaner when the caller drops it.
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     return ranks
 
 
@@ -249,7 +261,17 @@ def triangle_count(
         # canon below. In id mode wedges is the sole consumer: no persist.
         deg = deg.persist()
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+        # exact integer wedges (round 9): the double-division form loses
+        # low-order bits past 2^53 (a 1e9-degree hub alone has ~5e17
+        # wedges) and returned NULL on an empty canonical set. d*(d-1)
+        # is always even, so a shiftright of the long sum halves exactly.
+        F.shiftright(
+            F.coalesce(
+                F.sum((F.col("d") * (F.col("d") - 1)).cast("long")),
+                F.lit(0),
+            ).cast("long"),
+            1,
+        ).alias("n_wedges")
     )
     if orientation == "id":
         ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -359,6 +381,36 @@ def tree_depths(
     (broadcast-sized: distinct parents ≤ |V|), keeping the 'explicit
     error, not silent truncation' contract for arbitrary inputs.
     """
+    # One validation aggregate for the OTHER silent-truncation holes
+    # (round 9): a NULL parent or a duplicate node row would pass the
+    # dangling probe and then vanish (NULL never equi-joins) or multiply
+    # (every doubling round squares the duplicates) under the inner
+    # self-join; a missing root node row deletes the absorbing fixpoint
+    # and empties the whole result with unresolved == 0. All three are
+    # rejected loudly instead.
+    chk = parents.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(node)).alias("n_nodes"),
+        F.sum(F.col(parent).isNull().cast("long")).alias("n_null_parents"),
+        F.sum((F.col(node) == F.lit(root)).cast("long")).alias("n_root"),
+    ).collect()[0]
+    if chk["n_rows"]:
+        if chk["n_null_parents"]:
+            raise ValueError(
+                f"{chk['n_null_parents']} NULL parent pointer(s): the rows "
+                "(and their subtrees) would be silently dropped"
+            )
+        if chk["n_rows"] != chk["n_nodes"]:
+            raise ValueError(
+                "duplicate node rows: "
+                f"{chk['n_rows']} rows over {chk['n_nodes']} distinct nodes "
+                "— duplicates multiply geometrically under pointer doubling"
+            )
+        if not chk["n_root"]:
+            raise ValueError(
+                f"root {root!r} has no node row: the absorbing (root, root) "
+                "fixpoint is missing and every chain would silently vanish"
+            )
     dangling = (
         parents.select(F.col(parent).alias("a"))
         .filter(F.col("a") != F.lit(root))

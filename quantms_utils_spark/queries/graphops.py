@@ -211,7 +211,7 @@ deg AS (
   FROM (SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
   GROUP BY 1
 ),
-wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+wedges AS (SELECT COALESCE(CAST(sum(d * (d - 1)) AS BIGINT), 0) // 2 AS n_wedges FROM deg),
 tri AS (
   SELECT count(*) AS n_triangles
   FROM canon e1
@@ -257,7 +257,7 @@ deg AS (
   FROM (SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
   GROUP BY 1
 ),
-wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+wedges AS (SELECT COALESCE(CAST(sum(d * (d - 1)) AS BIGINT), 0) // 2 AS n_wedges FROM deg),
 oriented AS (
   SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS lo,
          CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS hi,

@@ -408,3 +408,62 @@ def test_k_core_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="max_iter"):
         k_core(e, "s", "d", k=2, max_iter=1)
+
+
+class TestTreeDepthsValidation:
+    """Round-9 (review findings): the three silent-truncation holes in
+    tree_depths' input validation — NULL parents vanished in the inner
+    join, duplicate node rows multiplied geometrically, and a missing
+    root node row deleted the absorbing fixpoint and emptied the whole
+    result with unresolved == 0. All must fail loudly."""
+
+    def _depths(self, spark, rows, schema="node long, parent long"):
+        from quantms_utils_spark.operators.graph import tree_depths
+
+        return tree_depths(spark.createDataFrame(rows, schema))
+
+    def test_null_parent_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="NULL parent"):
+            self._depths(spark, [(0, 0), (1, None)])
+
+    def test_duplicate_node_rows_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="duplicate node"):
+            self._depths(spark, [(0, 0), (1, 0), (1, 0)])
+
+    def test_missing_root_row_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="no node row"):
+            self._depths(spark, [(1, 0)])  # root 0 never appears as a node
+
+    def test_valid_forest_still_works(self, spark):
+        got = {
+            r["node"]: r["depth"]
+            for r in self._depths(
+                spark, [(0, 0), (1, 0), (2, 1), (3, 2)]
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_triangle_census_empty_and_exact_wedges(spark):
+    """Round-9 (review findings): an all-self-loop edge set must report
+    n_wedges = 0 (not NULL), and the wedge count is exact integer
+    arithmetic (shiftright of the long sum, not a double division)."""
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    row = triangle_count(loops).collect()[0]
+    assert row["n_edges"] == 0
+    assert row["n_wedges"] == 0           # previously NULL
+    assert row["n_triangles"] == 0
+    assert row["clustering_coeff"] == 0.0
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert triangle_count(star).collect()[0]["n_wedges"] == 10  # C(5,2)
