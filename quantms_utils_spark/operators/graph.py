@@ -27,7 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "degree_stats", "label_propagation", "triangle_count", "tree_depths"]
+__all__ = [
+    "pagerank", "degree_stats", "label_propagation", "triangle_count",
+    "tree_depths", "bfs_hops", "k_core",
+]
 
 
 def label_propagation(
@@ -466,10 +469,11 @@ def tree_depths(
 
 def bfs_hops(
     edges: DataFrame,
-    src: str,
-    dst: str,
     sources: DataFrame,
-    source_col: str,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "id",
     max_hops: int = 5,
     directed: bool = True,
 ) -> DataFrame:
@@ -524,14 +528,14 @@ def bfs_hops(
     return settled
 
 
-__all__.append("bfs_hops")
 
 
 def k_core(
     edges: DataFrame,
-    src: str,
-    dst: str,
     k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
     max_iter: int = 100,
 ) -> DataFrame:
     """Vertices of the K-CORE: the maximal subgraph where every vertex
@@ -591,4 +595,3 @@ def k_core(
     return e.select(F.col("a").alias("v")).distinct()
 
 
-__all__.append("k_core")

@@ -392,7 +392,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     seeds = d.filter(F.col("doc_id") < 3).select("doc_id")
     dist = bfs_hops(
-        _edges(spark, sf_dir), "src", "dst", seeds, "doc_id", max_hops=4
+        _edges(spark, sf_dir), seeds, source_col="doc_id", max_hops=4
     )
     return (
         dist.groupBy("hop")

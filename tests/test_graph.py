@@ -288,7 +288,8 @@ class TestBfsHops:
         got = {
             r["v"]: r["hop"]
             for r in bfs_hops(
-                e, "s", "d", self._seeds(spark, [0]), "id", max_hops=5
+                e, self._seeds(spark, [0]), src="s", dst="d",
+                source_col="id", max_hops=5,
             ).collect()
         }
         assert got == {0: 0, 1: 1, 2: 1, 3: 2}
@@ -300,13 +301,8 @@ class TestBfsHops:
         got = {
             r["v"]: r["hop"]
             for r in bfs_hops(
-                e,
-                "s",
-                "d",
-                self._seeds(spark, [0, 3]),
-                "id",
-                max_hops=3,
-                directed=False,
+                e, self._seeds(spark, [0, 3]), src="s", dst="d",
+                source_col="id", max_hops=3, directed=False,
             ).collect()
         }
         # sources at 0 and 3: 1 is 1 from 0; 2 is 1 from 3
@@ -319,7 +315,8 @@ class TestBfsHops:
         got = {
             r["v"]: r["hop"]
             for r in bfs_hops(
-                e, "s", "d", self._seeds(spark, [0]), "id", max_hops=2
+                e, self._seeds(spark, [0]), src="s", dst="d",
+                source_col="id", max_hops=2,
             ).collect()
         }
         assert got == {0: 0, 1: 1, 2: 2}  # 3,4 beyond bound; loop ignored
@@ -352,10 +349,10 @@ class TestKCore:
         # triangle 0-1-2 plus a tail 2-3-4: 2-core is exactly the triangle
         pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
         e = spark.createDataFrame([Row(s=a, d=b) for a, b in pairs])
-        got = {r["v"] for r in k_core(e, "s", "d", k=2).collect()}
+        got = {r["v"] for r in k_core(e, 2, src="s", dst="d").collect()}
         assert got == {0, 1, 2}
         # 3-core of this graph is empty
-        assert k_core(e, "s", "d", k=3).count() == 0
+        assert k_core(e, 3, src="s", dst="d").count() == 0
 
     def test_cascading_peel(self, spark):
         from pyspark.sql import Row
@@ -366,7 +363,7 @@ class TestKCore:
         clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
         chain = [(3, 10), (10, 11), (11, 12)]
         e = spark.createDataFrame([Row(s=a, d=b) for a, b in clique + chain])
-        got = {r["v"] for r in k_core(e, "s", "d", k=3).collect()}
+        got = {r["v"] for r in k_core(e, 3, src="s", dst="d").collect()}
         assert got == {0, 1, 2, 3}
 
     def test_random_graph_matches_brute(self, spark):
@@ -388,7 +385,7 @@ class TestKCore:
         )
         e = spark.createDataFrame([Row(s=a, d=b) for a, b in pairs])
         for k in (2, 3, 4):
-            got = {r["v"] for r in k_core(e, "s", "d", k=k).collect()}
+            got = {r["v"] for r in k_core(e, k, src="s", dst="d").collect()}
             assert got == self._brute_k_core(pairs, k), k
 
 
@@ -407,7 +404,7 @@ def test_k_core_raises_on_non_convergence(spark):
         F.col("id").alias("s"), (F.col("id") + 1).alias("d")
     )
     with pytest.raises(RuntimeError, match="max_iter"):
-        k_core(e, "s", "d", k=2, max_iter=1)
+        k_core(e, 2, src="s", dst="d", max_iter=1)
 
 
 class TestTreeDepthsValidation:
