@@ -21,6 +21,20 @@ from pyspark.sql.types import MapType
 __all__ = ["table_diff", "maintain_count_sum", "merge_upsert"]
 
 
+def _digest_expr(non_keys: list[str]) -> F.Column:
+    """Hash-mode change-detection payload: null-safe ``xxhash64`` over the
+    canonical string forms of the non-key columns (NULL → ``"\\x00null"``
+    sentinel). Single source of truth for the digest contract shared by
+    batch ``table_diff`` and ``streaming.diff.diff_and_apply`` — the two
+    must agree byte-for-byte or a stream replayed through the batch path
+    (or vice versa) misclassifies unchanged rows as updated."""
+    if not non_keys:
+        return F.lit(0).cast("long")
+    return F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in non_keys]
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,
@@ -76,12 +90,7 @@ def table_diff(
         elif exact:
             payload = F.struct(*[F.col(c) for c in non_keys])
         else:
-            payload = F.xxhash64(
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                    for c in non_keys
-                ]
-            )
+            payload = _digest_expr(non_keys)
         return df.select(
             *keys,
             payload.alias(f"_v_{alias}"),

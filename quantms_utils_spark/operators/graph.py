@@ -199,6 +199,26 @@ def degree_stats(
     return out_deg.unionByName(in_deg)
 
 
+def _wedge_count_expr(d) -> "F.Column":
+    """Exact wedge aggregate Σ d·(d−1)/2 over a degree column.
+
+    Exact integer wedges (round 9): the double-division form loses
+    low-order bits past 2^53 (a 1e9-degree hub alone has ~5e17 wedges)
+    and returned NULL on an empty vertex set. Round 10 (ADVICE r9): the
+    per-vertex product and the cross-vertex sum both run in
+    decimal(38,0) — a long d*(d-1) silently wraps past a ~3.04e9 hub
+    degree with ANSI off, and the long SUM could wrap past 2^63 across
+    vertices; decimal(38,0) holds ~1e38 wedges, far above any graph
+    whose edge list is storable. d·(d−1) is even, so the /2 is exact;
+    the final long cast is safe for any total below 2^63 wedges (a
+    graph past that bound has no storable edge list either)."""
+    prod = d.cast("decimal(38,0)") * (d - 1).cast("decimal(38,0)")
+    return (
+        F.floor(F.coalesce(F.sum(prod), F.lit(0).cast("decimal(38,0)")) / 2)
+        .cast("long")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     *,
@@ -263,19 +283,7 @@ def triangle_count(
         # over canon runs once, not 3x. One row per vertex; released with
         # canon below. In id mode wedges is the sole consumer: no persist.
         deg = deg.persist()
-    wedges = deg.agg(
-        # exact integer wedges (round 9): the double-division form loses
-        # low-order bits past 2^53 (a 1e9-degree hub alone has ~5e17
-        # wedges) and returned NULL on an empty canonical set. d*(d-1)
-        # is always even, so a shiftright of the long sum halves exactly.
-        F.shiftright(
-            F.coalesce(
-                F.sum((F.col("d") * (F.col("d") - 1)).cast("long")),
-                F.lit(0),
-            ).cast("long"),
-            1,
-        ).alias("n_wedges")
-    )
+    wedges = deg.agg(_wedge_count_expr(F.col("d")).alias("n_wedges"))
     if orientation == "id":
         ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
         bc = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -178,7 +178,11 @@ def _hidden_below_root(full: str, root: str) -> bool:
     under a hidden ANCESTOR like ~/.local/share/tbl lists normally,
     ADVICE r6), computed on the URI path portion when the full-URI
     prefix misses (ViewFileSystem target resolution, ADVICE r8); when
-    neither nests the file is KEPT — never silently drop listed data."""
+    neither nests the file we FAIL LOUDLY (mirroring the gateway
+    listing's guard, ADVICE r9) — keeping the file would silently
+    disable hidden filtering and let the manifest domain include files
+    ``spark.read.parquet`` ignores, so a partially-pruned read could
+    return rows a full scan never sees."""
     from urllib.parse import urlparse
 
     prefix = root if root.endswith("/") else root + "/"
@@ -189,7 +193,13 @@ def _hidden_below_root(full: str, root: str) -> bool:
         rp = urlparse(root).path or root
         rp = rp if rp.endswith("/") else rp + "/"
         if not fp.startswith(rp):
-            return False
+            raise RuntimeError(
+                f"_hidden_below_root: listed path {full!r} is not under "
+                f"the listing root {root!r} (nor its URI path portion) — "
+                "qualification mismatch between the listing root and the "
+                "scan's file index; cannot apply relative hidden "
+                "filtering safely"
+            )
         rel = fp[len(rp):]
     return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
 
@@ -251,11 +261,27 @@ def _list_parquet_statuses(spark, path: str) -> list[tuple[str, int, int]]:
             spark, path, root_status=root_status
         )
     root = root_status.getPath().toString()
-    return sorted(
-        (r["path"], r["length"], r["mtime"])
-        for r in rows
-        if not _hidden_below_root(r["path"], root)
-    )
+    try:
+        return sorted(
+            (r["path"], r["length"], r["mtime"])
+            for r in rows
+            if not _hidden_below_root(r["path"], root)
+        )
+    except RuntimeError:
+        # qualification drift (e.g. a ViewFileSystem mount REMAPPING the
+        # path portion): the engine scan returned paths the root cannot
+        # relativize. The gateway drain resolves the target root via
+        # fs.resolvePath and filters correctly — fall back rather than
+        # keep files with hidden filtering silently disabled (ADVICE r9).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "engine-side listing of %s hit root-qualification drift; "
+            "falling back to the gateway drain (resolvePath-aware)", path,
+        )
+        return _list_parquet_statuses_gateway(
+            spark, path, root_status=root_status
+        )
 
 
 def _root_file_status(spark, path: str):

@@ -592,11 +592,16 @@ def knn_self_join(
         for r in range(G.shape[0]):
             for c in idx[r]:
                 g = G[r, c]
-                if not np.isfinite(g):
+                if g == -np.inf:
                     # the -inf-masked diagonal (self pair) reaches the
                     # candidate cut when a block has < kk competitors —
                     # emitting it would hand every small block a phantom
-                    # (id, id, -Infinity) neighbor row (round 9)
+                    # (id, id, -Infinity) neighbor row (round 9). ONLY
+                    # the deliberate mask is skipped: a NaN similarity
+                    # (corrupted/NaN embedding) propagates to the output
+                    # (crossing pandas→Arrow as NULL cos) instead of
+                    # silently vanishing from the kNN graph, so bad
+                    # embeddings stay detectable (ADVICE r9).
                     continue
                 out_id.append(ids_a[r])
                 out_nbr.append(ids_b[c])

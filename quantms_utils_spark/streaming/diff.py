@@ -38,25 +38,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from quantms_utils_spark.operators.diff import _digest_expr
 from quantms_utils_spark.operators.layout import _glob_escape
 from quantms_utils_spark.streaming.curation import _list_epoch_dirs
 
 __all__ = ["diff_and_apply", "start_continuous_diff"]
 
-
-def _digest(df: DataFrame, keys: list[str]) -> DataFrame:
-    non_keys = [c for c in df.columns if c not in keys]
-    payload = (
-        F.xxhash64(
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in non_keys
-            ]
-        )
-        if non_keys
-        else F.lit(0).cast("long")
-    )
-    return df.select(*keys, payload.alias("digest"))
+# In-flight working columns added to the user's batch frame. '__'-prefixed
+# (matching the '_seq'/'_rn' convention) so a user payload column named
+# 'digest' survives into the epoch output untouched; 'status' is the one
+# documented output column this operator claims.
+_RESERVED = ("__digest", "__prev", "_seq", "_rn", "status")
 
 
 def diff_and_apply(
@@ -70,6 +62,13 @@ def diff_and_apply(
     """foreachBatch callback: emit the batch's inserted/updated rows vs the
     standing state (epochs < ``epoch_id``), then record the batch digests
     as ``epoch=N`` state. Idempotent under replay."""
+    clashes = [c for c in batch_df.columns if c in _RESERVED]
+    if clashes:
+        raise ValueError(
+            f"batch columns {clashes} collide with diff_and_apply's "
+            f"reserved working/output columns {list(_RESERVED)}; rename "
+            "them before streaming through the diff"
+        )
     spark = batch_df.sparkSession
     key_schema = ", ".join(
         f"{k} {batch_df.schema[k].dataType.simpleString()}" for k in keys
@@ -107,17 +106,8 @@ def diff_and_apply(
     )
 
     non_keys = [c for c in batch_last.columns if c not in keys]
-    payload = (
-        F.xxhash64(
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                for c in non_keys
-            ]
-        )
-        if non_keys
-        else F.lit(0).cast("long")
-    )
-    digested = batch_last.withColumn("digest", payload).alias("b")
+    # same xxhash64 contract as batch table_diff — shared single source
+    digested = batch_last.withColumn("__digest", _digest_expr(non_keys)).alias("b")
     s = standing.alias("s")
     # null-safe standing lookup: a NULL-key row must compare against its
     # stored digest, not classify 'inserted' forever
@@ -127,23 +117,25 @@ def diff_and_apply(
     )
     classified = (
         digested.join(s, cond, "left")
-        .select("b.*", F.col("s._prev").alias("_prev"))
+        .select("b.*", F.col("s._prev").alias("__prev"))
         .withColumn(
             "status",
-            F.when(F.col("_prev").isNull(), F.lit("inserted"))
-            .when(F.col("_prev") != F.col("digest"), F.lit("updated"))
+            F.when(F.col("__prev").isNull(), F.lit("inserted"))
+            .when(F.col("__prev") != F.col("__digest"), F.lit("updated"))
             .otherwise(F.lit("unchanged")),
         )
         .localCheckpoint(eager=True)  # one computation feeds both writes
     )
     changes = classified.filter(F.col("status") != "unchanged")
-    changes.drop("digest", "_prev").write.mode("overwrite").parquet(
+    changes.drop("__digest", "__prev").write.mode("overwrite").parquet(
         f"{out_dir}/epoch={int(epoch_id)}"
     )
     # state delta: ONLY the changed keys' digests — unchanged keys keep
     # their older-epoch rows and max_by still reconstructs them
     changes.select(
-        *keys, "digest", F.lit(int(epoch_id)).alias("epoch")
+        *keys,
+        F.col("__digest").alias("digest"),
+        F.lit(int(epoch_id)).alias("epoch"),
     ).write.mode("overwrite").parquet(f"{state_dir}/epoch={int(epoch_id)}")
 
 

@@ -464,3 +464,32 @@ def test_triangle_census_empty_and_exact_wedges(spark):
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
     assert triangle_count(star).collect()[0]["n_wedges"] == 10  # C(5,2)
+
+
+def test_triangle_census_wedge_sum_runs_in_decimal(spark):
+    """Round-10 (ADVICE r9): the wedge aggregate runs in decimal(38,0) so
+    a hub degree past ~3.04e9 (where long d*(d-1) wraps with ANSI off)
+    cannot produce a garbage n_wedges. Pinned two ways: a real star hub
+    stays exact, and the shared expression is fed a synthetic 4e9 degree
+    whose long-math product would wrap negative."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.graph import (
+        _wedge_count_expr,
+        triangle_count,
+    )
+
+    hub = spark.range(2000).select(
+        F.lit(100000).alias("src"), F.col("id").alias("dst")
+    )
+    row = triangle_count(hub).collect()[0]
+    assert row["n_wedges"] == 2000 * 1999 // 2  # exact, type long
+    assert row["n_triangles"] == 0
+
+    d = 4_000_000_000  # long d*(d-1) = 1.6e19 wraps past 2^63
+    got = (
+        spark.createDataFrame([(d,)], "d long")
+        .agg(_wedge_count_expr(F.col("d")).alias("w"))
+        .collect()[0]["w"]
+    )
+    assert got == d * (d - 1) // 2  # 7999999998000000000, exact

@@ -1582,3 +1582,45 @@ def test_partial_identity_manifest_updates_and_reconciles(spark, tmp_path):
         zm2.select(F.sum("n_rows")).collect()[0][0]
         == spark.read.parquet(path).count()
     )
+
+
+def test_hidden_below_root_raises_on_qualification_drift():
+    """Round-10 (ADVICE r9): when neither the qualified root nor its URI
+    path portion nests the listed path, _hidden_below_root fails loudly
+    (mirroring the gateway guard) instead of keeping the file with hidden
+    filtering silently disabled."""
+    import pytest
+
+    from quantms_utils_spark.operators.layout import _hidden_below_root
+
+    # nesting roots still filter relatively
+    assert _hidden_below_root("file:/d/tbl/_tmp/a.parquet", "file:/d/tbl")
+    assert not _hidden_below_root("file:/d/tbl/p/a.parquet", "file:/d/tbl")
+    # viewfs target resolution: path portions nest
+    assert _hidden_below_root(
+        "hdfs://ns/d/tbl/.stage/a.parquet", "viewfs://c/d/tbl"
+    )
+    # genuine drift: loud failure
+    with pytest.raises(RuntimeError, match="not under"):
+        _hidden_below_root("file:/elsewhere/a.parquet", "file:/d/tbl")
+
+
+def test_engine_listing_falls_back_to_gateway_on_drift(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 (ADVICE r9): root-qualification drift in the engine-side
+    listing falls back to the resolvePath-aware gateway drain — same
+    listing, never a RuntimeError escape or a silently unfiltered keep."""
+    from quantms_utils_spark.operators import layout as L
+
+    path = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(path)
+    want = L._list_parquet_statuses(spark, path)
+    assert want  # sanity: real files listed
+
+    def _always_drift(full, root):
+        raise RuntimeError(f"listed path {full!r} is not under {root!r}")
+
+    monkeypatch.setattr(L, "_hidden_below_root", _always_drift)
+    got = L._list_parquet_statuses(spark, path)
+    assert got == want

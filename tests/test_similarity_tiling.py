@@ -253,3 +253,39 @@ def test_kmeans_train_fast_unsorted_init_matches_sorted(spark):
     a = kmeans_train_fast(df, "vec", init=init_sorted, n_iter=1)
     b = kmeans_train_fast(df, "vec", init=init_rev, n_iter=1)
     assert a == b  # the tie point lands in cid 2 either way
+
+
+def test_knn_self_join_nan_embedding_surfaces_not_vanishes(spark):
+    """Round-10 (ADVICE r9): a NaN-containing embedding must SURFACE in the
+    kNN graph (NaN cos_sim rows), not silently vanish the way the round-9
+    non-finite skip (aimed at the -inf diagonal mask) made it."""
+    import math
+
+    from quantms_utils_spark.operators.similarity import knn_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [float("nan"), 1.0], "a"),
+        ],
+        "vec_id long, vec array<double>, label string",
+    )
+    out = knn_self_join(
+        df, "vec_id", "vec", block_col="label", k=5, n_buckets=1
+    ).collect()
+    # the corrupted vector is visible: its pair rows surface with a
+    # non-score (NaN crosses the pandas→Arrow boundary as NULL)
+    bad_rows = [r for r in out if r["cos_sim"] is None
+                or math.isnan(r["cos_sim"])]
+    assert bad_rows, "NaN embedding silently dropped from the kNN graph"
+    # and id 3 itself still appears as a graph node (detectable, not erased)
+    assert any(r["vec_id"] == 3 for r in out)
+    # finite pairs are unaffected
+    assert any(
+        r["vec_id"] == 1 and r["neighbor_id"] == 2
+        and abs(r["cos_sim"] - 0.993884) < 1e-6
+        for r in out
+    )
+    # the deliberate -inf self-mask is still skipped: no self pairs
+    assert all(r["neighbor_id"] != r["vec_id"] for r in out)

@@ -1849,3 +1849,67 @@ def test_merged_kmv_empty_state_honors_group_types(spark, tmp_path):
     )
     assert dict(empty.dtypes)["user_id"] == "bigint"
     assert empty.count() == 0
+
+
+def test_continuous_diff_preserves_user_digest_column(spark, tmp_path):
+    """Round-10 (ADVICE r9): a user payload column literally named
+    'digest' must survive into the epoch output with its values intact —
+    the working digest now lives in a '__'-prefixed internal column."""
+    from quantms_utils_spark.streaming.diff import diff_and_apply
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "sha:aaa"), (2, "sha:bbb")], "k long, digest string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "sha:BBB"), (3, "sha:ccc")], "k long, digest string"
+    )
+    diff_and_apply(b0, 0, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    diff_and_apply(b1, 1, keys=["k"], state_dir=state_dir, out_dir=out_dir)
+    out = spark.read.parquet(out_dir + "/epoch=*")
+    assert "digest" in out.columns  # user column kept, not clobber-dropped
+    got = {(r["k"], r["digest"], r["status"]) for r in out.collect()}
+    assert (1, "sha:aaa", "inserted") in got
+    assert (2, "sha:bbb", "inserted") in got
+    assert (2, "sha:BBB", "updated") in got
+    assert (3, "sha:ccc", "inserted") in got
+
+
+def test_continuous_diff_rejects_reserved_columns(spark, tmp_path):
+    """Round-10 (ADVICE r9): batch columns colliding with the operator's
+    working/output names ('status', '__digest', '_seq', ...) raise
+    instead of being silently overwritten."""
+    import pytest
+
+    from quantms_utils_spark.streaming.diff import diff_and_apply
+
+    b = spark.createDataFrame([(1, "x")], "k long, status string")
+    with pytest.raises(ValueError, match="reserved"):
+        diff_and_apply(
+            b, 0, keys=["k"],
+            state_dir=str(tmp_path / "s"), out_dir=str(tmp_path / "o"),
+        )
+
+
+def test_streaming_diff_digest_contract_shared_with_batch(spark):
+    """Round-10 (ADVICE r9): the streaming digest is literally the batch
+    table_diff payload (one shared expression, operators.diff._digest_expr)
+    — same columns, same xxhash64, same NULL sentinel."""
+    from quantms_utils_spark.operators.diff import _digest_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5)], "k long, v string, x double"
+    )
+    got = df.select(
+        _digest_expr(["v", "x"]).alias("d"),
+        F.xxhash64(
+            F.coalesce(F.col("v").cast("string"), F.lit("\x00null")),
+            F.coalesce(F.col("x").cast("string"), F.lit("\x00null")),
+        ).alias("want"),
+    ).collect()
+    assert all(r["d"] == r["want"] for r in got)
+    # empty non-key list: constant 0 digest (schema-only tables diff clean)
+    z = df.select(_digest_expr([]).alias("d")).collect()
+    assert all(r["d"] == 0 for r in z)
