@@ -18,7 +18,7 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from quantms_utils_spark.functions.core import let_once
@@ -275,15 +275,31 @@ def lsh_candidate_pairs(
     non-discriminative hash noise, and near-identical members of a genuine
     mega-cluster still pair up in their other, smaller band buckets).
     ``None`` (the default) keeps every bucket, matching the SQL oracle.
+
+    Round 10 (review): with ``max_bucket`` set, whale buckets are removed
+    by a COUNT pre-pass (map-side-combinable, constant state per group)
+    BEFORE the ``collect_list`` — the previous size filter ran after the
+    aggregation, so a mega-duplicate cluster (millions of copies of one
+    boilerplate page, the normal worst case in web corpora) still
+    materialized its full member array in a single aggregation buffer.
+    The count join lands on the banding shuffle's partitioning, so
+    Catalyst reuses the exchange instead of adding one.
     """
+    banded = band_buckets(sigs, id_col, n_hashes, band_size)
+    if max_bucket is not None:
+        sizes = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+            .select("band", "bucket")
+        )
+        banded = banded.join(sizes, ["band", "bucket"])
     buckets = (
-        band_buckets(sigs, id_col, n_hashes, band_size)
+        banded
         .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
@@ -328,6 +344,13 @@ def winnow_candidate_pairs(
     O(df²) pairs from one bucket — the cap bounds the worst bucket at
     ``max_df``² and loses only evidence that is, by construction, shared by
     *everything* (no dedup signal).
+
+    Round 10 (review): the ``max_df`` cut runs as a COUNT pre-pass before
+    the ``collect_list`` (same hardening as ``lsh_candidate_pairs``) — a
+    corpus-wide boilerplate fingerprint previously materialized its whole
+    O(corpus) member array in one aggregation buffer before the size
+    filter dropped it. The pre-pass join lands on the fingerprint
+    shuffle's partitioning, so no extra exchange.
     """
     from quantms_utils_spark.operators.text import winnow_fingerprints
 
@@ -340,10 +363,16 @@ def winnow_candidate_pairs(
             winnow_fingerprints(F.col(text_col), hash_family=hash_family)
         ).alias("fp"),
     )
-    buckets = (
+    sizes = (
         fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_fn"))
+        .filter((F.col("_fn") >= 2) & (F.col("_fn") <= max_df))
+        .select("fp")
+    )
+    buckets = (
+        fps.join(sizes, "fp")
+        .groupBy("fp")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
     ids = F.col("ids")
     pairs = F.flatten(
@@ -759,14 +788,22 @@ def cluster_components(
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the minimum-id row per exact content fingerprint."""
+    """Keep the minimum-id row per exact content fingerprint.
+
+    NULL-text rows pass through untouched (round 10 review): their
+    fingerprint is NULL, and grouping them would silently drop all but
+    one row whose contents are UNKNOWN, not known-equal — the same
+    silent-data-loss class as the round-9 curation keeper-join fix."""
     fp = F.md5(F.col(text_col))
     keepers = (
         df.select(F.col(id_col), fp.alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(keepers, id_col, "left_semi")
+    return df.join(keepers, id_col, "left_semi").unionByName(
+        df.filter(F.col(text_col).isNull())
+    )
 
 
 def incremental_dedup(
@@ -923,13 +960,16 @@ def _prefix_candidates(
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    # document frequency via a window count instead of groupBy+self-join:
-    # the expensive shingling runs ONCE, and the plan is two shuffles
-    # (by shingle for the count, by id for the array rebuild) instead of
-    # three with the tokenize/explode chain evaluated twice
-    w_df = Window.partitionBy("shingle")
+    # Document frequency via groupBy + join, NOT a window over the shingle
+    # (round 10 review, same class as the retrieval max_df fix): WindowExec
+    # buffers each partition group, so one corpus-wide stopword shingle
+    # would funnel O(corpus) rows through a single task's buffer. The
+    # groupBy is map-side combinable (constant state per shingle) and the
+    # join streams the whale key; both sides shuffle by the same key, so
+    # ReuseExchange evaluates the shingling pipeline once.
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        sh.join(dfc, "shingle")
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -1037,12 +1077,17 @@ def containment_pairs(
     for candidates (df window + pair distinct), O(candidates) verify.
     """
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
-    w_df = Window.partitionBy("shingle")
-    rare = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w_df))
+    # df cut via groupBy + semi-join, not a shingle window (round 10
+    # review): a ubiquitous shingle would buffer O(corpus) rows in one
+    # WindowExec task; the count aggregate combines map-side and the
+    # semi-join streams. ReuseExchange shares the shingle shuffle.
+    rare_fps = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= max_df)
-        .select(id_col, "shingle")
+        .select("shingle")
     )
+    rare = sh.join(rare_fps, "shingle", "left_semi").select(id_col, "shingle")
     a = rare.select(F.col(id_col).alias("_ia"), "shingle")
     b = rare.select(F.col(id_col).alias("_ib"), "shingle")
     cand = (

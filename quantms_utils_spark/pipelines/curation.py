@@ -10,7 +10,9 @@ whole chain is value-checked against a single DuckDB CTE pipeline
 (`queries/curation.py`).
 
 Scale notes (100 TB): every stage is shuffle-bounded by design — the quality
-filter is map-only; exact dedup is one window on the 32-byte fingerprint;
+filter is map-only; exact dedup is one map-side-combinable min_by aggregate
+on the 32-byte fingerprint (constant state per group — no whale-partition
+window buffering);
 LSH is the banding shuffle; connected components run on the candidate-pair
 set (orders of magnitude smaller than the corpus); the benchmark n-gram set
 is broadcast; the mixture keep-decision is map-only against broadcast rates.
@@ -19,7 +21,7 @@ No stage collects data rows to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from quantms_utils_spark.operators.dedup import (
     connected_components,
@@ -61,13 +63,17 @@ def curate_corpus(
     # 1. quality filter (map-only)
     q = docs.where(quality_metrics(F.col("text"))["keep"])
 
-    # 2. exact dedup: min-doc_id keeper per normalized content fingerprint
-    w = Window.partitionBy("fp")
+    # 2. exact dedup: min-doc_id keeper per normalized content fingerprint.
+    # min_by(struct, doc_id) in ONE map-side-combinable aggregate (round 10
+    # review) — the previous fingerprint window buffered whole partition
+    # groups, so a mega-duplicate cluster (millions of copies of one
+    # boilerplate page) funneled O(copies) rows through a single WindowExec
+    # task; the aggregate holds one struct per group instead.
+    cols = q.columns
     ex = (
-        q.withColumn("fp", content_fingerprint(F.col("text")))
-        .withColumn("keep_id", F.min("doc_id").over(w))
-        .where(F.col("doc_id") == F.col("keep_id"))
-        .drop("fp", "keep_id")
+        q.groupBy(content_fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("_row"))
+        .select("_row.*")
     )
 
     # 3. near-dup dedup: LSH candidates -> connected components -> keep the

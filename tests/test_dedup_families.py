@@ -323,3 +323,100 @@ def test_simhash_pairs_pigeonhole_exact(spark):
     assert (1, 4) not in got  # correct: distance 4 exceeds the budget
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(fps, max_hamming=4, n_bands=4)
+
+
+def test_lsh_max_bucket_prunes_before_collect_list(spark):
+    """Round-10 (review): with max_bucket set, whale buckets are removed by
+    a COUNT pre-pass BEFORE collect_list materializes member arrays — the
+    optimized plan must carry two aggregates over the banded rows (count
+    prefilter + collect_list), and results stay identical to the
+    post-filter semantics (pinned behaviorally in
+    test_lsh_max_bucket_drops_hot_buckets)."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words {i % 3} shared tail text here") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(
+        df, "doc_id", "text", n_hashes=N_HASHES, shingle_n=3,
+        hash_family="xxhash64",
+    )
+    capped = lsh_candidate_pairs(
+        sigs, "doc_id", N_HASHES, BAND_SIZE, max_bucket=10
+    )
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("collect_list") == 1
+    # the count prefilter exists and sits below the collect_list aggregate
+    assert "count(1)" in plan
+    cl, cnt = plan.index("collect_list"), plan.index("count(1)")
+    assert cnt > cl  # optimizedPlan prints top-down: count is deeper
+
+
+def test_exact_dedup_null_text_rows_pass_through(spark):
+    """Round-10 (review): NULL-text rows have unknown, not known-equal,
+    content — exact_dedup must keep ALL of them, not collapse them into
+    one survivor through the NULL md5 group."""
+    from quantms_utils_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "x")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert got == [1, 3, 4, 5]
+
+
+def test_prefix_and_containment_df_not_window_based(spark):
+    """Round-10 (review): document frequency in the PPJoin and containment
+    candidate generators runs as a map-side-combinable aggregate + join,
+    never a shingle-partitioned window (whale-funnel class) — and the
+    results are unchanged."""
+    from quantms_utils_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words in this one document"),
+            (4, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    pp = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    ct = containment_pairs(docs, "doc_id", "text", threshold=0.9, max_df=10)
+    for q in (pp, ct):
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+    got_pp = {(r["doc_a"], r["doc_b"]) for r in pp.collect()}
+    assert (1, 2) in got_pp
+    got_ct = {(r["doc_small"], r["doc_host"]) for r in ct.collect()}
+    assert (4, 1) in got_ct and (4, 2) in got_ct
+
+
+def test_curation_exact_dedup_stage_is_aggregate_not_window(spark):
+    """Round-10 (review): curate_corpus stage 2 dedups via one min_by
+    aggregate (constant state per fingerprint group), not a fingerprint
+    window that buffers whale duplicate clusters in one task."""
+    from quantms_utils_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "common words shared by every copy of this page here", "web")
+            for i in range(6)
+        ]
+        + [(10, "a unique document with its own distinct words inside", "web")],
+        "doc_id long, text string, source string",
+    )
+    benchmark = spark.createDataFrame(
+        [(99, "benchmark eval sentence sharing nothing with corpus pages",
+          "eval")],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(docs, benchmark=benchmark, token_budget=1000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "min_by" in plan
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert 0 in survivors          # keeper of the duplicate cluster
+    assert not survivors & set(range(1, 6))  # other copies deduped
