@@ -35,6 +35,21 @@ def _digest_expr(non_keys: list[str]) -> F.Column:
     )
 
 
+def _null_safe_key_cond(left_alias: str, right_alias: str, keys: list[str]):
+    """AND-folded ``eqNullSafe`` join condition over the key columns.
+    EqualNullSafe is an equi-join predicate to Catalyst, so the join still
+    hash-partitions on the key (sort-merge/shuffled-hash, never a BNLJ)."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            for k in keys
+        ],
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,
@@ -69,6 +84,12 @@ def table_diff(
     Map-typed non-key columns are rejected in both modes (their rendering
     and equality are unordered/nondeterministic); explode them to rows or
     ``map_entries`` + ``array_sort`` them first.
+
+    NULL key values match NULL-SAFELY (round 10 review, aligning with the
+    streaming twin's round-9 contract): a row whose key contains NULL
+    compares against the other snapshot's NULL-key row instead of flapping
+    as a phantom delete+insert pair on EVERY diff forever. Key uniqueness
+    (the diff precondition) therefore treats NULL as one key value.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
@@ -97,7 +118,11 @@ def table_diff(
             F.lit(True).alias(f"_p_{alias}"),
         )
 
-    joined = _digest(old, "old").join(_digest(new, "new"), keys, "full_outer")
+    joined = _digest(old, "old").alias("o").join(
+        _digest(new, "new").alias("n"),
+        _null_safe_key_cond("o", "n", keys),
+        "full_outer",
+    )
     changed = (
         ~F.col("_v_old").eqNullSafe(F.col("_v_new"))
         if exact
@@ -109,7 +134,13 @@ def table_diff(
         .when(changed, F.lit("updated"))
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.select(*keys, status.alias("status"))
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
@@ -149,19 +180,25 @@ def maintain_count_sum(
     view = old.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum(dec).alias("total")
     )
-    retract = old.join(
-        changed.filter(F.col("status").isin("deleted", "updated")), keys
+    # Contribution joins are NULL-SAFE on the key (round 10 review, same
+    # contract as table_diff): with plain equi-joins a changed NULL-key
+    # row's retraction/addition silently missed the join and the standing
+    # view drifted from a fresh rebuild.
+    retract = old.alias("t").join(
+        changed.filter(F.col("status").isin("deleted", "updated")).alias("c"),
+        _null_safe_key_cond("t", "c", keys),
     ).select(
-        F.col(group_col),
+        F.col(f"t.{group_col}").alias(group_col),
         F.lit(-1).cast("long").alias("dn"),
-        (-dec).alias("ds"),
+        (-F.col(f"t.{value_col}").cast("decimal(18,2)")).alias("ds"),
     )
-    add = new.join(
-        changed.filter(F.col("status").isin("inserted", "updated")), keys
+    add = new.alias("t").join(
+        changed.filter(F.col("status").isin("inserted", "updated")).alias("c"),
+        _null_safe_key_cond("t", "c", keys),
     ).select(
-        F.col(group_col),
+        F.col(f"t.{group_col}").alias(group_col),
         F.lit(1).cast("long").alias("dn"),
-        dec.alias("ds"),
+        F.col(f"t.{value_col}").cast("decimal(18,2)").alias("ds"),
     )
     delta = (
         retract.unionByName(add)
@@ -201,6 +238,12 @@ def merge_upsert(
     Source must be key-unique (the SQL MERGE precondition — two source
     rows hitting one target row is nondeterministic); enforced cheaply at
     plan level by the caller or via `validation.require_unique_mapping`.
+
+    NULL key semantics follow SQL MERGE (``ON t.k = s.k``): NULL never
+    matches, so a NULL-key source row always INSERTS and a NULL-key
+    target row is always kept. This deliberately differs from
+    :func:`table_diff`/``streaming.diff`` (null-safe reconciliation) —
+    MERGE mirrors the SQL statement users would replace it with.
 
     Spark shape: ONE left-anti join (target keys minus source keys) + a
     union with the source's surviving rows — no full-outer join, no row

@@ -24,6 +24,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def logreg_score(feature_cols: list[str], weights: list[float]) -> Column:
     """P(label=1 | x) = sigmoid(x · w) as a pure Catalyst expression."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(feature_cols) != len(weights):
+        raise ValueError(
+            f"{len(feature_cols)} feature columns but {len(weights)} weights"
+        )
     z = None
     for c, w in zip(feature_cols, weights):
         term = F.col(c) * F.lit(float(w))
@@ -47,20 +53,46 @@ def logreg_train(
     at zero, so the first iteration's sigmoid is exactly 0.5 in any engine;
     per-update rounding absorbs cross-engine last-ulp drift in exp() for
     the later iterations.
+
+    Loud-fail guards (round 10 review): an empty frame raises instead of
+    dying in a 0-division, and rows with a NULL feature or label raise
+    instead of silently contributing zero gradient while still inflating
+    ``n`` (a biased model with no error). The NULL probe rides in the
+    first iteration's aggregate — no extra scan.
     """
     k = len(feature_cols)
     w = [0.0] * k
-    for _ in range(n_iter):
+    probe_cols = [*feature_cols, label_col]
+    any_null = None
+    for c in probe_cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else any_null | cond
+    for it in range(n_iter):
         p = logreg_score(feature_cols, w)
         err = p - F.col(label_col).cast("double")
+        extra = (
+            [F.count(F.when(any_null, F.lit(1))).alias("n_bad")]
+            if it == 0
+            else []
+        )
         row = df.agg(
             *[
                 F.sum(err * F.col(c)).alias(f"g{i}")
                 for i, c in enumerate(feature_cols)
             ],
             F.count(F.lit(1)).alias("n"),
+            *extra,
         ).collect()[0]
         n = row["n"]
+        if it == 0:
+            if n == 0:
+                raise ValueError("logreg_train: empty training frame")
+            if row["n_bad"]:
+                raise ValueError(
+                    f"logreg_train: {row['n_bad']} rows have NULL in a "
+                    f"feature/label column {probe_cols} — drop or impute "
+                    "them first (they would silently bias the gradient)"
+                )
         w = [
             round(w[i] - lr * float(row[f"g{i}"]) / n, round_decimals)
             for i in range(k)
@@ -108,6 +140,8 @@ def population_stability_from_counts(
     the form the streaming drift monitor uses, where each side is already a
     standing count table (epoch-merged) rather than raw rows. Same math and
     output as :func:`population_stability`."""
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
     j = ca.join(cb, "bin", "full_outer").select(
         "bin",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),

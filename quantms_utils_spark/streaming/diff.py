@@ -27,9 +27,9 @@ Scale / correctness shape (same contract as ``streaming.curation``):
   epoch persisted the whole key set and state grew with total rows seen.
 - NULL key values are first-class (round 9): last-per-key collapses via
   a window (partitionBy groups NULLs like groupBy), and the standing
-  lookup joins null-safely — the previous equi-joins silently dropped
-  NULL-key rows that batch ``table_diff``'s full-outer join classifies
-  as inserted.
+  lookup joins null-safely — since round 10 batch ``table_diff`` matches
+  the same null-safe key contract (previously its full-outer join
+  classified NULL-key rows as phantom delete+insert pairs every diff).
 - Within a batch, the LAST row per key wins (upsert semantics), ordered
   by a stable in-batch sequence via ``monotonically_increasing_id``.
 """

@@ -191,3 +191,61 @@ def test_merge_upsert_validation(spark):
         merge_upsert(target, bad, ["k"])
     with pytest.raises(ValueError, match="keys"):
         merge_upsert(target, target, [])
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """Round-10 (review): a NULL-key row compares against the other
+    snapshot's NULL-key row (one 'updated'/'unchanged' verdict) instead of
+    flapping as a phantom delete+insert pair on every diff forever."""
+    from quantms_utils_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "a", 5.0), (1, "b", 1.0)], "k int, g string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 7.0), (1, "b", 1.0)], "k int, g string, v double"
+    )
+    for exact in (False, True):
+        got = {
+            (r["k"], r["status"])
+            for r in table_diff(old, new, keys=["k"], exact=exact).collect()
+        }
+        assert got == {(None, "updated")}
+    unchanged = table_diff(
+        old, old, keys=["k"], include_unchanged=True
+    ).collect()
+    assert {(r["k"], r["status"]) for r in unchanged} == {
+        (None, "unchanged"), (1, "unchanged"),
+    }
+
+
+def test_maintain_count_sum_null_key_change_reaches_view(spark):
+    """Round-10 (review): a changed NULL-key row's retraction/addition must
+    reach the standing view — the incremental refresh must equal a fresh
+    rebuild of the new snapshot."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.diff import maintain_count_sum
+
+    old = spark.createDataFrame(
+        [(None, "a", 5.0), (1, "a", 1.0), (2, "b", 2.0)],
+        "k int, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(None, "b", 7.0), (1, "a", 1.0), (2, "b", 2.0)],
+        "k int, g string, v double",
+    )
+    got = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in maintain_count_sum(old, new, ["k"], "g", "v").collect()
+    }
+    want = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -83,3 +83,38 @@ def test_psi_hand_computed(spark):
     assert rows[0]["psi_term"] == pytest.approx(
         (pa0 - pb0) * math.log(pa0 / pb0)
     )
+
+
+def test_logreg_train_loud_fail_on_empty_and_null(spark):
+    """Round-10 (review): empty frames and NULL feature/label rows raise
+    with actionable messages instead of ZeroDivisionError / a silently
+    biased gradient (NULL terms drop from the sums while n still counts
+    the row)."""
+    import pytest
+
+    from quantms_utils_spark.operators.ml import logreg_score, logreg_train
+
+    empty = spark.createDataFrame([], "x0 double, y int")
+    with pytest.raises(ValueError, match="empty training frame"):
+        logreg_train(empty, ["x0"], "y", n_iter=1)
+
+    withnull = spark.createDataFrame(
+        [(1.0, 1), (None, 0), (2.0, 1)], "x0 double, y int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        logreg_train(withnull, ["x0"], "y", n_iter=1)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        logreg_score([], [])
+    with pytest.raises(ValueError, match="weights"):
+        logreg_score(["x0"], [0.1, 0.2])
+
+
+def test_population_stability_rejects_negative_smoothing(spark):
+    import pytest
+
+    from quantms_utils_spark.operators.ml import population_stability
+
+    a = spark.createDataFrame([(1,)], "bin int")
+    with pytest.raises(ValueError, match="smoothing"):
+        population_stability(a, a, smoothing=-1.0)
