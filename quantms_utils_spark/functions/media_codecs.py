@@ -84,6 +84,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, float, float]:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a short slice would silently decode a PARTIAL sample stream
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: header claims {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
             fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -94,6 +100,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, float, float]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if sample_rate <= 0 or n_channels <= 0:
+        raise ValueError(
+            f"degenerate WAV fmt (rate={sample_rate}, channels={n_channels})"
+        )
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -141,6 +151,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     row_len = (w * 3 + 3) & ~3
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_len * h, offset=data_off
@@ -239,9 +251,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     c = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = w * c
+    if len(raw) < h * (stride + 1):
+        # a short inflate would silently drop trailing rows (IndexError at
+        # best, a partial image at worst)
+        raise ValueError(
+            f"truncated PNG pixel data: need {h * (stride + 1)} bytes, "
+            f"got {len(raw)}"
+        )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
@@ -292,6 +313,8 @@ def image_features(payload: bytes) -> tuple[int, int, int, float]:
     (0.299 R + 0.587 G + 0.114 B) over [0, 1]-normalized pixels, rounded to
     4 decimals; for gray/alpha images the luma is the gray channel mean."""
     px = decode_image_pixels(payload).astype(np.float64)
+    if px.size == 0:
+        raise ValueError("empty image (zero-area pixel array)")
     h, w, c = px.shape
     if c >= 3:
         luma = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
@@ -304,6 +327,10 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample — the deterministic, engine-agnostic resize
     kernel (no antialias filter to disagree over)."""
     h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    if height <= 0 or width <= 0:
+        raise ValueError(f"target dimensions must be positive ({width}x{height})")
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return pixels[rows][:, cols]
@@ -343,12 +370,26 @@ def decode_y4m(payload: bytes):
             mono = tok[1:] == b"mono"
     if w is None or h is None:
         raise ValueError("Y4M missing W/H")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate Y4M dimensions {w}x{h}")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"degenerate Y4M frame rate {fps_num}:{fps_den}")
+    if not mono and (w % 2 or h % 2):
+        # 4:2:0 chroma planes are w/2 x h/2; odd dimensions would mis-stride
+        # every frame after the first
+        raise ValueError(f"4:2:0 Y4M requires even dimensions, got {w}x{h}")
     frame_len = w * h if mono else w * h + 2 * ((w // 2) * (h // 2))
     frames, pos = [], nl + 1
     while pos < len(payload):
         fnl = payload.index(b"\n", pos)  # FRAME line (may carry params)
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("Y4M frame marker missing")
+        if fnl + 1 + frame_len > len(payload):
+            # a short tail would silently emit a PARTIAL final Y plane
+            raise ValueError(
+                f"truncated Y4M frame {len(frames)}: need {frame_len} bytes, "
+                f"{len(payload) - fnl - 1} available"
+            )
         frames.append(payload[fnl + 1 : fnl + 1 + w * h])  # Y plane only
         pos = fnl + 1 + frame_len
     return w, h, fps_num / fps_den, frames
@@ -369,6 +410,11 @@ def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: header claims {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
             fmt_tag, _n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -379,6 +425,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
         pos += 8 + size + (size & 1)
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if sample_rate <= 0:
+        raise ValueError(f"degenerate WAV sample rate {sample_rate}")
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.int64)
     elif bits == 8:

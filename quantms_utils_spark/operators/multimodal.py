@@ -83,6 +83,22 @@ from quantms_utils_spark.functions import media_codecs
 _IMAGE_FORMATS = ("bmp", "ppm", "png")
 
 
+def _try_decode(fn, payload: bytes, media_id, strict: bool):
+    """Run a real codec over one payload. A payload whose magic bytes match
+    a supported format but whose body is corrupt/truncated must not abort
+    the whole 100 TB job (round 10 review): in lenient mode it returns
+    ``None`` (the caller emits a NULL-feature row — detectable, never
+    fabricated); in strict mode it raises with the media_id attached."""
+    try:
+        return fn(payload)
+    except Exception as exc:
+        if strict:
+            raise ValueError(
+                f"corrupt media payload (media_id={media_id}): {exc}"
+            ) from exc
+        return None
+
+
 def attach_payload_metadata(
     df: DataFrame, payload_col: str, id_col: str, media_type: str
 ) -> DataFrame:
@@ -134,7 +150,11 @@ def extract_image_features(media: DataFrame, decode_stub: bool | None = None) ->
                 if decode_stub is True:
                     w, h, c, luma = _decode_image_stub(payload)
                 elif media_codecs.sniff(payload) in _IMAGE_FORMATS:
-                    w, h, c, luma = media_codecs.image_features(payload)
+                    feats = _try_decode(
+                        media_codecs.image_features, payload, media_id,
+                        strict=decode_stub is False,
+                    )
+                    w, h, c, luma = feats if feats else (None,) * 4
                 elif HAVE_PIL:  # pragma: no cover - needs PIL + real images
                     img = PIL.Image.open(io.BytesIO(payload))
                     w, h = img.size
@@ -202,10 +222,18 @@ def resize_images(
                         payload + f":{width}x{height}".encode()
                     ).hexdigest().encode("ascii")
                 elif media_codecs.sniff(payload) in _IMAGE_FORMATS:
-                    px = media_codecs.decode_image_pixels(payload)
-                    thumb = media_codecs.encode_png(
-                        media_codecs.resize_nearest(px, width, height)
+                    def _thumb(p):
+                        px = media_codecs.decode_image_pixels(p)
+                        return media_codecs.encode_png(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+
+                    thumb = _try_decode(
+                        _thumb, payload, media_id, strict=decode_stub is False
                     )
+                    if thumb is None:
+                        rows.append((media_id, width, height, None, None))
+                        continue
                 elif HAVE_PIL:  # pragma: no cover - needs PIL + real images
                     img = PIL.Image.open(io.BytesIO(payload))
                     img = img.resize((width, height), PIL.Image.LANCZOS)
@@ -277,7 +305,11 @@ def extract_audio_features(
                 if decode_stub is True:
                     sr, n, dur, rms = _decode_audio_stub(payload)
                 elif media_codecs.sniff(payload) == "wav":
-                    sr, n, dur, rms = media_codecs.decode_wav(payload)
+                    feats = _try_decode(
+                        media_codecs.decode_wav, payload, media_id,
+                        strict=decode_stub is False,
+                    )
+                    sr, n, dur, rms = feats if feats else (None,) * 4
                 elif HAVE_SOUNDFILE:  # pragma: no cover - needs soundfile
                     data, sr = soundfile.read(io.BytesIO(payload))
                     n = int(data.shape[0])
@@ -324,7 +356,16 @@ def sample_video_frames(media: DataFrame, decode_stub: bool | None = None) -> Da
                     continue
                 payload = bytes(payload)
                 if decode_stub is not True and media_codecs.sniff(payload) == "y4m":
-                    _w, _h, fps, frames = media_codecs.decode_y4m(payload)
+                    demuxed = _try_decode(
+                        media_codecs.decode_y4m, payload, media_id,
+                        strict=decode_stub is False,
+                    )
+                    if demuxed is None:
+                        # corrupt stream: one NULL marker row, never zero
+                        # silent rows and never fabricated frames
+                        rows.append((media_id, None, None, None))
+                        continue
+                    _w, _h, fps, frames = demuxed
                     for i, fr in enumerate(frames):
                         rows.append(
                             (
@@ -411,7 +452,12 @@ def average_hash(media: DataFrame, decode_stub: bool | None = None) -> DataFrame
                 if decode_stub is not True and media_codecs.sniff(
                     payload
                 ) in _IMAGE_FORMATS:
-                    fp = _hash_pixels(media_codecs.decode_image_pixels(payload))
+                    fp = _try_decode(
+                        lambda p: _hash_pixels(
+                            media_codecs.decode_image_pixels(p)
+                        ),
+                        payload, media_id, strict=decode_stub is False,
+                    )
                 elif decode_stub is False:
                     raise ValueError(
                         "un-decodable image payload in strict mode "
@@ -440,7 +486,7 @@ AUDIO_SIGNAL_SCHEMA = StructType(
 )
 
 
-def audio_signal_stats(media: DataFrame) -> DataFrame:
+def audio_signal_stats(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """Sample-level DSP statistics over WAV payloads: zero-crossing count
     (sign changes between consecutive samples — the cheap
     voiced/unvoiced + frequency proxy), peak amplitude, and mean absolute
@@ -448,7 +494,10 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
     depends on sample ORDER — a decoder that reorders, drops, or
     byte-swaps samples changes the crossing count, which is exactly what
     the oracle query pins. Real-decode only (stdlib RIFF parser); all
-    statistics are integer-exact until the final mean division."""
+    statistics are integer-exact until the final mean division. A corrupt
+    payload yields a NULL-stat row (``strict=True`` raises with the
+    media_id instead — round 10 review, same contract as the
+    ``decode_stub`` operators)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -459,7 +508,14 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
                 if payload is None:
                     rows.append((media_id, None, None, None, None))
                     continue
-                _, x = media_codecs.decode_wav_samples(bytes(payload))
+                decoded = _try_decode(
+                    media_codecs.decode_wav_samples, bytes(payload),
+                    media_id, strict=strict,
+                )
+                if decoded is None:
+                    rows.append((media_id, None, None, None, None))
+                    continue
+                _, x = decoded
                 n = int(x.size)
                 if n == 0:
                     rows.append((media_id, 0, 0, 0, 0.0))

@@ -35,7 +35,13 @@ def hash_positions(col: Column, n_hashes: int, n_bits: int) -> Column:
     Independent hash functions come from seeding xxhash64 with the hash
     index (an extra literal column changes the digest), the classic
     k-independent-hash construction. Pure codegen — no Python, no shuffle.
+
+    NULL values hash on the seed alone (Spark's xxhash64 skips NULL
+    inputs), so every NULL collides into one synthetic member — callers
+    probing nullable columns should filter or coalesce first.
     """
+    if n_hashes <= 0 or n_bits <= 0:
+        raise ValueError("n_hashes and n_bits must be positive")
     return F.array(
         *[
             F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
@@ -194,6 +200,8 @@ def cms_build(
     collapses a partition to ≤ depth × width partials before any shuffle,
     which is the fixed-size-mergeable property that defines CMS).
     """
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
     cells = F.array(
         *[
             F.struct(
@@ -226,6 +234,8 @@ def cms_estimate(
     re-aggregates by token, so the work is O(probes × depth), never a pass
     over the sketched corpus.
     """
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
     cell_of = F.array(
         *[
             F.struct(

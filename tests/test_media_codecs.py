@@ -324,3 +324,122 @@ def test_audio_signal_stats_known_signal(spark):
     r = audio_signal_stats(media).collect()[0]
     assert (r.n_samples, r.zero_crossings, r.peak_abs) == (5, 2, 4)
     assert r.mean_abs == round(12 / 5, 6)
+
+
+class TestCodecCorruptionGuards:
+    """Round-10 (review): truncated/degenerate payloads raise loudly in the
+    codecs (never a silent partial decode), and the Spark operators turn
+    decode failures into NULL rows in lenient mode instead of aborting the
+    job — or raise with the media_id in strict mode."""
+
+    def test_truncated_wav_data_chunk_raises(self):
+        import numpy as np
+        import pytest
+
+        from quantms_utils_spark.functions.media_codecs import (
+            decode_wav,
+            decode_wav_samples,
+            encode_wav,
+        )
+
+        wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
+        cut = wav[:-20]  # data chunk header still claims 200 bytes
+        with pytest.raises(ValueError, match="truncated WAV chunk"):
+            decode_wav(cut)
+        with pytest.raises(ValueError, match="truncated WAV chunk"):
+            decode_wav_samples(cut)
+
+    def test_truncated_y4m_frame_raises(self):
+        import numpy as np
+        import pytest
+
+        from quantms_utils_spark.functions.media_codecs import (
+            decode_y4m,
+            encode_y4m_mono,
+        )
+
+        frames = [np.full((4, 4), i, dtype=np.uint8) for i in range(3)]
+        y4m = encode_y4m_mono(frames, 30, 1)
+        with pytest.raises(ValueError, match="truncated Y4M frame"):
+            decode_y4m(y4m[:-5])  # last frame short
+        # odd-dimension 4:2:0 refused (chroma stride would corrupt)
+        hdr420 = y4m.replace(b"Cmono", b"C420jpeg", 1).replace(
+            b"W4 H4", b"W3 H3", 1
+        )
+        with pytest.raises(ValueError, match="even dimensions"):
+            decode_y4m(hdr420)
+
+    def test_truncated_png_raises(self):
+        import numpy as np
+        import pytest
+
+        from quantms_utils_spark.functions.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+        import struct
+        import zlib
+
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        png = encode_png(px)
+        # rebuild with an IDAT that inflates short (drop the last raw row)
+        sig, rest = png[:8], png[8:]
+        (ihdr_len,) = struct.unpack_from(">I", rest, 0)
+        ihdr_chunk = rest[: 12 + ihdr_len]
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(3))  # 3 of 4
+        body = zlib.compress(raw)
+        idat = (
+            struct.pack(">I", len(body)) + b"IDAT" + body
+            + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+        )
+        iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="truncated PNG"):
+            decode_png(sig + ihdr_chunk + idat + iend)
+
+    def test_resize_and_features_reject_degenerate(self):
+        import numpy as np
+        import pytest
+
+        from quantms_utils_spark.functions.media_codecs import resize_nearest
+
+        with pytest.raises(ValueError, match="empty"):
+            resize_nearest(np.zeros((0, 4, 3), dtype=np.uint8), 8, 8)
+        with pytest.raises(ValueError, match="positive"):
+            resize_nearest(np.zeros((4, 4, 3), dtype=np.uint8), 0, 8)
+
+    def test_operators_null_rows_lenient_raise_strict(self, spark):
+        import numpy as np
+
+        from quantms_utils_spark.functions.media_codecs import encode_wav
+        from quantms_utils_spark.operators.multimodal import (
+            attach_payload_metadata,
+            audio_signal_stats,
+            extract_audio_features,
+        )
+
+        good = encode_wav(np.arange(64, dtype=np.int16), 8000)
+        corrupt = bytes(good[:-10])  # sniffs as wav, truncated body
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(corrupt))],
+            "media_id long, payload binary",
+        )
+        media = attach_payload_metadata(df, "payload", "media_id", "audio")
+
+        feats = {r["media_id"]: r for r in
+                 extract_audio_features(media).collect()}
+        assert feats[1]["n_samples"] == 64
+        assert feats[2]["n_samples"] is None  # NULL row, job survived
+
+        stats = {r["media_id"]: r for r in
+                 audio_signal_stats(media).collect()}
+        assert stats[1]["n_samples"] == 64
+        assert stats[2]["n_samples"] is None
+
+        import pytest
+
+        with pytest.raises(Exception, match="media_id=2"):
+            audio_signal_stats(media, strict=True).collect()
+        with pytest.raises(Exception, match="media_id=2"):
+            extract_audio_features(media, decode_stub=False).collect()
