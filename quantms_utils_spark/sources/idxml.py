@@ -152,6 +152,12 @@ def read_identifications(
             "parsing) or 'synthetic'"
         )
 
+    if not paths:
+        raise ValueError(
+            "read_identifications: paths must be non-empty (an empty run list "
+            "is a caller bug; repartition(0) would raise a cryptic "
+            "engine error instead)"
+        )
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], schema="path string"
     ).repartition(len(paths), "path")
@@ -179,6 +185,13 @@ def _parse_xml_idxml(path: str) -> pd.DataFrame:
     protein-identification param, one row per PeptideIdentification with its
     hits nested. Hit rank is the 1-based position in file order (idXML does
     not store ranks; OpenMS keeps hits sorted best-first).
+
+    Memory profile: a full-document parse (idXML's SearchParameters come
+    before the runs that reference them, and files are identification
+    lists, typically MBs — not the multi-GB peak data mzML holds, which is
+    why the mzML twin streams via iterparse and this one deliberately does
+    not). The expat second parser (`idxml_datasource`) is the
+    producer-independent cross-check.
     """
     from xml.etree.ElementTree import parse as etree_parse
 

@@ -180,6 +180,12 @@ def read_spectra(
     parser = resolve_parser(parser, paths)
 
     levels = list(ms_levels) if ms_levels else None
+    if not paths:
+        raise ValueError(
+            "read_spectra: paths must be non-empty (an empty run list "
+            "is a caller bug; repartition(0) would raise a cryptic "
+            "engine error instead)"
+        )
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], schema="path string"
     ).repartition(len(paths), "path")

@@ -139,12 +139,22 @@ def parse_mzml_xml(
     acq: str | None = None
 
     with opener(path, "rb") as fh:
-        # 'start' events only for <run> (to grab startTimeStamp before any
-        # spectrum closes); everything else is handled on element close.
+        # 'start' events are used for <run> (startTimeStamp before any
+        # spectrum closes) and to capture <spectrumList>; everything else is
+        # handled on element close. Round 10 review: elem.clear() empties a
+        # processed spectrum, but the cleared husk stayed referenced in the
+        # spectrumList's child list, so memory grew with TOTAL spectrum
+        # count — clearing the captured spectrumList between spectra (the
+        # iterparse ancestor-clear idiom; the parser's internal stack keeps
+        # the open element alive) makes the footprint truly bounded by one
+        # spectrum, as the module contract claims.
+        slist = None
         for event, elem in iterparse(fh, events=("start", "end")):
             tag = _local(elem.tag)
             if event == "start":
-                if tag == "run" and elem.get("startTimeStamp"):
+                if tag == "spectrumList":
+                    slist = elem
+                elif tag == "run" and elem.get("startTimeStamp"):
                     acq = elem.get("startTimeStamp")
                 continue
             if tag != "spectrum":
@@ -156,6 +166,8 @@ def parse_mzml_xml(
             )
             if wanted is not None and ms_level not in wanted:
                 elem.clear()  # skip BEFORE touching the binary payloads
+                if slist is not None:
+                    slist.clear()  # drop the cleared husk from the child list
                 continue
 
             native_id = elem.get("id", "")
@@ -202,6 +214,8 @@ def parse_mzml_xml(
                 )
             )
             elem.clear()
+            if slist is not None:
+                slist.clear()  # drop the cleared husk from the child list
 
     return pd.DataFrame(rows, columns=[f.name for f in SPECTRUM_SCHEMA.fields])
 
