@@ -87,6 +87,12 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
         except ValueError:
             length = 0
         body_start = hdr_end + sep_len
+        if body_start + length > n:
+            # truncated final record (cut-off upload/download): the slice
+            # would silently yield a PARTIAL body — drop the incomplete
+            # record instead, the tar-style tolerant-tail convention
+            # (round 10 review)
+            return
         body = data[body_start : body_start + length]
         yield {
             "warc_type": fields.get("warc-type"),
@@ -127,15 +133,36 @@ def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, rest
 
 
-def _explode_records(batches):
+def _explode_records(batches, on_corrupt: str = "error"):
     """mapInPandas transform: (path, content) file rows → WARC_SCHEMA record
-    rows (shared by the batch and streaming readers)."""
+    rows (shared by the batch and streaming readers).
+
+    ``on_corrupt`` (round 10 review): a corrupt container (bad gzip member,
+    undecodable framing) raises with the FILE PATH attached
+    (``'error'``, default — one opaque zlib.error used to abort the job
+    with no clue which of 100k crawl files was bad), or skips the file and
+    keeps the job alive (``'skip'`` — the crawl-ingest production setting,
+    where a handful of corrupt segments per 100 TB is normal)."""
+    import logging
+
     import pandas as pd
 
     for pdf in batches:
         rows = []
         for path, blob in zip(pdf["path"], pdf["content"]):
-            for rec in parse_warc_bytes(bytes(blob)):
+            try:
+                records = list(parse_warc_bytes(bytes(blob)))
+            except Exception as exc:
+                if on_corrupt == "skip":
+                    logging.getLogger(__name__).warning(
+                        "skipping corrupt WARC file %s (%s: %s)",
+                        path, type(exc).__name__, exc,
+                    )
+                    continue
+                raise ValueError(
+                    f"corrupt WARC file {path!r}: {exc}"
+                ) from exc
+            for rec in records:
                 status, ctype, entity = split_http_payload(rec["body"])
                 rows.append(
                     {
@@ -162,16 +189,23 @@ def _explode_records(batches):
             )
 
 
-def read_warc(spark, path_glob: str):
+def read_warc(spark, path_glob: str, *, on_corrupt: str = "error"):
     """Read .warc / .warc.gz files into one DataFrame row per record
     (schema ``WARC_SCHEMA``). One file = one ``binaryFile`` row = one
     parse task; HTTP response records get status/content-type/body split
     out. Filters on warc_type/target_uri prune AFTER the parse — at crawl
-    scale, pre-filter by file path (Common Crawl segments sort by date)."""
+    scale, pre-filter by file path (Common Crawl segments sort by date).
+    ``on_corrupt='skip'`` logs-and-skips corrupt container files instead
+    of failing the job (see :func:`_explode_records`)."""
+    if on_corrupt not in ("error", "skip"):
+        raise ValueError("on_corrupt must be 'error' or 'skip'")
     files = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )
-    return files.mapInPandas(_explode_records, schema=WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _explode_records(it, on_corrupt=on_corrupt),
+        schema=WARC_SCHEMA,
+    )
 
 
 def read_warc_stream(spark, landing_dir: str):

@@ -200,3 +200,60 @@ def test_warc_datasource_no_files_errors(spark, tmp_path):
         WarcDataSourceReader(None, {"path": str(tmp_path / "none*")})
     with _pytest.raises(ValueError, match="needs .load"):
         WarcDataSourceReader(None, {})
+
+
+def test_warc_truncated_final_record_dropped_not_partial(spark):
+    """Round-10 (review): a record whose Content-Length runs past the file
+    end (cut-off download) is DROPPED, never yielded with a silently
+    partial body."""
+    from quantms_utils_spark.sources.warc import parse_warc_bytes
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"Content-Length: 10\r\n"
+        b"\r\n"
+        b"0123456789\r\n\r\n"
+    )
+    truncated = rec + (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:2>\r\n"
+        b"Content-Length: 100\r\n"
+        b"\r\n"
+        b"short"
+    )
+    got = list(parse_warc_bytes(truncated))
+    assert [r["record_id"] for r in got] == ["<urn:uuid:1>"]
+    assert got[0]["body"] == b"0123456789"
+
+
+def test_warc_corrupt_file_skip_or_error_with_path(spark, tmp_path):
+    """Round-10 (review): a corrupt gzip container raises with the file
+    path attached by default, or is logged-and-skipped with
+    on_corrupt='skip' while good files still parse."""
+    import gzip
+
+    import pytest
+
+    from quantms_utils_spark.sources.warc import read_warc
+
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:ok>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    (tmp_path / "good.warc.gz").write_bytes(gzip.compress(good))
+    # gzip magic followed by garbage -> zlib.error inside the member walk
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"\xff" * 64)
+
+    with pytest.raises(Exception, match="bad.warc.gz"):
+        read_warc(spark, str(tmp_path) + "/*.warc.gz").collect()
+
+    rows = read_warc(
+        spark, str(tmp_path) + "/*.warc.gz", on_corrupt="skip"
+    ).collect()
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:ok>"]
+
+    with pytest.raises(ValueError, match="on_corrupt"):
+        read_warc(spark, str(tmp_path), on_corrupt="maybe")
