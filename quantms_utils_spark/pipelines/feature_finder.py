@@ -226,7 +226,9 @@ def group_isotope_features(
     both = edges.select("trace_key", "z", "err").unionByName(
         edges.select(F.col("r_key").alias("trace_key"), "z", "err")
     )
-    w_best = Window.partitionBy("trace_key").orderBy("err")
+    # z tie-break (round 10 review): equal-error charges would make
+    # row_number nondeterministic across runs and flake the goldens
+    w_best = Window.partitionBy("trace_key").orderBy("err", "z")
     trace_z = (
         both.withColumn("r", F.row_number().over(w_best))
         .filter(F.col("r") == 1)
@@ -248,12 +250,21 @@ def group_isotope_features(
 
     cc = connected_components_star(kept, "trace_key", "r_key")
     membership = cc.select(F.col("v").alias("trace_key"), F.col("label").alias("fid"))
+    # deterministic mode (round 10 review): F.mode picks arbitrarily on
+    # tied counts — count per (fid, z), then keep the most frequent z with
+    # a smallest-z tie-break, so reruns and goldens cannot flake
     charges = (
         kept.select(F.col("trace_key"), "z")
         .unionByName(kept.select(F.col("r_key").alias("trace_key"), "z"))
         .join(membership, "trace_key")
+        .groupBy("fid", "z")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .groupBy("fid")
-        .agg(F.mode("z").alias("charge"))
+        .agg(
+            F.min_by(
+                "z", F.struct((-F.col("_n")).alias("nn"), F.col("z").alias("z"))
+            ).alias("charge")
+        )
     )
 
     labeled = traces.join(membership, "trace_key", "left").withColumn(
