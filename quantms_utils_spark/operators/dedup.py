@@ -287,6 +287,10 @@ def lsh_candidate_pairs(
     """
     banded = band_buckets(sigs, id_col, n_hashes, band_size)
     if max_bucket is not None:
+        # two consumers (count pre-pass + bucket build) and ReuseExchange
+        # does not fire across the pruned subtrees — persist so the
+        # shingle→signature→banding pipeline runs once, spill-backed
+        banded = banded.persist()
         sizes = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bn"))
@@ -349,8 +353,11 @@ def winnow_candidate_pairs(
     the ``collect_list`` (same hardening as ``lsh_candidate_pairs``) — a
     corpus-wide boilerplate fingerprint previously materialized its whole
     O(corpus) member array in one aggregation buffer before the size
-    filter dropped it. The pre-pass join lands on the fingerprint
-    shuffle's partitioning, so no extra exchange.
+    filter dropped it. The fingerprint frame now feeds two consumers
+    (count pre-pass + bucket build) and Catalyst's ReuseExchange does NOT
+    fire across them (column pruning makes the subtrees differ), so it is
+    persisted — winnowing runs once, spill-backed, the same discipline as
+    ``_prefix_candidates``/``simhash_pairs``.
     """
     from quantms_utils_spark.operators.text import winnow_fingerprints
 
@@ -362,7 +369,7 @@ def winnow_candidate_pairs(
         F.explode(
             winnow_fingerprints(F.col(text_col), hash_family=hash_family)
         ).alias("fp"),
-    )
+    ).persist()
     sizes = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_fn"))
@@ -959,14 +966,16 @@ def _prefix_candidates(
     (candidate-pair frame, rarity-ordered per-document shingle frame)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
     # Document frequency via groupBy + join, NOT a window over the shingle
     # (round 10 review, same class as the retrieval max_df fix): WindowExec
     # buffers each partition group, so one corpus-wide stopword shingle
     # would funnel O(corpus) rows through a single task's buffer. The
     # groupBy is map-side combinable (constant state per shingle) and the
-    # join streams the whale key; both sides shuffle by the same key, so
-    # ReuseExchange evaluates the shingling pipeline once.
+    # join streams the whale key. The shingle frame feeds both sides and
+    # ReuseExchange does not fire across the pruned subtrees — persist so
+    # the tokenize/explode chain runs once (the (id, shingle) asset a
+    # materialized similarity index would hold anyway).
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
         sh.join(dfc, "shingle")
@@ -1076,11 +1085,13 @@ def containment_pairs(
     ordered pair with containment of doc_small in doc_host. Two shuffles
     for candidates (df window + pair distinct), O(candidates) verify.
     """
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
     # df cut via groupBy + semi-join, not a shingle window (round 10
     # review): a ubiquitous shingle would buffer O(corpus) rows in one
     # WindowExec task; the count aggregate combines map-side and the
-    # semi-join streams. ReuseExchange shares the shingle shuffle.
+    # semi-join streams. Three consumers (df count, semi-join probe, the
+    # verify sets) and no cross-subtree reuse — persist the shingle frame
+    # so tokenization runs once.
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
     rare_fps = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
