@@ -104,14 +104,35 @@ def html_strip_fast(col: Column) -> Column:
 
 
 def normalize_url(col: Column) -> Column:
-    """Canonical URL for crawl-level dedup: lower-cased scheme and host,
-    default-port and fragment dropped (parse_url never returns them), query
-    parameters SORTED so parameter order cannot split a page into two crawl
-    identities. Pure Catalyst (parse_url + array_sort) — a 100 TB URL
-    canonicalization is one map-only scan, and the normalized string is the
-    groupBy key for crawl dedup."""
+    """Canonical URL for crawl-level dedup: lower-cased scheme and
+    host[:port], DEFAULT ports (:80 for http, :443 for https) and the
+    fragment dropped, query parameters SORTED so parameter order cannot
+    split a page into two crawl identities. Pure Catalyst (parse_url +
+    array_sort) — a 100 TB URL canonicalization is one map-only scan, and
+    the normalized string is the groupBy key for crawl dedup.
+
+    Round 10 (review): the host comes from parse_url(AUTHORITY), not
+    parse_url(HOST) — HOST silently drops EVERY port, so
+    ``http://a:8080/x`` and ``http://a:9090/x`` (distinct origins,
+    distinct pages) collapsed into one crawl identity and one of them was
+    deduped away. Non-default ports now survive; userinfo, when present,
+    is preserved case-sensitively."""
     proto = F.lower(F.call_function("parse_url", col, F.lit("PROTOCOL")))
-    host = F.lower(F.call_function("parse_url", col, F.lit("HOST")))
+    auth = F.call_function("parse_url", col, F.lit("AUTHORITY"))
+    userinfo = F.call_function("parse_url", col, F.lit("USERINFO"))
+    hostport = F.lower(F.regexp_replace(auth, "^[^@]*@", ""))
+    hostport = F.when(
+        proto == "http", F.regexp_replace(hostport, ":80$", "")
+    ).otherwise(hostport)
+    hostport = F.when(
+        proto == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    host = F.concat(
+        F.when(userinfo.isNotNull(), F.concat(userinfo, F.lit("@"))).otherwise(
+            F.lit("")
+        ),
+        hostport,
+    )
     path = F.coalesce(F.call_function("parse_url", col, F.lit("PATH")), F.lit(""))
     query = F.call_function("parse_url", col, F.lit("QUERY"))
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")

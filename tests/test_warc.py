@@ -119,6 +119,13 @@ def test_normalize_url(spark):
         ("http://x.org/path", "http://x.org/path"),
         ("http://x.org", "http://x.org"),
         ("https://X.org/p?single=1", "https://x.org/p?single=1"),
+        # round-10 review: NON-default ports are distinct origins and must
+        # SURVIVE (parse_url HOST dropped every port, collapsing
+        # :8080/:9090 into one crawl identity); default ports still drop
+        ("http://X.org:8080/a", "http://x.org:8080/a"),
+        ("http://x.org:80/a", "http://x.org/a"),
+        ("https://x.org:8443/a", "https://x.org:8443/a"),
+        ("http://u:pw@X.org:8080/a", "http://u:pw@x.org:8080/a"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(normalize_url(F.col("u"))).collect()]
