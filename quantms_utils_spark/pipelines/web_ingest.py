@@ -12,14 +12,14 @@ synthetic `documents` table, so it feeds straight into
 ``pipelines.curation.curate_corpus`` — crawl in, curated train set out.
 
 Scale notes: every stage after the parse is map-only except the two
-keyed reductions (URL dedup, fingerprint dedup), both min-id keeper
-windows on a hash/URL key. The parse parallelizes by crawl file
+keyed reductions (URL dedup, fingerprint dedup), both map-side-combinable
+min_by keeper aggregates on a hash/URL key. The parse parallelizes by crawl file
 (Common Crawl ships ~1 GB files; 100 TB ≈ 10⁵ files ≈ 10⁵ tasks).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from quantms_utils_spark.operators.text import (
     content_fingerprint,
@@ -43,20 +43,25 @@ def web_corpus(
     """
     recs = read_warc(spark, path_glob)
     pages = _page_transform(recs, min_chars)
+
+    # Both keeper reductions are min_by(struct, doc_id) AGGREGATES, not
+    # keyed windows (round 10 review, same fix as curate_corpus stage 2):
+    # a page crawled millions of times — one canonical URL, or identical
+    # boilerplate content under many URLs, both NORMAL in crawls — would
+    # funnel O(copies) rows through a single WindowExec task's buffer; the
+    # aggregate combines map-side with one struct of state per group.
+    def _min_id_keeper(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.min_by(F.struct(*df.columns), F.col("doc_id")).alias("_r"))
+            .select("_r.*")
+        )
+
     # URL-level dedup: the same canonical page crawled twice keeps one copy
-    w_url = Window.partitionBy("url")
-    by_url = (
-        pages.withColumn("keep_id", F.min("doc_id").over(w_url))
-        .where(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
-    )
+    by_url = _min_id_keeper(pages, "url")
     # content-level exact dedup across different URLs
-    w_fp = Window.partitionBy("fp")
-    deduped = (
-        by_url.withColumn("fp", content_fingerprint(F.col("text")))
-        .withColumn("keep_id", F.min("doc_id").over(w_fp))
-        .where(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
+    deduped = _min_id_keeper(
+        by_url.withColumn("fp", content_fingerprint(F.col("text"))), "fp"
     )
     qm = quality_metrics(F.col("text"))
     return deduped.select(
@@ -79,7 +84,10 @@ def _page_transform(recs: DataFrame, min_chars: int) -> DataFrame:
         recs.where(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
-            & F.col("http_content_type").startswith("text/html")
+            # header values are case-insensitive in the wild ('TEXT/HTML',
+            # 'Text/Html; charset=...') — a case-sensitive prefix silently
+            # dropped those pages (round 10 review)
+            & F.lower(F.col("http_content_type")).startswith("text/html")
         )
         .select(
             F.col("record_id").alias("doc_id"),

@@ -129,3 +129,40 @@ def test_continuous_crawl_classifies_across_dumps(spark, tmp_path):
     }
     assert statuses["<urn:uuid:c3>"] == "exact_dup"
     assert statuses["<urn:uuid:c4>"] == "new"
+
+
+def test_web_corpus_case_insensitive_content_type_and_aggregate_dedup(
+    spark, tmp_path
+):
+    """Round-10 (review): 'TEXT/HTML' responses are kept (header values are
+    case-insensitive in the wild), and both keeper reductions run as
+    min_by aggregates (no keyed window in the plan — whale-page safety)."""
+    from quantms_utils_spark.pipelines.web_ingest import web_corpus
+
+    def rec(rid, uri, ctype, body):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+        )
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Record-ID: <" + rid + b">\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    html = b"<html><body>hello corpus page</body></html>"
+    data = (
+        rec(b"urn:1", b"http://a.example/x", b"text/html", html)
+        + rec(b"urn:2", b"http://b.example/y", b"TEXT/HTML; charset=utf-8",
+              html.replace(b"hello", b"other"))
+        + rec(b"urn:3", b"http://c.example/z", b"image/png", b"\x89PNG")
+    )
+    f = tmp_path / "crawl.warc"
+    f.write_bytes(data)
+    out = web_corpus(spark, str(f))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan and "min_by" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {"<urn:1>", "<urn:2>"}  # PNG dropped, TEXT/HTML kept
