@@ -413,3 +413,106 @@ def test_zorder_key_deinterleave_roundtrip(spark, pts):
     assert len({(r["x"], r["y"], r["z"]) for r in got}) == len(
         {r["k3"] for r in got}
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 properties: codec roundtrips + null-safe diff semantics
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    """encode_wav -> decode_wav_samples is the identity on int16 PCM, and
+    decode_wav's rms matches the direct numpy computation."""
+    import numpy as np
+
+    from quantms_utils_spark.functions.media_codecs import (
+        decode_wav,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    x = np.asarray(samples, dtype=np.int16)
+    payload = encode_wav(x, rate)
+    got_rate, got = decode_wav_samples(payload)
+    assert got_rate == rate
+    assert np.array_equal(got, x.astype(np.int64))
+    sr, n, dur, rms = decode_wav(payload)
+    assert (sr, n) == (rate, len(x))
+    want_rms = round(float(np.sqrt(((x / 32768.0) ** 2).mean())), 6)
+    assert abs(rms - want_rms) <= 1e-6
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    """encode_png -> decode_png is the identity on random uint8 pixel
+    arrays for gray/RGB/RGBA."""
+    import numpy as np
+
+    from quantms_utils_spark.functions.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    got = decode_png(encode_png(px))
+    assert np.array_equal(got, px.reshape(h, w, c))
+
+
+_diff_keys = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+_diff_vals = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(_diff_keys, _diff_vals, max_size=6),
+    st.dictionaries(_diff_keys, _diff_vals, max_size=6),
+)
+def test_table_diff_matches_null_safe_reference(spark, old_map, new_map):
+    """table_diff (hash and exact modes) agrees with a brute-force
+    null-safe dict reference on random snapshots, NULL keys and NULL
+    values included (round-10 null-safe key contract)."""
+    from quantms_utils_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_map.items()] or [(99, 99)], "k int, v int"
+    )
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_map.items()] or [(99, 99)], "k int, v int"
+    )
+    om = old_map or {99: 99}
+    nm = new_map or {99: 99}
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in nm:
+            want[k] = "deleted"
+        elif k not in om:
+            want[k] = "inserted"
+        elif om[k] != nm[k]:
+            want[k] = "updated"
+        else:
+            want[k] = "unchanged"
+    for exact in (False, True):
+        got = {
+            r["k"]: r["status"]
+            for r in table_diff(
+                old, new, keys=["k"], exact=exact, include_unchanged=True
+            ).collect()
+        }
+        assert got == want
