@@ -516,3 +516,111 @@ def test_table_diff_matches_null_safe_reference(spark, old_map, new_map):
             ).collect()
         }
         assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**31 - 2),
+)
+def test_bmp_ppm_roundtrip_property(h, w, seed):
+    """encode/decode are identities for 24-bit BMP (incl. the bottom-up row
+    order + stride padding) and P6 PPM on random RGB arrays."""
+    import numpy as np
+
+    from quantms_utils_spark.functions.media_codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from([(30, 1), (24, 1), (30000, 1001)]),
+    st.integers(min_value=0, max_value=2**31 - 2),
+)
+def test_y4m_roundtrip_property(h, w, n_frames, fps, seed):
+    """encode_y4m_mono -> decode_y4m returns every Y plane byte-exact with
+    the declared geometry and frame rate."""
+    import numpy as np
+
+    from quantms_utils_spark.functions.media_codecs import (
+        decode_y4m,
+        encode_y4m_mono,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    num, den = fps
+    gw, gh, gfps, got = decode_y4m(encode_y4m_mono(frames, num, den))
+    assert (gw, gh) == (w, h)
+    assert abs(gfps - num / den) < 1e-12
+    assert len(got) == n_frames
+    assert all(bytes(f.tobytes()) == g for f, g in zip(frames, got))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=7)),
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=50)),
+        max_size=8,
+    ),
+    st.dictionaries(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=7)),
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=50)),
+        max_size=8,
+    ),
+)
+def test_maintain_count_sum_equals_fresh_rebuild(spark, old_map, new_map):
+    """The incremental (count, sum) view refresh equals a fresh rebuild of
+    the new snapshot on random old/new snapshots — group moves, NULL keys,
+    inserts, deletes, and updates all included."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.diff import maintain_count_sum
+
+    if not old_map or not new_map:
+        return  # empty frames need explicit schemas; covered by unit tests
+    old = spark.createDataFrame(
+        [(k, g, float(v)) for k, (g, v) in old_map.items()],
+        "k int, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(k, g, float(v)) for k, (g, v) in new_map.items()],
+        "k int, g string, v double",
+    )
+    got = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in maintain_count_sum(old, new, ["k"], "g", "v").collect()
+    }
+    want = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
