@@ -624,3 +624,57 @@ def test_maintain_count_sum_equals_fresh_rebuild(spark, old_map, new_map):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "jumps", "lazy", "dog"]),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_lsh_max_bucket_guard_path_equivalence(spark, docs_tokens):
+    """The round-10 count pre-pass path (max_bucket set) emits exactly the
+    plain path's pairs whenever no bucket exceeds the cap (cap = corpus
+    size makes the guard a semantic no-op), and is always a subset of the
+    plain path's pairs for any smaller cap — on random corpora."""
+    from quantms_utils_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=8, shingle_n=3,
+        hash_family="xxhash64",
+    )
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", 8, 2).collect()
+    }
+    noop = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", 8, 2, max_bucket=len(docs_tokens)
+        ).collect()
+    }
+    assert noop == plain
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", 8, 2, max_bucket=3
+        ).collect()
+    }
+    assert capped <= plain
