@@ -678,3 +678,84 @@ def test_lsh_max_bucket_guard_path_equivalence(spark, docs_tokens):
         ).collect()
     }
     assert capped <= plain
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+            st.sampled_from(["Host.Example", "a.b.c", "X.org"]),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.sampled_from(["", "/p", "/p/q"]),
+            st.sampled_from(["", "?b=2&a=1", "?z=9"]),
+            st.sampled_from(["", "#frag"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_url_idempotent_property(spark, parts):
+    """normalize_url is idempotent — canonical output re-normalizes to
+    itself — across scheme/host case, default and non-default ports,
+    query order, and fragments."""
+    from quantms_utils_spark.operators.web import normalize_url
+
+    urls = [f"{s}://{h}{port}{path}{q}{frag}"
+            for s, h, port, path, q, frag in parts]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(normalize_url(F.col("u")).alias("n1"))
+    twice = once.select(
+        F.col("n1"), normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r["n1"] == r["n2"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1, max_size=10, unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100),
+                  st.integers(0, 999)),
+        min_size=0, max_size=10,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join (union+window form) equals the brute-force backward-
+    inclusive lookup: for each left row, the right row with the greatest
+    right_ts <= left_ts within the same key."""
+    from quantms_utils_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k, t in lefts], "k int, lt int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rights] or [(99, 0, 0)],
+        "k int, rt int, v int",
+    )
+    rmap = {}
+    rrows = rights or [(99, 0, 0)]
+    got = {
+        (r["k"], r["lt"]): r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt",
+            right_value_cols=["v"],
+        ).collect()
+    }
+    for k, lt in lefts:
+        cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= lt]
+        want = max(cand)[1] if cand else None
+        assert got[(k, lt)] == want, (k, lt, want, got[(k, lt)])
