@@ -10,6 +10,22 @@ Pandas UDF.
 Scale notes: the shingle→signature aggregation is a single shuffle on the
 document id; LSH banding replaces the O(n²) pair space with per-bucket
 pairing, and the residual exact-Jaccard verify only runs on candidates.
+
+Cache policy (round 11): multi-consumer intermediates (banded buckets,
+fingerprint frames, rarity-ordered shingle arrays) are pinned with
+``localCheckpoint(eager=False)``, NOT ``persist()``. Both store the frame
+once (MEMORY_AND_DISK, spill-backed) so the pipeline stays single-pass, but
+``persist`` registers the plan in the session CacheManager, which holds a
+strong reference until an explicit ``unpersist()`` — a long-lived session
+calling the dedup family repeatedly accumulates corpus-scale storage blocks
+forever. A local checkpoint's blocks are owned by the RDD alone, so the
+ContextCleaner releases them as soon as the returned DataFrame is dropped:
+the cache lifetime is exactly the result's lifetime, no caller contract
+needed. The known trade (documented for every iterative op in
+``operators/graph.py``): lineage is truncated, so an executor loss
+mid-query re-fails instead of recomputing — the right default for ephemeral
+intermediates; cluster deployments that need fault-tolerant recompute
+should set a reliable ``spark.checkpoint.dir`` and swap to ``checkpoint``.
 """
 
 from __future__ import annotations
@@ -288,9 +304,11 @@ def lsh_candidate_pairs(
     banded = band_buckets(sigs, id_col, n_hashes, band_size)
     if max_bucket is not None:
         # two consumers (count pre-pass + bucket build) and ReuseExchange
-        # does not fire across the pruned subtrees — persist so the
-        # shingle→signature→banding pipeline runs once, spill-backed
-        banded = banded.persist()
+        # does not fire across the pruned subtrees — pin so the
+        # shingle→signature→banding pipeline runs once, spill-backed;
+        # localCheckpoint (module cache policy) so the blocks die with the
+        # returned frame instead of pinning in the CacheManager
+        banded = banded.localCheckpoint(eager=False)
         sizes = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bn"))
@@ -356,7 +374,8 @@ def winnow_candidate_pairs(
     filter dropped it. The fingerprint frame now feeds two consumers
     (count pre-pass + bucket build) and Catalyst's ReuseExchange does NOT
     fire across them (column pruning makes the subtrees differ), so it is
-    persisted — winnowing runs once, spill-backed, the same discipline as
+    pinned (localCheckpoint per the module cache policy) — winnowing runs
+    once, spill-backed, the same discipline as
     ``_prefix_candidates``/``simhash_pairs``.
     """
     from quantms_utils_spark.operators.text import winnow_fingerprints
@@ -369,7 +388,7 @@ def winnow_candidate_pairs(
         F.explode(
             winnow_fingerprints(F.col(text_col), hash_family=hash_family)
         ).alias("fp"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_fn"))
@@ -972,10 +991,13 @@ def _prefix_candidates(
     # would funnel O(corpus) rows through a single task's buffer. The
     # groupBy is map-side combinable (constant state per shingle) and the
     # join streams the whale key. The shingle frame feeds both sides and
-    # ReuseExchange does not fire across the pruned subtrees — persist so
+    # ReuseExchange does not fire across the pruned subtrees — pin so
     # the tokenize/explode chain runs once (the (id, shingle) asset a
-    # materialized similarity index would hold anyway).
-    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
+    # materialized similarity index would hold anyway); localCheckpoint per
+    # the module cache policy (blocks die with the returned frame).
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
+        eager=False
+    )
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
         sh.join(dfc, "shingle")
@@ -990,12 +1012,13 @@ def _prefix_candidates(
     )
     # The rarity-ordered frame feeds THREE consumers (prefix explode, verify
     # side A, verify side B) and Catalyst does not share subplans across a
-    # self-join — without a persist the shingle explode + df window +
+    # self-join — without pinning, the shingle explode + df count/join +
     # collect_list chain executes three times (measured ~40% of the query).
     # MEMORY_AND_DISK, so a 100 TB corpus spills instead of failing; the
     # asset is (id, sorted shingles) — the same thing a materialized
-    # similarity-index table would hold.
-    ordered = ordered.persist()
+    # similarity-index table would hold. localCheckpoint per the module
+    # cache policy: blocks die with the returned frame, not the session.
+    ordered = ordered.localCheckpoint(eager=False)
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
     pref = ordered.select(
         "_id",
@@ -1089,9 +1112,12 @@ def containment_pairs(
     # review): a ubiquitous shingle would buffer O(corpus) rows in one
     # WindowExec task; the count aggregate combines map-side and the
     # semi-join streams. Three consumers (df count, semi-join probe, the
-    # verify sets) and no cross-subtree reuse — persist the shingle frame
-    # so tokenization runs once.
-    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
+    # verify sets) and no cross-subtree reuse — pin the shingle frame
+    # so tokenization runs once (localCheckpoint per the module cache
+    # policy: blocks die with the returned frame, not the session).
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
+        eager=False
+    )
     rare_fps = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1151,8 +1177,9 @@ def simhash_pairs(
 
     The fingerprint frame feeds three consumers (banding + both verify
     sides) and Catalyst shares no subplans across a self-join, so it is
-    persisted here — for SimHash the upstream is an Arrow UDF over the
-    whole corpus, the one thing you never want recomputed 3x.
+    pinned here (localCheckpoint per the module cache policy) — for SimHash
+    the upstream is an Arrow UDF over the whole corpus, the one thing you
+    never want recomputed 3x.
     Arithmetic-shift + mask band extraction matches any engine's signed
     64-bit semantics, which is what lets the DuckDB oracle re-derive the
     bands from its HUGEINT-built fingerprints.
@@ -1164,7 +1191,9 @@ def simhash_pairs(
         )
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
-    fps = fps.select(F.col(id_col), F.col(fp_col)).persist()
+    fps = fps.select(F.col(id_col), F.col(fp_col)).localCheckpoint(
+        eager=False
+    )
     bands = fps.select(
         F.col(id_col),
         F.posexplode(

@@ -211,12 +211,18 @@ def _wedge_count_expr(d) -> "F.Column":
     vertices; decimal(38,0) holds ~1e38 wedges, far above any graph
     whose edge list is storable. d·(d−1) is even, so the /2 is exact;
     the final long cast is safe for any total below 2^63 wedges (a
-    graph past that bound has no storable edge list either)."""
+    graph past that bound has no storable edge list either).
+
+    Round 11 (ADVICE r10): the empty-input default is gated on
+    ``count == 0``, not a blanket ``coalesce`` — a blanket coalesce also
+    rewrote a decimal-overflow NULL (ANSI off) as 0 wedges, the exact
+    silent-wrong-answer class this expression exists to prevent. With the
+    gate, an overflow past ~1e38 wedges surfaces as NULL instead."""
     prod = d.cast("decimal(38,0)") * (d - 1).cast("decimal(38,0)")
-    return (
-        F.floor(F.coalesce(F.sum(prod), F.lit(0).cast("decimal(38,0)")) / 2)
-        .cast("long")
-    )
+    total = F.when(
+        F.count(F.lit(1)) == F.lit(0), F.lit(0).cast("decimal(38,0)")
+    ).otherwise(F.sum(prod))
+    return F.floor(total / 2).cast("long")
 
 
 def triangle_count(

@@ -58,8 +58,17 @@ def logreg_train(
     dying in a 0-division, and rows with a NULL feature or label raise
     instead of silently contributing zero gradient while still inflating
     ``n`` (a biased model with no error). The NULL probe rides in the
-    first iteration's aggregate — no extra scan.
+    first iteration's aggregate — no extra scan. Round 11 (ADVICE r10):
+    ``n_iter >= 1`` is validated at entry — the probe rides in iteration
+    0, so ``n_iter=0`` would otherwise skip every guard and silently
+    return all-zero weights.
     """
+    if n_iter < 1:
+        raise ValueError(
+            f"logreg_train: n_iter must be >= 1, got {n_iter} (zero "
+            "iterations would return the all-zero initial weights without "
+            "ever validating the training frame)"
+        )
     k = len(feature_cols)
     w = [0.0] * k
     probe_cols = [*feature_cols, label_col]

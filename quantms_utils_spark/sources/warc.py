@@ -18,6 +18,7 @@ lives in :mod:`quantms_utils_spark.operators.web`.
 
 from __future__ import annotations
 
+import logging
 import zlib
 from collections.abc import Iterator
 
@@ -91,7 +92,19 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             # truncated final record (cut-off upload/download): the slice
             # would silently yield a PARTIAL body — drop the incomplete
             # record instead, the tar-style tolerant-tail convention
-            # (round 10 review)
+            # (round 10 review). Round 11 (ADVICE r10): the drop is logged
+            # with the record offset/id so truncation is observable in
+            # BOTH on_corrupt modes — a mid-file corrupt Content-Length
+            # otherwise silently swallowed the rest of the file's records.
+            logging.getLogger(__name__).warning(
+                "parse_warc_bytes: dropping truncated record at byte "
+                "offset %d (record_id=%s, declared content-length %d, "
+                "%d bytes remain) and the stream tail after it",
+                start,
+                fields.get("warc-record-id"),
+                length,
+                n - body_start,
+            )
             return
         body = data[body_start : body_start + length]
         yield {

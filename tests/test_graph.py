@@ -493,3 +493,41 @@ def test_triangle_census_wedge_sum_runs_in_decimal(spark):
         .collect()[0]["w"]
     )
     assert got == d * (d - 1) // 2  # 7999999998000000000, exact
+
+
+def test_wedge_expr_empty_is_zero_but_overflow_surfaces_null(spark):
+    """Round-11 (ADVICE r10): the empty-input default is gated on
+    count == 0, so an empty vertex set still yields 0 wedges — but a
+    decimal(38,0) sum overflow (ANSI off) surfaces as NULL instead of
+    being coalesced to 0, the silent-wrong-answer class the decimal
+    rewrite exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.graph import _wedge_count_expr
+
+    empty = spark.createDataFrame([], "d long")
+    assert (
+        empty.agg(_wedge_count_expr(F.col("d")).alias("w")).collect()[0]["w"]
+        == 0
+    )
+
+    # two near-long-max degrees: each d*(d-1) ~ 8.5e37, the decimal(38,0)
+    # SUM ~ 1.7e38 overflows -> must surface (ANSI on: ArithmeticException;
+    # ANSI off: NULL), never a silent 0
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    d = 9_200_000_000_000_000_000
+    over = spark.createDataFrame([(d,), (d,)], "d long")
+    q = over.agg(_wedge_count_expr(F.col("d")).alias("w"))
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        with pytest.raises(ArithmeticException):
+            q.collect()
+        # eval mode is captured at plan build — rebuild under ANSI off
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            q2 = over.agg(_wedge_count_expr(F.col("d")).alias("w"))
+            assert q2.collect()[0]["w"] is None
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+    else:
+        assert q.collect()[0]["w"] is None

@@ -110,6 +110,21 @@ def test_logreg_train_loud_fail_on_empty_and_null(spark):
         logreg_score(["x0"], [0.1, 0.2])
 
 
+def test_logreg_train_rejects_zero_iterations(spark):
+    """Round-11 (ADVICE r10): the empty/NULL probe rides in iteration 0,
+    so n_iter=0 (or negative) would skip validation entirely and silently
+    return all-zero weights — rejected at entry instead."""
+    import pytest
+
+    from quantms_utils_spark.operators.ml import logreg_train
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 0)], "x0 double, y int")
+    with pytest.raises(ValueError, match="n_iter must be >= 1"):
+        logreg_train(df, ["x0"], "y", n_iter=0)
+    with pytest.raises(ValueError, match="n_iter must be >= 1"):
+        logreg_train(df, ["x0"], "y", n_iter=-3)
+
+
 def test_population_stability_rejects_negative_smoothing(spark):
     import pytest
 

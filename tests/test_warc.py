@@ -264,3 +264,29 @@ def test_warc_corrupt_file_skip_or_error_with_path(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_corrupt"):
         read_warc(spark, str(tmp_path), on_corrupt="maybe")
+
+
+def test_warc_truncated_record_drop_is_logged(caplog):
+    """Round-11 (ADVICE r10): the truncated-record drop emits a warning
+    with the record offset/id — a mid-file corrupt Content-Length truncates
+    the file's record stream, and that must be observable in BOTH
+    on_corrupt modes, not just detectable by counting rows."""
+    import logging
+
+    from quantms_utils_spark.sources.warc import parse_warc_bytes
+
+    truncated = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:trunc>\r\n"
+        b"Content-Length: 100\r\n"
+        b"\r\n"
+        b"short"
+    )
+    with caplog.at_level(logging.WARNING, logger="quantms_utils_spark.sources.warc"):
+        got = list(parse_warc_bytes(truncated))
+    assert got == []
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(
+        "truncated" in m and "<urn:uuid:trunc>" in m for m in msgs
+    ), msgs
