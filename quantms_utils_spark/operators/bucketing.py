@@ -43,13 +43,43 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int | None, str]:
+    """(num_buckets, bucket_columns) from the catalog, via DESCRIBE
+    FORMATTED — None when the table is not bucketed."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    n = info.get("Num Buckets")
+    cols = info.get("Bucket Columns", "").replace("`", "")
+    return (int(n) if n else None, cols)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,
     right_table: str,
     on: Sequence[str],
     how: str = "inner",
+    *,
+    validate: bool = True,
 ) -> DataFrame:
     """Join two identically-bucketed tables; with matching bucket specs the
-    planner elides the exchange on both sides."""
+    planner elides the exchange on both sides.
+
+    Round 11 (review): ``validate=True`` (default) checks the catalog's
+    bucket specs first and raises when the tables are unbucketed or
+    bucketed differently — the join would still be CORRECT, but it would
+    silently shuffle both sides, which is the exact cost this operator
+    exists to amortize away; at 100 TB that silent degradation is the
+    bug. Two driver-side catalog lookups, no data touched."""
+    if validate:
+        ln, lcols = _bucket_spec(spark, left_table)
+        rn, rcols = _bucket_spec(spark, right_table)
+        if ln is None or rn is None or ln != rn or lcols != rcols:
+            raise ValueError(
+                f"bucketed_join: incompatible bucket specs — {left_table} "
+                f"has (n={ln}, cols=[{lcols}]), {right_table} has (n={rn}, "
+                f"cols=[{rcols}]); the join would silently re-shuffle both "
+                "sides. Rewrite the tables with matching write_bucketed "
+                "specs, or pass validate=False to accept the shuffle"
+            )
     return spark.table(left_table).join(spark.table(right_table), list(on), how)

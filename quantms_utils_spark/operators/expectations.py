@@ -54,6 +54,19 @@ class Expectation:
             raise ValueError(f"unknown expectation kind {self.kind!r}")
         if self.kind != "row_count_min" and self.column is None:
             raise ValueError(f"{self.kind} expectation needs a column")
+        # round 11 (review): a parameterized rule with no params previously
+        # surfaced as a bare IndexError from expression compilation
+        if self.kind in ("min", "max", "matches", "row_count_min") and len(
+            self.params
+        ) != 1:
+            raise ValueError(
+                f"{self.kind} expectation needs exactly one param, got "
+                f"{len(self.params)}"
+            )
+        if self.kind == "accepted" and not self.params:
+            raise ValueError(
+                "accepted expectation needs at least one allowed value"
+            )
 
 
 def _violations(e: Expectation) -> Column:

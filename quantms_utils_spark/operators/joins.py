@@ -100,9 +100,22 @@ def asof_join(
 
     Returns all left columns plus ``right_value_cols`` (null when no prior
     right row exists).
+
+    Round 11 (review): right rows with a NULL timestamp or a NULL join key
+    are dropped before the union — they can never match under SQL
+    semantics (``NULL <= t`` is never true; join equality is null-unsafe),
+    but the window formulation would otherwise group NULL keys together
+    and sort NULL timestamps first, silently handing NULL-ts left rows a
+    NULL-ts right payload. Left rows are untouched: a left row with a NULL
+    key or ts sees no qualifying right row and gets NULL, exactly the SQL
+    result.
     """
     keys = list(on)
     rvals = list(right_value_cols)
+    r_ok = F.col(right_ts).isNotNull()
+    for k in keys:
+        r_ok = r_ok & F.col(k).isNotNull()
+    right = right.filter(r_ok)
     r_payload_t = right.select(
         F.struct(*[F.col(c) for c in rvals]).alias("__r")
     ).schema["__r"].dataType
@@ -215,7 +228,24 @@ def interval_overlap_join(
     on (equi_keys…, bin). ``bin_width`` trades explode fan-out (wide
     intervals cover many bins) against bin population; size it near the
     median interval length.
+
+    Round 11 (review): a left column that already carries a right column's
+    suffixed name (e.g. left ``score_r`` vs right ``score`` with the
+    default suffix) is rejected loudly — the join would otherwise emit two
+    identically-named columns and any downstream ``F.col`` would be
+    ambiguous or silently bind to the wrong side.
     """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    clashes = set(left.columns) & {
+        c + suffix for c in right.columns if c not in equi_keys
+    }
+    if clashes:
+        raise ValueError(
+            f"interval_overlap_join: left columns {sorted(clashes)} collide "
+            f"with right columns renamed by suffix {suffix!r} — rename them "
+            "or pass a different suffix"
+        )
     lkeys = list(equi_keys)
 
     def binned(df: DataFrame, rename: bool) -> DataFrame:

@@ -59,8 +59,13 @@ def key_skew_profile(df: DataFrame, key: str, label: str | None = None) -> DataF
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("__cnt").alias("n_rows"),
         F.max("__cnt").alias("max_rows_per_key"),
+        # max·n_keys in DOUBLE: both factors are row-scale longs, so the
+        # long product overflows 2^63 around 1e10 keys × 1e10-row hot key
+        # (a real 100 TB shape) — ANSI off would wrap silently into a
+        # nonsense skew_ratio (round 11 review). The ratio is diagnostic;
+        # double precision is exact to 2^53 and fine past it.
         F.round(
-            (F.max("__cnt") * F.count(F.lit(1)))
+            (F.max("__cnt").cast("double") * F.count(F.lit(1)))
             / F.sum("__cnt").cast("double"),
             4,
         ).alias("skew_ratio"),
@@ -98,6 +103,14 @@ def salted_join(
         raise ValueError(
             "salted_join requires a seed: unseeded rand() re-salts recomputed "
             "partitions differently on task retry, corrupting join results"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        # round 11 review: withColumn would silently OVERWRITE an existing
+        # _salt on the big side, and select("*", salts) would emit a
+        # duplicate column on the small side
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it on "
+            "the input frames first"
         )
     salt = (F.rand(seed) * n_salts).cast("int")
     big_s = big.withColumn("_salt", salt)

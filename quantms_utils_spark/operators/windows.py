@@ -83,9 +83,16 @@ def interpolate_at(
     (ms1_feature_finder.py:104-142): rows before the first anchor clamp to the
     first anchor's y, rows after the last clamp to the last (:129-132); exact
     hits and zero-width brackets return the previous anchor's y.
+
+    Round 11 (review): an anchor row with a NULL ``x_col`` or ``y_col`` is
+    ignored entirely. Without that guard the prev/next (x, y) pairs
+    DESYNCHRONIZE — ``last(ignorenulls)`` skips the NULL y but still takes
+    that anchor's x, so the lerp silently mixes one anchor's x with an
+    older anchor's y.
     """
-    anchor_y = F.when(anchor_cond, F.col(y_col))
-    anchor_x = F.when(anchor_cond, F.col(x_col))
+    valid = anchor_cond & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    anchor_y = F.when(valid, F.col(y_col))
+    anchor_x = F.when(valid, F.col(x_col))
     w_prev = _window(partition_cols, order_cols).rowsBetween(Window.unboundedPreceding, 0)
     w_next = _window(partition_cols, order_cols).rowsBetween(0, Window.unboundedFollowing)
 
@@ -122,9 +129,34 @@ def weighted_quantile(
     the first qualifying row per group via a min-by aggregate. Output:
     group cols + ``(<value_col>_q, total_weight)``; per-group state is a
     running scalar, so skew is bounded by the hottest single group.
+
+    Round 11 (review): rows with a NULL value, NULL weight, or negative
+    weight raise instead of silently corrupting the quantile — a NULL
+    value sorts first while its weight still shifts the cumulative curve
+    (every later quantile moves), a NULL weight silently contributes 0,
+    and a negative weight makes the running sum non-monotone, after which
+    "first row to reach q·total" is not a quantile at all. The probe is a
+    per-row codegen branch on the weight expression — no extra scan.
     """
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
+    checked_w = F.when(
+        F.col(value_col).isNull()
+        | F.col(weight_col).isNull()
+        | (F.col(weight_col) < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_quantile: NULL value/weight or negative "
+                    "weight at row (value="
+                ),
+                F.coalesce(F.col(value_col).cast("string"), F.lit("NULL")),
+                F.lit(", weight="),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(") — drop or impute these rows first"),
+            )
+        ).cast(df.schema[weight_col].dataType),
+    ).otherwise(F.col(weight_col))
     order = [F.col(value_col), *[F.col(c) for c in order_tiebreak]]
     wc = (
         Window.partitionBy(*group_cols)
@@ -135,7 +167,7 @@ def weighted_quantile(
     cum = df.select(
         *group_cols,
         F.col(value_col),
-        F.sum(weight_col).over(wc).alias("__cw"),
+        F.sum(checked_w).over(wc).alias("__cw"),
         F.sum(weight_col).over(wt).alias("__tw"),
     )
     hit = cum.filter(F.col("__cw") >= F.lit(q) * F.col("__tw"))

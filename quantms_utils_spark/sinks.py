@@ -23,7 +23,18 @@ from pyspark.sql import DataFrame
 def write_single_csv(
     df: DataFrame, target: str | Path, sep: str = ",", header: bool = True
 ) -> str:
-    """Write ``df`` as ONE csv file at exactly ``target`` (not a directory)."""
+    """Write ``df`` as ONE csv file at exactly ``target`` (not a directory).
+
+    Local-filesystem only (the part-file promotion uses os-level moves):
+    URI-scheme targets are rejected loudly — ``Path("s3://bucket/x")``
+    collapses the ``//`` and the write would land at a mangled local path
+    instead of the object store (round 11 review)."""
+    if "://" in str(target):
+        raise ValueError(
+            f"write_single_csv writes to the LOCAL filesystem only, got "
+            f"URI {target!r}; write a parquet/csv directory via df.write "
+            "for object-store targets and promote with that store's API"
+        )
     target = Path(target)
     tmp = target.with_name(target.name + ".__spark_tmp__")
     df.coalesce(1).write.mode("overwrite").csv(str(tmp), header=header, sep=sep)
@@ -64,6 +75,11 @@ def write_parquet_observed(
     once."""
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError(
+            "write_parquet_observed needs at least one metric expression; "
+            "use a plain df.write for an unobserved sink"
+        )
     obs = Observation("write_metrics")
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).option("compression", compression).parquet(

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import string
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -759,3 +760,270 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= lt]
         want = max(cand)[1] if cand else None
         assert got[(k, lt)] == want, (k, lt, want, got[(k, lt)])
+
+
+# ---------------------------------------------------------------------------
+# Round-11 property program: the relational core (VERDICT r10 item 2) —
+# two-phase global rank, binned range join, weighted quantile, chunked
+# EWMA, and gap-islands, each against a brute-force / single-partition
+# reference on random frames.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=9),
+)
+def test_global_row_number_matches_single_partition_window(spark, vals, nparts):
+    """Two-phase rank (range partition → local index → offset map) must
+    reproduce the single-partition row_number exactly — including at
+    partition boundaries, with duplicate sort values (id tiebreak), and
+    when num_partitions exceeds the row count."""
+    from pyspark.sql import Window
+
+    from quantms_utils_spark.operators.rank import (
+        global_ntile,
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        (r["id"], r["rnk"])
+        for r in global_row_number(
+            df, [F.col("v"), F.col("id")], num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    n_buckets = 4
+    got_nt = {
+        (r["id"], r["bucket"])
+        for r in global_ntile(
+            df, [F.col("v"), F.col("id")], n_buckets, num_partitions=nparts
+        ).collect()
+    }
+    want_nt = {
+        (r["id"], r["bucket"])
+        for r in df.withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        ).collect()
+    }
+    assert got_nt == want_nt
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-50, 50), st.integers(0, 20)
+        ),  # (lo, width) — width 0 = zero-width interval on a bin edge
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(st.integers(-60, 80), min_size=1, max_size=25),
+    st.sampled_from([0.5, 1.0, 3.0, 7.5, 100.0]),
+)
+def test_range_join_binned_matches_naive_theta(spark, intervals, points, width):
+    """The binned range join must emit exactly the naive theta join's
+    pairs for any bin width — intervals touching bin edges, zero-width
+    intervals, and bins far wider than the data included."""
+    from quantms_utils_spark.operators.joins import range_join_binned
+
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    pt = spark.createDataFrame(
+        [(j, float(p)) for j, p in enumerate(points)], "pid long, p double"
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join_binned(
+            iv, pt, lo_col="lo", hi_col="hi", point_col="p", bin_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lo, w) in enumerate(intervals)
+        for j, p in enumerate(points)
+        if lo <= p <= lo + w
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+def test_weighted_quantile_matches_sorted_list_reference(spark, rows, q):
+    """weighted_quantile == the sorted-list definition: smallest value
+    whose running weight reaches q·total (integer weights and dyadic q so
+    the threshold compare is float-exact on both sides)."""
+    from quantms_utils_spark.operators.windows import weighted_quantile
+
+    df = spark.createDataFrame(
+        [(i, float(v), float(w)) for i, (v, w) in enumerate(rows)],
+        "id long, v double, w double",
+    )
+    got = weighted_quantile(
+        df, [], "v", "w", q=q, order_tiebreak=["id"]
+    ).collect()[0]
+
+    ordered = sorted((v, i, w) for i, (v, w) in enumerate(rows))
+    total = sum(w for _, _, w in ordered)
+    cum, want = 0.0, None
+    for v, _, w in ordered:
+        cum += w
+        if cum >= q * total:
+            want = float(v)
+            break
+    assert got["v_q"] == want
+    assert float(got["total_weight"]) == total
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([2, 3, 8]),
+)
+def test_ewma_chunked_matches_sequential_fold_property(spark, vals, chunk):
+    """ewma_chunked (two-level affine-map fold) == the sequential fold
+    s1=v1, s_i=αv_i+(1−α)s_{i−1}, to float re-association tolerance, for
+    random values and chunk sizes that force multi-chunk merges."""
+    from quantms_utils_spark.operators.windows import ewma_chunked
+
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate(vals)],
+        "k string, seq long, v double",
+    )
+    got = ewma_chunked(
+        df, ["k"], ["seq"], "v", alpha=0.3, chunk_size=chunk
+    ).collect()[0]
+
+    s = vals[0]
+    for v in vals[1:]:
+        s = 0.3 * v + 0.7 * s
+    assert got["n_events"] == len(vals)
+    assert got["ewma"] == pytest.approx(s, rel=1e-9, abs=1e-9)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.sets(st.integers(0, 200), min_size=1, max_size=60))
+def test_gap_islands_shape_matches_brute_force(spark, keys):
+    """The gaps-and-islands shape (key − global row_number constant per
+    contiguous run) must recover exactly the brute-force runs of any
+    sparse key set."""
+    from quantms_utils_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    ranked = global_row_number(df, [F.col("k")], rank_col="rn")
+    got = {
+        (r["s"], r["e"], r["n"])
+        for r in ranked.withColumn("island", F.col("k") - F.col("rn"))
+        .groupBy("island")
+        .agg(
+            F.min("k").alias("s"), F.max("k").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    want, run = set(), []
+    for k in sorted(keys):
+        if run and k != run[-1] + 1:
+            want.add((run[0], run[-1], len(run)))
+            run = []
+        run.append(k)
+    want.add((run[0], run[-1], len(run)))
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_lag_flag_matches_brute_force(spark, events):
+    """The lag + cumulative-flag sessionization (30-min gap) must produce
+    the same per-session event counts as a sequential brute-force walk of
+    each user's ordered timestamps."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, i, float(t)) for i, (u, t) in enumerate(events)],
+        "user_id int, event_id long, ts double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flag = F.when(prev.isNull() | ((F.col("ts") - prev) > 1800), 1).otherwise(0)
+    sess = df.withColumn(
+        "sess_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    got = sorted(
+        (r["user_id"], r["sess_id"], r["n"])
+        for r in sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    by_user: dict[int, list[tuple[float, int]]] = {}
+    for i, (u, t) in enumerate(events):
+        by_user.setdefault(u, []).append((float(t), i))
+    want = []
+    for u, ts in by_user.items():
+        ts.sort()
+        sid, n, last = 1, 0, None
+        for t, _ in ts:
+            if last is not None and t - last > 1800:
+                want.append((u, sid, n))
+                sid, n = sid + 1, 0
+            n += 1
+            last = t
+        want.append((u, sid, n))
+    assert got == sorted(want)
