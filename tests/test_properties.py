@@ -1027,3 +1027,260 @@ def test_sessionize_lag_flag_matches_brute_force(spark, events):
             last = t
         want.append((u, sid, n))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 2: join-family exactness properties — pigeonhole SimHash
+# banding, the interval-overlap ownership trick, as-of with NULLs, salted
+# join row-identity, and tie-group rank — each vs brute force.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_simhash_pairs_pigeonhole_exactness(spark, fps_vals, max_h):
+    """Banded SimHash candidate generation is EXACT (no false negatives)
+    whenever max_hamming < n_bands: the output must equal the brute-force
+    set of pairs within Hamming distance max_h, for random 64-bit
+    fingerprints including negatives."""
+    from quantms_utils_spark.operators.dedup import simhash_pairs
+
+    fps = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps_vals)], "doc_id long, fp long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            fps, "doc_id", "fp", max_hamming=max_h, n_bands=4
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(fps_vals):
+        for j, b in enumerate(fps_vals):
+            if i < j:
+                h = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    want.add((i, j, h))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1.0, 4.0, 13.0]),
+)
+def test_interval_overlap_join_ownership_exactly_once(spark, ls, rs, width):
+    """The bin-OWNERSHIP trick must emit every overlapping pair EXACTLY
+    once (no distinct pass exists to hide duplicates) — including pairs
+    sharing many bins, touching at a single point, and zero-width
+    intervals sitting on bin edges."""
+    from quantms_utils_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(ls)],
+        "lid long, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(rs)],
+        "rid long, lo double, hi double",
+    )
+    rows = interval_overlap_join(
+        left, right, lo_col="lo", hi_col="hi", bin_width=width
+    ).collect()
+    got = sorted((r["lid"], r["rid_r"]) for r in rows)
+    want = sorted(
+        (i, j)
+        for i, (llo, lw) in enumerate(ls)
+        for j, (rlo, rw) in enumerate(rs)
+        if llo <= rlo + rw and rlo <= llo + lw
+    )
+    assert got == want  # sorted-with-duplicates compare: exactly-once
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(st.none(), st.integers(0, 50)),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(st.none(), st.integers(0, 50)),
+            st.integers(0, 9),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_brute_force_with_nulls(spark, lrows, rrows):
+    """asof_join == the SQL definition (greatest right_ts <= left_ts per
+    key; NULL keys/ts never match) on random frames WITH NULL keys and
+    NULL timestamps on both sides. Right payloads are de-tied by taking
+    the max payload at the winning timestamp, mirroring a deterministic
+    brute force."""
+    from quantms_utils_spark.operators.joins import asof_join
+
+    # de-dup right (key, ts) so the as-of pick is deterministic
+    seen = {}
+    for k, t, p in rrows:
+        seen[(k, t)] = max(seen.get((k, t), -1), p)
+    rr = [(k, t, p) for (k, t), p in seen.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "id long, k string, ts int",
+    )
+    right = spark.createDataFrame(rr, "k string, ts int, payload int") if rr \
+        else spark.createDataFrame([], "k string, ts int, payload int")
+    got = {
+        r["id"]: r["payload"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_value_cols=["payload"],
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, p) for rk, rt, p in rr
+            if rk is not None and rt is not None
+            and k is not None and t is not None
+            and rk == k and rt <= t
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from(["hot", "warm", "cold", None]),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_row_identical_to_plain(spark, keys, how):
+    """salted_join == the plain join row-for-row — under a hot key
+    (most rows share one value), NULL keys (never match, survive only
+    under 'left'), and both supported join types."""
+    from quantms_utils_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2)], "k string, w int"
+    )
+    got = sorted(
+        (r["id"], r["w"])
+        for r in salted_join(big, small, on=["k"], n_salts=4, how=how).collect()
+    )
+    plain = sorted(
+        (r["id"], r["w"]) for r in big.join(small, ["k"], how).collect()
+    )
+    assert got == plain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-5, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_global_rank_matches_window_rank_with_ties_and_nulls(spark, vals):
+    """Two-phase global_rank (min aggregate over tie groups, null-safe
+    merge join) == rank() over the global window — ties share a rank,
+    gaps follow, NULL tie values rank as one group."""
+    from pyspark.sql import Window
+
+    from quantms_utils_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v int"
+    )
+    got = {
+        (r["id"], r["rnk"])
+        for r in global_rank(
+            df, [F.col("v"), F.col("id")], tie_cols=["v"], num_partitions=3
+        ).collect()
+    }
+    w = Window.orderBy("v")
+    want = {
+        (r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.rank().over(w)).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exclusive_prefix_sum_matches_brute_force(spark, rows):
+    """exclusive_prefix_sum == the running sum of everything strictly
+    before the row, per partition (first row 0.0)."""
+    from quantms_utils_spark.operators.windows import exclusive_prefix_sum
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for i, (g, v) in enumerate(rows)],
+        "g string, seq long, v double",
+    )
+    got = {
+        (r["g"], r["seq"]): r["prefix_sum"]
+        for r in exclusive_prefix_sum(df, "v", ["g"], ["seq"]).collect()
+    }
+    acc: dict[str, float] = {}
+    for i, (g, v) in enumerate(rows):
+        assert got[(g, i)] == pytest.approx(acc.get(g, 0.0))
+        acc[g] = acc.get(g, 0.0) + float(v)
