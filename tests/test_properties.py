@@ -1284,3 +1284,168 @@ def test_exclusive_prefix_sum_matches_brute_force(spark, rows):
     for i, (g, v) in enumerate(rows):
         assert got[(g, i)] == pytest.approx(acc.get(g, 0.0))
         acc[g] = acc.get(g, 0.0) + float(v)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 3: iterative graph operators vs brute force — pointer
+# doubling (tree_depths), frontier BFS, k-core peeling, and the two-join
+# triangle census on random graphs.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(1, 25), min_size=1, max_size=25, unique=True))
+def test_tree_depths_matches_sequential_walk(spark, nodes):
+    """Pointer doubling == a sequential parent walk on random forests
+    (each node's parent drawn below it, so chains can approach the node
+    count and exercise multi-round doubling)."""
+    from quantms_utils_spark.operators.graph import tree_depths
+
+    # parent of node n = the largest smaller member (deep chains) for odd
+    # nodes, the root for even ones — deterministic, data-derived shape
+    ordered = sorted(nodes)
+    parent = {}
+    for i, n in enumerate(ordered):
+        if i == 0 or n % 2 == 0:
+            parent[n] = 0
+        else:
+            parent[n] = ordered[i - 1]
+    rows = [(n, p) for n, p in parent.items()] + [(0, 0)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {
+        r["node"]: r["depth"]
+        for r in tree_depths(df, root=0, max_rounds=6).collect()
+    }
+
+    def walk(n):
+        d = 0
+        while n != 0:
+            n = parent[n]
+            d += 1
+        return d
+
+    want = {n: walk(n) for n in parent} | {0: 0}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.booleans(),
+)
+def test_bfs_hops_matches_brute_force(spark, pairs, directed):
+    """Frontier BFS == a brute-force level walk from source 0, for random
+    (multi-)edge lists with self-loops, both directed and undirected."""
+    from quantms_utils_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    sources = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["v"]: r["hop"]
+        for r in bfs_hops(
+            edges, sources, max_hops=6, directed=directed
+        ).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+    want, frontier = {0: 0}, {0}
+    for hop in range(1, 7):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in want:
+                    want[u] = hop
+                    nxt.add(u)
+        frontier = nxt
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=35,
+    ),
+    st.integers(1, 4),
+)
+def test_k_core_matches_brute_force_peeling(spark, pairs, k):
+    """Iterative k-core == brute-force peeling (repeatedly delete
+    vertices of degree < k in the simple undirected graph)."""
+    from quantms_utils_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["v"] for r in k_core(edges, k=k).collect()}
+
+    simple = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    verts = {v for e in simple for v in e}
+    while True:
+        deg: dict[int, int] = {v: 0 for v in verts}
+        for a, b in simple:
+            if a in verts and b in verts:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            break
+        verts -= drop
+        simple = {e for e in simple if e[0] in verts and e[1] in verts}
+    assert got == verts
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, pairs):
+    """Two-join triangle census == brute-force enumeration over the
+    simple undirected graph (duplicates/orientations/self-loops in the
+    input collapse first)."""
+    from itertools import combinations
+
+    from quantms_utils_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    row = triangle_count(edges).collect()[0]
+
+    simple = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    verts = {v for e in simple for v in e}
+    deg = {v: sum(1 for e in simple if v in e) for v in verts}
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    n_tri = sum(
+        1
+        for a, b, c in combinations(sorted(verts), 3)
+        if ((a, b) in simple and (a, c) in simple and (b, c) in simple)
+    )
+    assert row["n_edges"] == len(simple)
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == n_tri
