@@ -1449,3 +1449,131 @@ def test_triangle_count_matches_brute_force(spark, pairs):
     assert row["n_edges"] == len(simple)
     assert row["n_wedges"] == n_wedges
     assert row["n_triangles"] == n_tri
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 4: distributed-ML operators vs pure-Python references —
+# full-batch logreg GD, PSI, and the whale-safe chunked EWMA's affine
+# composition under adversarial chunk boundaries.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-5, max_value=5,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.floats(
+                min_value=-5, max_value=5,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(0, 1),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(1, 3),
+)
+def test_logreg_train_matches_python_gd(spark, rows, n_iter):
+    """Distributed full-batch GD == the sequential Python replica: same
+    zero init, same per-update rounding, bit-identical weights (the
+    rounding absorbs partial-sum re-association)."""
+    import math
+
+    from quantms_utils_spark.operators.ml import logreg_train
+
+    df = spark.createDataFrame(rows, "x0 double, x1 double, y int")
+    got = logreg_train(df, ["x0", "x1"], "y", n_iter=n_iter, lr=0.5)
+
+    w = [0.0, 0.0]
+    n = len(rows)
+    for _ in range(n_iter):
+        g = [0.0, 0.0]
+        for x0, x1, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(w[0] * x0 + w[1] * x1)))
+            err = p - y
+            g[0] += err * x0
+            g[1] += err * x1
+        w = [round(w[i] - 0.5 * g[i] / n, 6) for i in range(2)]
+    # per-update rounding to 1e-6 makes the trajectory engine-stable, but
+    # the PRE-round partial sums can re-associate across partitions — a
+    # value landing within half an ulp of a .5e-6 boundary may round the
+    # other way, so compare at the rounding quantum, not bit-exactly
+    assert got == pytest.approx(w, abs=2e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=40),
+    st.lists(st.integers(0, 4), min_size=1, max_size=40),
+)
+def test_population_stability_matches_python_reference(spark, xs, ys):
+    """PSI == the textbook formula with Laplace smoothing over the union
+    bin set, including bins present on only one side."""
+    import math
+    from collections import Counter
+
+    from quantms_utils_spark.operators.ml import population_stability
+
+    a = spark.createDataFrame([(x,) for x in xs], "bin int")
+    b = spark.createDataFrame([(y,) for y in ys], "bin int")
+    out = population_stability(a, b, smoothing=1.0).collect()
+    got = {r["bin"]: r["psi_term"] for r in out}
+
+    ca, cb = Counter(xs), Counter(ys)
+    bins = sorted(set(ca) | set(cb))
+    ta, tb, k = len(xs), len(ys), len(bins)
+    for bn in bins:
+        pa = (ca.get(bn, 0) + 1.0) / (ta + k)
+        pb = (cb.get(bn, 0) + 1.0) / (tb + k)
+        want = (pa - pb) * math.log(pa / pb)
+        assert got[bn] == pytest.approx(want, rel=1e-12, abs=1e-15), bn
+    assert set(got) == set(bins)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(2, 5),  # chunk_size
+    st.integers(1, 4),  # n_chunks-ish multiplier
+    st.integers(0, 4),  # remainder
+)
+def test_ewma_chunked_exact_chunk_boundary_composition(
+    spark, chunk, mult, rem
+):
+    """Affine-map composition at EXACT chunk boundaries: n = chunk·mult +
+    rem rows, so the last chunk is full, empty-remainder, or partial —
+    the three boundary shapes of the two-level fold — always equals the
+    sequential recursion."""
+    from quantms_utils_spark.operators.windows import ewma_chunked
+
+    n = chunk * mult + rem
+    if n == 0:
+        return
+    vals = [float((i * 37 % 19) - 9) for i in range(n)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, seq long, v double",
+    )
+    got = ewma_chunked(
+        df, ["k"], ["seq"], "v", alpha=0.25, chunk_size=chunk
+    ).collect()[0]
+    s = vals[0]
+    for v in vals[1:]:
+        s = 0.25 * v + 0.75 * s
+    assert got["n_events"] == n
+    assert got["ewma"] == pytest.approx(s, rel=1e-9, abs=1e-12)
