@@ -1577,3 +1577,73 @@ def test_ewma_chunked_exact_chunk_boundary_composition(
         s = 0.25 * v + 0.75 * s
     assert got["n_events"] == n
     assert got["ewma"] == pytest.approx(s, rel=1e-9, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 5: retrieval — BM25 vs a pure-Python Okapi reference on
+# random corpora and queries (bag semantics, matching-docs-only contract).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["fox", "dog", "red", "blue", "runs", "sky"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.sampled_from(["fox", "dog", "red", "missing"]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bm25_scores_match_python_reference(spark, docs_tokens, query):
+    """bm25_scores == the textbook Okapi BM25 with the BM25+ idf and bag
+    query semantics, computed sequentially in Python — including repeated
+    query terms and terms absent from the corpus; docs matching no term
+    must be absent."""
+    import math
+    from collections import Counter
+
+    from quantms_utils_spark.operators.retrieval import bm25_scores
+
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, query, k1=k1, b=b).collect()
+    }
+
+    n = len(docs_tokens)
+    avgdl = sum(len(t) for t in docs_tokens) / n
+    qcounts = Counter(query)
+    dfreq = {
+        t: sum(1 for toks in docs_tokens if t in toks) for t in qcounts
+    }
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        tf = Counter(toks)
+        s = 0.0
+        for t, qf in qcounts.items():
+            if tf.get(t, 0) == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            denom = tf[t] + k1 * (1.0 - b + b * len(toks) / avgdl)
+            s += qf * idf * tf[t] * (k1 + 1.0) / denom
+        if s > 0.0:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9), i
