@@ -82,4 +82,21 @@ def bucketed_join(
                 "sides. Rewrite the tables with matching write_bucketed "
                 "specs, or pass validate=False to accept the shuffle"
             )
+        # Round 12 (ADVICE): matching each other is not enough — the bucket
+        # columns must also match the JOIN keys, else the planner still
+        # exchanges both sides (two tables bucketed on k joined on=['v']
+        # passed the old check yet shuffled). The exchange is elided only
+        # when the bucket columns are a subset of the equi-join keys, so
+        # require every bucket column to appear in `on`.
+        bcols = [
+            c.strip() for c in lcols.strip("[] ").split(",") if c.strip()
+        ]
+        if not bcols or not set(bcols) <= set(on):
+            raise ValueError(
+                f"bucketed_join: bucket columns [{lcols}] are not a subset "
+                f"of the join keys {list(on)}; the bucketing cannot satisfy "
+                "the join's distribution and both sides would silently "
+                "re-shuffle. Join on the bucket columns, or pass "
+                "validate=False to accept the shuffle"
+            )
     return spark.table(left_table).join(spark.table(right_table), list(on), how)

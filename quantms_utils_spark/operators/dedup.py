@@ -24,11 +24,13 @@ would accumulate corpus-scale storage blocks forever (ADVICE r10). The one
 sharp edge: a caller that keeps only a DERIVED frame (``result.filter(…)``)
 and drops the original loses the cache early — the derived query then
 recomputes (correct, just single-pass no longer guaranteed); hold the
-returned frame for the cache's lifetime.
+returned frame for the cache's lifetime, or control it explicitly with
+``release_caches(df)`` / ``with cache_scope(df):`` (round 12, ADVICE r11).
 """
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import re
 import weakref
@@ -56,8 +58,43 @@ def _release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:
                 pass
 
-    weakref.finalize(result, _release)
+    # Round 12 (ADVICE): keep the finalizer reachable from the result so
+    # callers get an EXPLICIT lifetime API too — release_caches(df) /
+    # cache_scope(df) — instead of depending on GC timing of the exact
+    # returned wrapper (the idiomatic rebind ``pairs = pairs.filter(…)``
+    # drops the cache before any action otherwise).
+    result._pinned_cache_finalizer = weakref.finalize(result, _release)
     return result
+
+
+def release_caches(df: DataFrame) -> bool:
+    """Explicitly unpersist the intermediates a dedup operator pinned for
+    ``df``. Idempotent. Returns True when this call performed the release,
+    False when the caches were already released (or ``df`` carries none).
+    Use after the last action over ``df`` or any frame derived from it."""
+    fin = getattr(df, "_pinned_cache_finalizer", None)
+    if fin is None:
+        return False
+    was_alive = fin.alive
+    fin()
+    return was_alive
+
+
+@contextlib.contextmanager
+def cache_scope(df: DataFrame):
+    """Context manager pinning a dedup result's caches for the block's
+    duration — the safe way to derive-and-rebind without losing the
+    single-pass guarantee::
+
+        with cache_scope(lsh_candidate_pairs(sigs, "id", 16, 4)) as pairs:
+            strong = pairs.filter("jaccard > 0.9").collect()
+            weak = pairs.filter("jaccard <= 0.9").count()
+        # caches released here, regardless of rebinds inside the block
+    """
+    try:
+        yield df
+    finally:
+        release_caches(df)
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -292,6 +329,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash signatures.
 
+    Cache lifetime: intermediates stay persisted only while the RETURNED
+    frame is alive — rebinding to a derived frame (``pairs =
+    pairs.filter(…)``) releases them early and later actions recompute.
+    Hold the returned frame, or use :func:`cache_scope` /
+    :func:`release_caches` for explicit control.
+
     Bands are generated in ONE pass with posexplode (an array of band hashes
     per row) instead of an n_bands-way union — a union would re-evaluate the
     whole upstream shingle→signature pipeline once per band. Pairing is a
@@ -374,6 +417,11 @@ def winnow_candidate_pairs(
     shared count per pair. ``hash_family`` mirrors ``minhash_signatures``:
     xxhash64 is the performance default; the correctness query pins "md5"
     so the DuckDB oracle can re-derive every fingerprint.
+
+    Cache lifetime: intermediates stay persisted only while the RETURNED
+    frame is alive — rebinding to a derived frame releases them early and
+    later actions recompute. Hold the returned frame, or use
+    :func:`cache_scope` / :func:`release_caches`.
 
     Positional complement to MinHash-LSH: winnowing guarantees any shared
     substring of length ≥ w + k - 1 characters yields a shared fingerprint,
@@ -976,6 +1024,11 @@ def prefix_filter_pairs(
     with low-rarity shared prefixes inflate candidate volume — keep
     ``threshold >= ~0.5`` on 100 TB corpora, or gate the run on
     :func:`estimate_prefix_candidates` first.
+
+    Cache lifetime: intermediates stay persisted only while the RETURNED
+    frame is alive — rebinding to a derived frame releases them early and
+    later actions recompute. Hold the returned frame, or use
+    :func:`cache_scope` / :func:`release_caches`.
     """
     cand, ordered, pinned = _prefix_candidates(
         df, id_col, text_col, threshold=threshold, shingle_n=shingle_n
@@ -1140,6 +1193,11 @@ def containment_pairs(
     Directed output: (doc_small, doc_host, containment) — one row per
     ordered pair with containment of doc_small in doc_host. Two shuffles
     for candidates (df window + pair distinct), O(candidates) verify.
+
+    Cache lifetime: intermediates stay persisted only while the RETURNED
+    frame is alive — rebinding to a derived frame releases them early and
+    later actions recompute. Hold the returned frame, or use
+    :func:`cache_scope` / :func:`release_caches`.
     """
     # df cut via groupBy + semi-join, not a shingle window (round 10
     # review): a ubiquitous shingle would buffer O(corpus) rows in one

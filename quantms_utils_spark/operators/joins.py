@@ -183,6 +183,14 @@ def range_join_binned(
             "range_join_binned supports how='inner' only; an outer join would "
             "drop null-extended rows at the residual filter"
         )
+    # Round 12 (ADVICE): "__bin" is reserved — an input already carrying it
+    # would be silently overwritten by withColumn and then dropped from the
+    # output (same hazard class as salted_join's "_salt" guard).
+    if "__bin" in intervals.columns or "__bin" in points.columns:
+        raise ValueError(
+            "range_join_binned: '__bin' is a reserved internal column name; "
+            "rename it on the input before joining"
+        )
     keys = list(equi_keys)
     binned_intervals = intervals.withColumn(
         "__bin",
@@ -237,6 +245,13 @@ def interval_overlap_join(
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    # Round 12 (ADVICE): same reserved-name guard as range_join_binned —
+    # an input "__bin" would be overwritten and dropped silently.
+    if "__bin" in left.columns or "__bin" in right.columns:
+        raise ValueError(
+            "interval_overlap_join: '__bin' is a reserved internal column "
+            "name; rename it on the input before joining"
+        )
     clashes = set(left.columns) & {
         c + suffix for c in right.columns if c not in equi_keys
     }

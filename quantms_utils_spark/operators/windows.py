@@ -164,6 +164,10 @@ def weighted_quantile(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy(*group_cols)
+    # __cw sums the CHECKED weight while __tw sums the raw column — safe
+    # only because both run in this same select, so the checked branch
+    # raises on any NULL/negative row before either sum is observable.
+    # Do not drop or move __cw's checked_w without re-guarding __tw.
     cum = df.select(
         *group_cols,
         F.col(value_col),
