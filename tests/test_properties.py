@@ -1647,3 +1647,320 @@ def test_bm25_scores_match_python_reference(spark, docs_tokens, query):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == pytest.approx(want[i], rel=1e-9), i
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT item 2): sketch estimate-error bounds, zone-map/Bloom
+# manifest prune-safety, and streaming-vs-batch sessionizer equivalence.
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_hll_shard_union_equals_direct_and_error_bound(spark, vals, n_shards):
+    """Spark's HLL (Datasketches) registers are max-merged, so
+    `hll_union_agg` over per-shard sketches is REGISTER-IDENTICAL to one
+    global `hll_sketch_agg` — the estimate must match exactly (this is the
+    rollup contract `event_hll_rollup` rests on). And the estimate stays
+    within a generous multiple of the default-lgConfigK standard error of
+    the exact distinct count (bound ~12 sigma; a systematic bias would
+    trip it, sampling noise never will)."""
+    rows = [(i % n_shards, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "shard int, v long")
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        df.groupBy("shard")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    exact = len(set(vals))
+    assert merged == direct
+    assert abs(direct - exact) <= max(3, 0.2 * exact)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=500,
+    )
+)
+def test_kmv_estimate_error_bound_and_shard_merge_identity(spark, vals):
+    """KMV contract on random sets (k=64): UNSATURATED sketches (fewer
+    distinct values than k) estimate EXACTLY; saturated ones stay within
+    a factor of 2 of the exact count (k=64 RSE is ~12.7%, so factor 2 is
+    far outside sampling noise — only an estimator-formula bug trips it).
+    And merging per-shard sketches (`kmv_merge`) is BIT-IDENTICAL to the
+    direct sketch of the union — the k smallest of a union are always
+    among the union of each side's k smallest."""
+    from quantms_utils_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "g int, v long"
+    )
+    whole = df.select(F.lit(0).alias("g"), "v")
+    sk_all = kmv_sketch(whole, ["g"], "v", k=k, n_buckets=4)
+    row = sk_all.select(
+        F.col("kmv"), kmv_distinct_estimate(F.col("kmv"), k)
+    ).collect()[0]
+    exact = len(set(vals))
+    if exact < k:
+        assert row["kmv_distinct"] == exact
+    else:
+        assert exact / 2 <= row["kmv_distinct"] <= exact * 2
+    shards = kmv_sketch(df, ["g"], "v", k=k, n_buckets=4)
+    merged = kmv_merge(
+        shards.select(F.lit(0).alias("g"), "kmv"), ["g"], k=k
+    ).collect()[0]["kmv"]
+    assert list(merged) == list(row["kmv"])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=-10, max_value=110),
+    st.integers(min_value=0, max_value=60),
+)
+def test_manifest_prune_safety_zone_and_bloom(spark, rows_, lo, span):
+    """Prune-safety on random data and random predicates: a zone-map-pruned
+    range read and a Bloom-pruned equality read, each with the exact
+    row-level filter applied on top, must equal the same filter over the
+    FULL unpruned scan — pruning is a superset guarantee, and a manifest
+    that ever drops a qualifying file is silently wrong at any scale."""
+    import shutil
+    import tempfile
+
+    from quantms_utils_spark.operators.layout import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+        file_zone_map,
+        zone_pruned_read,
+    )
+
+    hi = lo + span
+    base = tempfile.mkdtemp(prefix="prune_prop_")
+    path = base + "/t"
+    try:
+        df = spark.createDataFrame(
+            [(i, x, s) for i, (x, s) in enumerate(rows_)],
+            "id long, x long, s string",
+        )
+        df.repartition(4).write.mode("overwrite").parquet(path)
+
+        zm = file_zone_map(spark, path, ["x"])
+        got = sorted(
+            map(
+                tuple,
+                zone_pruned_read(spark, path, zm, "x", lo, hi)
+                .filter(F.col("x").between(lo, hi))
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(path)
+                .filter(F.col("x").between(lo, hi))
+                .collect(),
+            )
+        )
+        assert got == want
+
+        bm = file_bloom_manifest(spark, path, "s", m_bits=256, k=3)
+        for v in ("alpha", "no_such_value"):
+            got_b = sorted(
+                map(
+                    tuple,
+                    bloom_pruned_read(
+                        spark, path, bm, "s", v, m_bits=256, k=3
+                    )
+                    .filter(F.col("s") == v)
+                    .collect(),
+                )
+            )
+            want_b = sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(path).filter(F.col("s") == v).collect(),
+                )
+            )
+            assert got_b == want_b, v
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.lists(
+            st.integers(min_value=0, max_value=4 * 3600),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sessionize_stateful_matches_brute_force_sessions(spark, user_offsets):
+    """The STREAMING gap-sessionizer (applyInPandasWithState,
+    streaming/events.py) on a random event stream closes exactly the
+    sessions a sequential brute force computes with the same strict
+    gap rule (t - last > 1800 s starts a new session) — the same contract
+    the batch `sessionize` twin is pinned to by
+    test_sessionize_lag_flag_matches_brute_force, so streaming == batch
+    transitively. Real events arrive in batch 1; batch 2 delivers one
+    far-future sentinel per user, whose gap closes every open real
+    session data-driven (no timeout reliance). Sentinel-started sessions
+    stay open in state and are excluded."""
+    import json as _json
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from quantms_utils_spark.streaming.events import (
+        read_event_stream,
+        sessionize_stateful,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    sentinel = datetime(2024, 6, 1, tzinfo=timezone.utc)
+
+    def iso(dt):
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+    base = tempfile.mkdtemp(prefix="sess_prop_")
+    src = base + "/src"
+    ckpt = base + "/ckpt"
+    import os
+
+    os.makedirs(src)
+    try:
+        rows, eid = [], 0
+        for u, offs in sorted(user_offsets.items()):
+            for o in offs:
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": iso(t0 + timedelta(seconds=o)),
+                        "user_id": u,
+                        "event_type": "view",
+                        "value": float(eid + 1),
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+        with open(src + "/batch_0.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+
+        collected = []
+
+        def run_once():
+            stream = read_event_stream(spark, src)
+            q = (
+                sessionize_stateful(stream, gap_seconds=1800)
+                .writeStream.foreachBatch(
+                    lambda df, _id: collected.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        sentinels = [
+            {
+                "event_id": 10**6 + u,
+                "ts": iso(sentinel),
+                "user_id": u,
+                "event_type": "view",
+                "value": 0.0,
+                "props": "{}",
+            }
+            for u in sorted(user_offsets)
+        ]
+        with open(src + "/batch_1.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in sentinels))
+        run_once()
+
+        got = sorted(
+            (
+                r["user_id"],
+                r["session_start"].replace(tzinfo=timezone.utc),
+                r["session_end"].replace(tzinfo=timezone.utc),
+                r["n_events"],
+                round(r["total_value"], 6),
+            )
+            for r in collected
+            if r["session_start"].replace(tzinfo=timezone.utc) < sentinel
+        )
+
+        want, eid = [], 0
+        for u, offs in sorted(user_offsets.items()):
+            evs = sorted(
+                (o, float(eid_ + 1))
+                for eid_, o in [(eid + i, o) for i, o in enumerate(offs)]
+            )
+            eid += len(offs)
+            sessions, cur = [], None
+            for o, v in evs:
+                if cur is None or o - cur["last"] > 1800:
+                    if cur is not None:
+                        sessions.append(cur)
+                    cur = {"start": o, "last": o, "n": 1, "tot": v}
+                else:
+                    cur["last"] = max(cur["last"], o)
+                    cur["n"] += 1
+                    cur["tot"] += v
+            if cur is not None:
+                sessions.append(cur)
+            for s in sessions:
+                want.append(
+                    (
+                        u,
+                        t0 + timedelta(seconds=s["start"]),
+                        t0 + timedelta(seconds=s["last"]),
+                        s["n"],
+                        round(s["tot"], 6),
+                    )
+                )
+        assert got == sorted(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
