@@ -1964,3 +1964,41 @@ def test_sessionize_stateful_matches_brute_force_sessions(spark, user_offsets):
         assert got == sorted(want)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@SETTINGS
+@given(
+    st.text(alphabet=string.ascii_lowercase, min_size=8, max_size=40),
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=30),
+            st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=30),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_winnowing_shared_substring_guarantee(spark, shared, wraps):
+    """The MOSS guarantee winnow_candidate_pairs rests on: any two
+    documents sharing a substring of length >= k + w - 1 (= 8 at the
+    defaults k=5, w=4) MUST share at least one winnowing fingerprint —
+    a window of w consecutive k-grams fits entirely inside the shared
+    span, its hashes are identical in both documents, so its minimum is
+    the same value in both fingerprint sets. Both hash families."""
+    from quantms_utils_spark.operators.text import winnow_fingerprints
+
+    docs = [(i, pre + shared + suf) for i, (pre, suf) in enumerate(wraps)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        fps = {
+            r["doc_id"]: set(r["fp"])
+            for r in df.select(
+                "doc_id",
+                winnow_fingerprints(F.col("text"), hash_family=fam).alias(
+                    "fp"
+                ),
+            ).collect()
+        }
+        base = fps[0]
+        for i in range(1, len(docs)):
+            assert base & fps[i], (fam, docs[0][1], docs[i][1])
