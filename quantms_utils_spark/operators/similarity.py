@@ -555,12 +555,16 @@ def knn_self_join(
 
     Same tiled-GEMM shape as :func:`cosine_pairs_blocked` (every unordered
     pair meets in exactly one tile, one numpy matmul per tile), but each
-    tile emits only each member row's TILE-LOCAL top-k — correct because a
-    row's global top-k neighbor appears in some tile with it and ranks
-    ≤ k there too — so the rank shuffle carries rows × tiles × k candidate
-    triples, never the pair space. A final per-id window keeps the global
-    top-k. Scores are rounded to 6 before ranking with an id tie-break,
-    so ranking is engine-deterministic.
+    tile emits only each member row's TILE-LOCAL top candidates — every
+    candidate within one rounding quantum (1e-6) of the tile's k-th
+    largest raw score, which is exactly the set that can still reach the
+    global top-k under the final (rounded score desc, id) ordering — so
+    the rank shuffle carries rows × tiles × ~k candidate triples (tie
+    clusters widen it as correctness requires), never the pair space. A
+    final per-id window keeps the global top-k. Scores are rounded to 6
+    before ranking with an id tie-break, so ranking is
+    engine-deterministic even across exact-tie clusters (duplicate
+    embeddings — round-12 review fix).
     """
     import numpy as np
 
@@ -579,34 +583,37 @@ def knn_self_join(
     )
 
     def _emit_topk(ids_a, ids_b, G):
-        # per row of A: its tile-local top candidates. Emit a margin beyond
-        # k: the final rank orders by ROUNDED score with an id tie-break,
-        # so a raw-score cutoff exactly at k could drop the candidate the
-        # rounded ordering prefers; +8 covers any realistic tie cluster
-        # inside the 1e-6 rounding window.
-        out_id, out_nbr, out_cos = [], [], []
-        kk = min(k + 8, G.shape[1])
-        if kk == 0:
-            return out_id, out_nbr, out_cos
-        idx = np.argpartition(-G, kk - 1, axis=1)[:, :kk]
-        for r in range(G.shape[0]):
-            for c in idx[r]:
-                g = G[r, c]
-                if g == -np.inf:
-                    # the -inf-masked diagonal (self pair) reaches the
-                    # candidate cut when a block has < kk competitors —
-                    # emitting it would hand every small block a phantom
-                    # (id, id, -Infinity) neighbor row (round 9). ONLY
-                    # the deliberate mask is skipped: a NaN similarity
-                    # (corrupted/NaN embedding) propagates to the output
-                    # (crossing pandas→Arrow as NULL cos) instead of
-                    # silently vanishing from the kNN graph, so bad
-                    # embeddings stay detectable (ADVICE r9).
-                    continue
-                out_id.append(ids_a[r])
-                out_nbr.append(ids_b[c])
-                out_cos.append(g)
-        return out_id, out_nbr, out_cos
+        # Per row of A: every tile-local candidate that could still reach
+        # the row's GLOBAL top-k under the final (round-6 score desc, id)
+        # ordering. Exact cutoff (round 12, review): emit all candidates
+        # with raw score >= (k-th largest raw in the tile) - 1e-6 — if a
+        # candidate sits more than one rounding quantum below the tile's
+        # k-th raw score, at least k tile-mates beat it on the ROUNDED
+        # score strictly, so it can never rank <= k globally. The previous
+        # k+8 argpartition margin SILENTLY emitted an arbitrary candidate
+        # subset whenever a tie cluster exceeded the margin — with
+        # duplicate embeddings (the normal near-dup corpus case: 30 copies
+        # of one page => 29 exact-tie cosines) the id tie-break contract
+        # was violated before the final rank ever saw the right rows.
+        # Tie clusters legitimately widen the emission (all-ties emit the
+        # whole tile row — required for correctness); typical data emits
+        # ~k per row as before.
+        n_cols = G.shape[1]
+        if n_cols == 0:
+            return [], [], []
+        k_eff = min(k, n_cols)
+        # NaN similarities (corrupted embeddings) rank as +inf here so
+        # they are always emitted and propagate to the output as NULL cos
+        # (ADVICE r9: bad embeddings must stay detectable, never vanish).
+        Gq = np.where(np.isnan(G), np.inf, G)
+        kth = np.partition(Gq, n_cols - k_eff, axis=1)[:, n_cols - k_eff]
+        mask = Gq >= (kth - 1e-6)[:, None]
+        # the -inf-masked diagonal (self pair) must never emit — a block
+        # with <= k members would otherwise hand every row a phantom
+        # (id, id, -Infinity) neighbor (round 9).
+        mask &= ~np.isneginf(G)
+        ia, ic = np.nonzero(mask)
+        return list(ids_a[ia]), list(ids_b[ic]), list(G[ia, ic])
 
     def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])

@@ -2036,3 +2036,73 @@ def test_kmv_jaccard_exact_unsaturated_bounded_saturated(spark, xs, ys):
         assert est == pytest.approx(true_j, abs=1e-12)
     else:
         assert abs(est - true_j) <= 0.3, (est, true_j)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # block
+            st.integers(min_value=0, max_value=3),  # vector family
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),  # n_buckets
+)
+def test_knn_self_join_matches_brute_force_with_ties(spark, rows, nb):
+    """knn_self_join == brute-force (round-6 cosine desc, neighbor id)
+    ranking, on inputs DESIGNED to tie: vectors drawn from 4 families so
+    duplicate embeddings (exact cosine-1.0 clusters bigger than any
+    emission margin) are the norm, not the exception. Pins the round-12
+    fix: the old k+8 argpartition margin emitted an arbitrary candidate
+    subset inside a tie cluster and broke the id tie-break contract."""
+    import math
+
+    from quantms_utils_spark.operators.similarity import knn_self_join
+
+    fams = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 0.0, 1.0, 0.5],
+    ]
+    data = [(i, b, fams[f]) for i, (b, f) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, label int, embedding array<double>"
+    )
+    k = 3
+    out = knn_self_join(
+        df, "vec_id", "embedding", "label", k=k, n_buckets=nb
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+        )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    want = {}
+    for i, bi, vi in data:
+        ui = unit(vi)
+        cands = []
+        for j, bj, vj in data:
+            if j == i or bj != bi:
+                continue
+            uj = unit(vj)
+            cos = round(sum(a * b for a, b in zip(ui, uj)), 6)
+            cands.append((-cos, j))
+        cands.sort()
+        if cands:
+            want[i] = [
+                (rk + 1, j, -negc) for rk, (negc, j) in enumerate(cands[:k])
+            ]
+    got = {i: sorted(v) for i, v in got.items()}
+    for i in want:
+        assert got.get(i, []) == [
+            (rk, j, pytest.approx(c, abs=1e-9)) for rk, j, c in want[i]
+        ], i
+    assert set(got) == set(want)

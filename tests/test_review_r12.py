@@ -146,3 +146,31 @@ def test_cache_scope_survives_rebind_then_releases(spark):
         assert pairs.count() > 0
         assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --------------------------------------------------- knn tie-cluster fix
+
+
+def test_knn_self_join_duplicate_embeddings_tie_break(spark):
+    """Round-12 review fix: 30 identical vectors in one block — every
+    pairwise cosine is exactly 1.0, a tie cluster far wider than any
+    fixed emission margin. The contract (rank by rounded score desc,
+    neighbor id asc) demands each row's neighbors be the k smallest
+    OTHER ids; the old k+8 argpartition margin returned arbitrary ids."""
+    from quantms_utils_spark.operators.similarity import knn_self_join
+
+    rows = [(i, 0, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for nb in (1, 4):
+        out = knn_self_join(
+            df, "vec_id", "embedding", "label", k=3, n_buckets=nb
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+        for i in range(30):
+            want = sorted(set(range(30)) - {i})[:3]
+            have = [n for _, n in sorted(got[i])]
+            assert have == want, (nb, i, have, want)
