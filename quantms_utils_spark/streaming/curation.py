@@ -241,9 +241,14 @@ def classify_and_grow_near(
         F.col("exact_match").isNull() & (F.col("bid") == F.col("keeper_id"))
     ).select(F.col("bid").alias(id_col))
     pending_docs = batch_df.join(pending_ids, id_col, "left_semi")
+    # localCheckpoint (round 12, same pattern as streaming/diff.py): the
+    # signature frame feeds the LSH candidate join AND the end-of-epoch
+    # state write — without the checkpoint each consumer re-runs the
+    # shingle→minhash subtree (and the standing-fp classification under
+    # it). Blocks release with the frame at callback exit.
     sigs = minhash_signatures(
         pending_docs, id_col, text_col, n_hashes=n_hashes, shingle_n=shingle_n
-    )
+    ).localCheckpoint(eager=True)
     cand = lsh_cross_pairs(
         sigs, standing_sig, id_col, n_hashes=n_hashes, band_size=band_size
     )
@@ -297,6 +302,10 @@ def classify_and_grow_near(
                 F.col("near_jaccard"),
             ).alias("jaccard"),
         )
+        # one computation feeds the epoch output AND the three new-keeper
+        # state derivations below (round 12; streaming/diff.py precedent) —
+        # otherwise each write re-executes the LSH + verify subtree
+        .localCheckpoint(eager=True)
     )
     classified.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
 
