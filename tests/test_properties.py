@@ -2106,3 +2106,51 @@ def test_knn_self_join_matches_brute_force_with_ties(spark, rows, nb):
             (rk, j, pytest.approx(c, abs=1e-9)) for rk, j, c in want[i]
         ], i
     assert set(got) == set(want)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.integers(min_value=100, max_value=199),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_merge_upsert_matches_sql_merge_reference(spark, tgt, src):
+    """merge_upsert == a sequential SQL-MERGE reference, including the
+    documented NULL-key semantics (NULL never matches: NULL-key source
+    rows always insert, NULL-key target rows always survive) and the
+    delete-flag path (matched + flag deletes; flagged rows never
+    insert). Source is key-unique by construction (the MERGE
+    precondition)."""
+    from quantms_utils_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame(tgt, "k int, v int") if tgt else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    source = spark.createDataFrame(src, "k int, v int, del boolean") if src else (
+        spark.createDataFrame([], "k int, v int, del boolean")
+    )
+    merged = merge_upsert(target, source, ["k"], delete_col="del").collect()
+    got = sorted(
+        [(r["k"], r["v"]) for r in merged], key=lambda t: (t[0] is None, t)
+    )
+
+    src_keys = {k for k, _, _ in src if k is not None}
+    want = [(k, v) for k, v in tgt if k is None or k not in src_keys]
+    want += [(k, v) for k, v, d in src if not d]
+    want = sorted(want, key=lambda t: (t[0] is None, t))
+    assert got == want
