@@ -602,12 +602,21 @@ def knn_self_join(
         if n_cols == 0:
             return [], [], []
         k_eff = min(k, n_cols)
-        # NaN similarities (corrupted embeddings) rank as +inf here so
-        # they are always emitted and propagate to the output as NULL cos
-        # (ADVICE r9: bad embeddings must stay detectable, never vanish).
-        Gq = np.where(np.isnan(G), np.inf, G)
-        kth = np.partition(Gq, n_cols - k_eff, axis=1)[:, n_cols - k_eff]
-        mask = Gq >= (kth - 1e-6)[:, None]
+        # NaN similarities (corrupted embeddings) are ALWAYS emitted so
+        # they propagate to the output as NULL cos (ADVICE r9: bad
+        # embeddings must stay detectable, never vanish) — but they must
+        # be EXCLUDED from the k-th-largest cutoff: NULL cos sorts LAST
+        # in the final desc rank window, so a NaN tile-mate can never
+        # beat a real candidate globally, and letting NaN rank as +inf
+        # here made kth=inf for any row with >= k NaN tile-mates,
+        # silently dropping every REAL candidate in that tile
+        # (ADVICE r12). Cutoff over NaN->-inf keeps the quantum-cutoff
+        # proof valid: a real candidate more than 1e-6 below the k-th
+        # largest REAL score has >= k real tile-mates strictly ahead on
+        # the rounded score.
+        Gk = np.where(np.isnan(G), -np.inf, G)
+        kth = np.partition(Gk, n_cols - k_eff, axis=1)[:, n_cols - k_eff]
+        mask = (Gk >= (kth - 1e-6)[:, None]) | np.isnan(G)
         # the -inf-masked diagonal (self pair) must never emit — a block
         # with <= k members would otherwise hand every row a phantom
         # (id, id, -Infinity) neighbor (round 9).

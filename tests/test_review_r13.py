@@ -1,0 +1,82 @@
+"""Round-13 regression tests for the ADVICE r12 findings.
+
+1. (medium) knn_self_join's tile cutoff treated NaN similarities as +inf
+   when computing the tile's k-th-largest score: a row with >= k NaN
+   tile-mates got kth = inf, so ONLY the NaN candidates passed the mask
+   and every REAL candidate in that tile was silently dropped.  NaNs must
+   still always be emitted (they surface as NULL cos, ADVICE r9), but the
+   cutoff must be computed over NaN-EXCLUDED scores — NULL cos sorts last
+   in the final desc rank window, so a NaN tile-mate can never displace a
+   real candidate globally.
+2. (low) release_caches(df) returned the same False for "nothing was ever
+   pinned on this exact object" (a derived/rebound frame) as for "already
+   released", hiding mis-targeted releases.  It now warns on the former.
+3. (low) bucketed_join recovered bucket columns by string-parsing DESCRIBE
+   FORMATTED output; it now uses the structured catalog bucketSpec.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from quantms_utils_spark.operators.similarity import knn_self_join
+
+
+def test_knn_real_neighbors_survive_nan_majority_tile(spark):
+    """ADVICE r12 (medium): one query vector, three corrupted (NaN)
+    vectors, two real neighbors at cos 0.9 and 0.8, k=3.  The old cutoff
+    (NaN -> +inf) made kth = inf and emitted ONLY the NaN candidates;
+    the real neighbors 0.9/0.8 must rank 1 and 2, with NULL-cos rows
+    only after them."""
+    nan = float("nan")
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [nan, 0.0, 0.0, 0.0]),
+        (2, 0, [nan, 0.0, 0.0, 0.0]),
+        (3, 0, [nan, 0.0, 0.0, 0.0]),
+        (4, 0, [0.9, math.sqrt(1.0 - 0.81), 0.0, 0.0]),
+        (5, 0, [0.8, 0.6, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for nb in (1, 2):
+        out = knn_self_join(
+            df, "vec_id", "embedding", "label", k=3, n_buckets=nb
+        )
+        by_rank = {
+            r["rank"]: (r["neighbor_id"], r["cos_sim"])
+            for r in out.filter("vec_id = 0").collect()
+        }
+        assert by_rank[1][0] == 4 and by_rank[1][1] == pytest.approx(0.9), (
+            nb,
+            by_rank,
+        )
+        assert by_rank[2][0] == 5 and by_rank[2][1] == pytest.approx(0.8), (
+            nb,
+            by_rank,
+        )
+        # rank 3 is the first NULL-cos (corrupted) neighbor, id tie-break
+        assert by_rank[3][1] is None and by_rank[3][0] == 1, (nb, by_rank)
+
+
+def test_knn_nan_rows_still_detectable(spark):
+    """The r9 contract is preserved: corrupted embeddings still surface
+    as NULL-cos neighbor rows rather than vanishing."""
+    nan = float("nan")
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.0, 1.0]),
+        (2, 0, [nan, nan]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = knn_self_join(df, "vec_id", "embedding", "label", k=2, n_buckets=1)
+    got = {
+        (r["vec_id"], r["neighbor_id"]): r["cos_sim"] for r in out.collect()
+    }
+    assert (0, 2) in got and got[(0, 2)] is None
+    assert (1, 2) in got and got[(1, 2)] is None
