@@ -205,13 +205,23 @@ def ann_bruteforce(
     k: int = 20,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of the single-row ``query`` (column
-    ``q_emb``), deterministic tiebreak on id."""
+    ``q_emb``), deterministic tiebreak on id.
+
+    Ranking is by the score ROUNDED to 6 decimals (then id) — the
+    round-before-rank discipline (round 13, closing the r12 tie-grain
+    gamble): two engines summing the dot product in different orders
+    disagree in the last ulps, so on tie-dense data (duplicate
+    embeddings) a raw-score ORDER BY can cut the top-k differently per
+    engine even though every rounded output value matches. Collapsing
+    sub-1e-6 noise before the rank makes the (score, id) order a total
+    order both engines share.
+    """
     scored = vectors.crossJoin(broadcast(query)).select(
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col("q_emb")).alias("cos_raw"),
     )
     return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        scored.orderBy(F.round("cos_raw", 6).desc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -334,8 +344,11 @@ def ivf_search(
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col("q_emb")).alias("cos_raw"),
     )
+    # round-before-rank (round 13): see ann_bruteforce — collapse
+    # sub-1e-6 float-summation noise before the cut so tie-dense data
+    # selects the same ids on every engine.
     return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        scored.orderBy(F.round("cos_raw", 6).desc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -512,7 +525,8 @@ def ann_batch_topk(
     broadcast bound is the query batch size (thousands of queries × d floats
     — KBs to MBs), and the rank shuffle moves only (q_id, id, score) triples,
     never vectors. Excludes self-matches when ids collide. Deterministic
-    tiebreak on neighbor id.
+    tiebreak on neighbor id, ranking by the round-6 score
+    (round-before-rank, round 13: see ann_bruteforce).
     """
     from pyspark.sql import Window
 
@@ -525,7 +539,7 @@ def ann_batch_topk(
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_raw").desc(), F.col(id_col)
+        F.round("cos_raw", 6).desc(), F.col(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

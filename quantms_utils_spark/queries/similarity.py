@@ -23,12 +23,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracles rank by the ROUND-6 score with an id tie-break, mirroring the
+#: engine's round-before-rank discipline (round 13): raw-score ORDER BY is
+#: engine-divergent on tie-dense (duplicate-embedding) data because the two
+#: engines sum dot products in different orders.
 ANN_BRUTEFORCE_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> 0
-ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) DESC, vec_id
 LIMIT 20
 """
 
@@ -47,8 +51,9 @@ def ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "vec_id", cosine_sim(F.col("embedding"), F.col("q_emb")).alias("cos_raw")
     )
+    # round-before-rank (round 13): see ann_bruteforce's docstring.
     return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        scored.orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -59,7 +64,7 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql FROM embeddings WHERE v
 SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos_sim
 FROM embeddings, q
 WHERE label = ql AND vec_id <> 0
-ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) DESC, vec_id
 LIMIT 10
 """
 
@@ -142,8 +147,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "vec_id", cosine_sim(F.col("embedding"), F.col("q_emb")).alias("cos_raw")
     )
+    # round-before-rank (round 13): see ann_bruteforce's docstring.
     return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        scored.orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -170,7 +176,7 @@ WITH b AS (
 SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cos_sim
 FROM b, q
 WHERE bucket = qb AND vec_id <> 0
-ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+ORDER BY round(list_cosine_similarity(emb, qe), 6) DESC, vec_id
 LIMIT 10
 """
 
@@ -323,7 +329,7 @@ assign AS (
 SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
 FROM assign, q
 WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
-ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
 LIMIT 10
 """
 
@@ -351,7 +357,8 @@ WITH q AS (
   FROM embeddings e JOIN q ON e.vec_id <> q.q_id
 ), r AS (
   SELECT q_id, vec_id, c,
-         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(c, 6) DESC, vec_id) AS rank
   FROM s
 )
 SELECT q_id, vec_id, round(c, 4) AS cos_sim, CAST(rank AS INT) AS rank
@@ -447,7 +454,7 @@ WITH v AS (
 SELECT vec_id, round(list_cosine_similarity(emb, qe), 4) AS cos_sim
 FROM dq, q
 WHERE vec_id <> 0
-ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id
+ORDER BY round(list_cosine_similarity(emb, qe), 6) DESC, vec_id
 LIMIT 20
 """
 
@@ -685,7 +692,7 @@ ANN_RECALL_SQL = f"""
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 bf AS (
   SELECT vec_id FROM e, q WHERE vec_id <> 0
-  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10
+  ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10
 ),
 b AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb, {{bucket}} AS bucket
@@ -694,7 +701,7 @@ b AS (
 qb AS (SELECT emb AS qe, bucket AS qbk FROM b WHERE vec_id = 0),
 lsh AS (
   SELECT vec_id FROM b, qb WHERE bucket = qbk AND vec_id <> 0
-  ORDER BY list_cosine_similarity(emb, qe) DESC, vec_id LIMIT 10
+  ORDER BY round(list_cosine_similarity(emb, qe), 6) DESC, vec_id LIMIT 10
 ),
 probes AS (
   SELECT cid FROM c2, q ORDER BY list_distance(qv, c), cid LIMIT {IVF_NPROBE}
@@ -712,7 +719,7 @@ assign AS (
 ivf AS (
   SELECT vec_id FROM assign, q
   WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 0
-  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10
+  ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10
 )
 SELECT 'lsh' AS method, 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
        round(count(*) / 10.0, 4) AS recall

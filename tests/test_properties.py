@@ -2154,3 +2154,81 @@ def test_merge_upsert_matches_sql_merge_reference(spark, tgt, src):
     want += [(k, v) for k, v, d in src if not d]
     want = sorted(want, key=lambda t: (t[0] is None, t))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-13 properties: ANN round-before-rank — sub-quantum tie clusters must
+# cut the top-k by (round-6 score, id), never by raw float order.  Vectors
+# are [c, sqrt(1-c^2)] so cosine-to-[1,0] is exactly c; clusters share a
+# coarse base cosine and members differ by j*1e-7 (< half the 1e-6 rounding
+# quantum), with ids assigned in an order hypothesis permutes — ranking by
+# the RAW score would order cluster members by the offset, the contract
+# orders them by id.
+
+def _tie_corpus(clusters):
+    """clusters: list of (base_idx, perm) -> (rows, ref) where rows are
+    (vec_id, [c, s]) and ref is the (rounded6, id)-sorted id/cos list."""
+    import math
+
+    rows = []
+    vid = 1
+    for base_idx, perm in clusters:
+        base = 0.1 + 0.08 * base_idx  # 0.1 .. 0.9, round-6 exact
+        ids = list(range(vid, vid + len(perm)))
+        vid += len(perm)
+        # perm decides which member id gets which sub-quantum offset
+        for member_id, j in zip(ids, perm):
+            c = base + j * 1e-7
+            rows.append((member_id, [c, math.sqrt(1.0 - c * c)]))
+    ref = sorted(rows, key=lambda r: (-round(r[1][0], 6), r[0]))
+    return rows, ref
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.permutations(list(range(4))),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda c: c[0],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_ann_topk_family_ties_cut_by_rounded_score_then_id(spark, clusters, k):
+    """ann_bruteforce, ivf_search (all cells probed) and ann_batch_topk all
+    emit exactly the reference prefix under sub-round-6 tie clusters."""
+    from quantms_utils_spark.operators.similarity import (
+        ann_batch_topk,
+        ann_bruteforce,
+        ivf_search,
+    )
+
+    rows, ref = _tie_corpus(clusters)
+    want = [(r[0], round(r[1][0], 4)) for r in ref[:k]]
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    query = spark.createDataFrame([([1.0, 0.0],)], "q_emb array<double>")
+
+    bf = ann_bruteforce(corpus, query, k=k).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in bf] == want
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    ivf = ivf_search(corpus, query, cents, nprobe=2, k=k).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf] == want
+
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_emb array<double>"
+    )
+    batch = ann_batch_topk(corpus, qs, k=k).collect()
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in sorted(batch, key=lambda r: r["rank"])
+    ]
+    assert got == want
