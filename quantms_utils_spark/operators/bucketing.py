@@ -43,14 +43,41 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def _bucket_spec(spark: SparkSession, table: str) -> tuple[int | None, str]:
-    """(num_buckets, bucket_columns) from the catalog, via DESCRIBE
-    FORMATTED — None when the table is not bucketed."""
-    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    info = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
-    n = info.get("Num Buckets")
-    cols = info.get("Bucket Columns", "").replace("`", "")
-    return (int(n) if n else None, cols)
+def _bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[int | None, list[str]]:
+    """(num_buckets, bucket_column_names) from the catalog — (None, [])
+    when the table is not bucketed.
+
+    Reads the STRUCTURED ``CatalogTable.bucketSpec`` (ADVICE r12): the
+    previous implementation string-parsed DESCRIBE FORMATTED's
+    human-readable ``[a, b]`` cell, which mis-splits any bucket column
+    whose name contains a comma or differs only in surrounding
+    whitespace. The catalog metadata carries the names as a real list, so
+    no parsing ambiguity exists. Falls back to the DESCRIBE parse only if
+    the internal catalog API is unavailable (non-JVM session)."""
+    try:
+        jspark = spark._jsparkSession
+        ident = jspark.sessionState().sqlParser().parseTableIdentifier(table)
+        meta = jspark.sessionState().catalog().getTableMetadata(ident)
+        spec_opt = meta.bucketSpec()
+        if spec_opt.isEmpty():
+            return None, []
+        spec = spec_opt.get()
+        names = spec.bucketColumnNames()
+        cols = [names.apply(i) for i in range(names.size())]
+        return int(spec.numBuckets()), cols
+    except AttributeError:  # pragma: no cover — Connect/non-JVM session
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        info = {
+            r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows
+        }
+        n = info.get("Num Buckets")
+        cols_raw = info.get("Bucket Columns", "").replace("`", "")
+        cols = [
+            c.strip() for c in cols_raw.strip("[] ").split(",") if c.strip()
+        ]
+        return (int(n) if n else None, cols)
 
 
 def bucketed_join(
@@ -77,8 +104,8 @@ def bucketed_join(
         if ln is None or rn is None or ln != rn or lcols != rcols:
             raise ValueError(
                 f"bucketed_join: incompatible bucket specs — {left_table} "
-                f"has (n={ln}, cols=[{lcols}]), {right_table} has (n={rn}, "
-                f"cols=[{rcols}]); the join would silently re-shuffle both "
+                f"has (n={ln}, cols={lcols}), {right_table} has (n={rn}, "
+                f"cols={rcols}); the join would silently re-shuffle both "
                 "sides. Rewrite the tables with matching write_bucketed "
                 "specs, or pass validate=False to accept the shuffle"
             )
@@ -88,12 +115,9 @@ def bucketed_join(
         # passed the old check yet shuffled). The exchange is elided only
         # when the bucket columns are a subset of the equi-join keys, so
         # require every bucket column to appear in `on`.
-        bcols = [
-            c.strip() for c in lcols.strip("[] ").split(",") if c.strip()
-        ]
-        if not bcols or not set(bcols) <= set(on):
+        if not lcols or not set(lcols) <= set(on):
             raise ValueError(
-                f"bucketed_join: bucket columns [{lcols}] are not a subset "
+                f"bucketed_join: bucket columns {lcols} are not a subset "
                 f"of the join keys {list(on)}; the bucketing cannot satisfy "
                 "the join's distribution and both sides would silently "
                 "re-shuffle. Join on the bucket columns, or pass "

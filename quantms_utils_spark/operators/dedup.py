@@ -70,10 +70,29 @@ def _release_on_drop(result: DataFrame, *cached: DataFrame) -> DataFrame:
 def release_caches(df: DataFrame) -> bool:
     """Explicitly unpersist the intermediates a dedup operator pinned for
     ``df``. Idempotent. Returns True when this call performed the release,
-    False when the caches were already released (or ``df`` carries none).
-    Use after the last action over ``df`` or any frame derived from it."""
+    False when the caches were already released.
+
+    A frame that never carried a pinned cache — typically a DERIVED frame
+    (``pairs.filter(...)``) passed in place of the operator's actual
+    return value — also returns False, but additionally emits a
+    ``RuntimeWarning`` (ADVICE r13): silently treating a mis-targeted
+    release as "already released" would leak the CacheManager entries
+    until GC with no signal. Pass the operator's return value itself, or
+    use :func:`cache_scope`. Use after the last action over ``df`` or any
+    frame derived from it."""
     fin = getattr(df, "_pinned_cache_finalizer", None)
     if fin is None:
+        import warnings
+
+        warnings.warn(
+            "release_caches: this DataFrame carries no pinned cache "
+            "finalizer — it is probably a frame DERIVED from a dedup "
+            "operator's result rather than the result itself, so the "
+            "operator's caches were NOT released. Call release_caches on "
+            "the frame the operator returned (or wrap it in cache_scope).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return False
     was_alive = fin.alive
     fin()
@@ -90,7 +109,18 @@ def cache_scope(df: DataFrame):
             strong = pairs.filter("jaccard > 0.9").collect()
             weak = pairs.filter("jaccard <= 0.9").count()
         # caches released here, regardless of rebinds inside the block
+
+    Raises ``ValueError`` up front when ``df`` carries no pinned cache
+    (ADVICE r13): scoping a derived/rebound frame would silently release
+    nothing, which is exactly the mistake the context manager exists to
+    prevent.
     """
+    if getattr(df, "_pinned_cache_finalizer", None) is None:
+        raise ValueError(
+            "cache_scope: the DataFrame carries no pinned cache finalizer "
+            "— pass the dedup operator's return value itself, not a frame "
+            "derived from it."
+        )
     try:
         yield df
     finally:

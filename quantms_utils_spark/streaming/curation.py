@@ -28,6 +28,15 @@ Design for scale / exactly-once:
 - Within a batch, documents deduplicate against the batch itself first
   (min-id per fingerprint) and then against the standing corpus, so two
   copies landing together classify one as the keeper and one as the dup.
+- The per-epoch ``localCheckpoint(eager=True)`` calls (signature and
+  classified frames; the streaming/diff.py precedent) trade fault
+  tolerance for single computation: the truncated lineage lives in
+  non-replicated executor block storage, so losing an executor mid-epoch
+  fails that micro-batch unrecoverably instead of recomputing it
+  (ADVICE r12). That is the right trade here — foreachBatch retries the
+  failed epoch from the source, and the epoch-scoped overwrite protocol
+  above makes the replay exact — but it does mean recovery is
+  batch-granular, never task-granular, on the epoch state-write path.
 - Nothing is collected to the driver; every step is a join or aggregation
   on the (tiny) fingerprint frames.
 """

@@ -131,8 +131,10 @@ def test_release_caches_explicit_and_idempotent(spark):
     assert release_caches(pairs) is True
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert release_caches(pairs) is False  # idempotent
-    # a frame with no pinned caches is a no-op, not an error
-    assert release_caches(sigs) is False
+    # a frame that never carried a pin returns False too, but WARNS
+    # (ADVICE r13: a mis-targeted release must be detectable)
+    with pytest.warns(RuntimeWarning, match="no pinned cache"):
+        assert release_caches(sigs) is False
 
 
 def test_cache_scope_survives_rebind_then_releases(spark):

@@ -80,3 +80,43 @@ def test_knn_nan_rows_still_detectable(spark):
     }
     assert (0, 2) in got and got[(0, 2)] is None
     assert (1, 2) in got and got[(1, 2)] is None
+
+
+def test_release_caches_warns_on_derived_frame(spark):
+    """ADVICE r12 (low): releasing a DERIVED frame (the idiomatic rebind)
+    used to return the same silent False as 'already released' while the
+    operator's caches stayed pinned. It still returns False (and still
+    releases nothing), but now warns so the leak is detectable."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        release_caches,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 2, max_bucket=10)
+    pairs.collect()
+    derived = pairs.filter(F.col("doc_a") >= 0)
+    with pytest.warns(RuntimeWarning, match="no pinned cache"):
+        assert release_caches(derived) is False
+    # the real target still releases
+    assert release_caches(pairs) is True
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_cache_scope_rejects_unpinned_frame(spark):
+    """cache_scope on a frame without a pinned cache is the exact mistake
+    the scope exists to prevent — it now fails fast."""
+    from quantms_utils_spark.operators.dedup import cache_scope
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no pinned cache"):
+        with cache_scope(df):
+            pass
