@@ -99,9 +99,22 @@ def compact_partitions(
 
     Returns the plan (partition, n_rows, est_bytes, n_files) so callers
     can audit what was executed.
+
+    NULL partition values are preserved (r13 audit fix): the plan→data
+    join is NULL-SAFE, so rows with a NULL ``partition_col`` land in the
+    writer's default partition (``__HIVE_DEFAULT_PARTITION__``) instead
+    of being silently dropped by a plain equi-join while the returned
+    plan still claimed them compacted.
     """
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
+    reserved = {"__slot", "__cp_part", "n_files"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"compact_partitions: input carries reserved column(s) "
+            f"{sorted(reserved)} used internally for slot assignment — "
+            "rename them first"
+        )
     if size_col is None:
         str_cols = [
             f.name
@@ -133,11 +146,17 @@ def compact_partitions(
     slot = F.pmod(
         F.xxhash64(*[F.col(c) for c in df.columns]), F.col("n_files")
     ).alias("__slot")
+    plan_b = plan.select(
+        F.col(partition_col).alias("__cp_part"), "n_files"
+    )
     (
-        df.join(F.broadcast(plan.select(partition_col, "n_files")), partition_col)
+        df.join(
+            F.broadcast(plan_b),
+            F.col(partition_col).eqNullSafe(F.col("__cp_part")),
+        )
         .withColumn("__slot", slot)
         .repartition(partition_col, "__slot")
-        .drop("n_files", "__slot")
+        .drop("n_files", "__slot", "__cp_part")
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(out_dir)
@@ -453,7 +472,18 @@ def _zone_map_for_files(
                     for ci in range(g.num_columns):
                         cc = g.column(ci)
                         name = cc.path_in_schema
-                        if name in mins and cc.statistics is not None:
+                        # has_min_max guard (r13 audit): a chunk whose
+                        # statistics exist but carry no min/max — an
+                        # all-NULL column chunk is the common producer —
+                        # raises from pyarrow's .min accessor; such a
+                        # chunk proves nothing and must simply not
+                        # tighten the envelope (NULL stats rows are
+                        # always KEPT by zone_pruned_read).
+                        if (
+                            name in mins
+                            and cc.statistics is not None
+                            and cc.statistics.has_min_max
+                        ):
                             lo = float(cc.statistics.min)
                             hi = float(cc.statistics.max)
                             mins[name] = (
@@ -853,18 +883,15 @@ def _bloom_manifest_from_scan(
     :func:`file_bloom_manifest` (whole directory) and
     :func:`bloom_manifest_update` (new files only, keeping updates
     O(new data) instead of a full-table re-scan per batch)."""
-    vals = (
-        scan
-        .select(
-            F.col("_metadata.file_path").alias("file"),
-            F.col("_metadata.file_size").alias("file_size"),
-            F.unix_millis(
-                F.col("_metadata.file_modification_time")
-            ).alias("file_mtime"),
-            F.col(col).alias("_v"),
-        )
-        .filter(F.col("_v").isNotNull())
+    meta = scan.select(
+        F.col("_metadata.file_path").alias("file"),
+        F.col("_metadata.file_size").alias("file_size"),
+        F.unix_millis(
+            F.col("_metadata.file_modification_time")
+        ).alias("file_mtime"),
+        F.col(col).alias("_v"),
     )
+    vals = meta.filter(F.col("_v").isNotNull())
     pos = F.explode(
         F.array(
             *[
@@ -894,20 +921,37 @@ def _bloom_manifest_from_scan(
     # bit-for-bit (same FileStatus), so manifest_reconcile's triple
     # semi-join against _list_parquet_statuses is exact for Bloom
     # manifests too (stale-stats churn, round 8).
-    counts = vals.groupBy("file").agg(
-        F.count(F.lit(1)).alias("n_values"),
+    # Counts aggregate over the UNFILTERED scan (r13 audit): a file whose
+    # indexed column is entirely NULL contributes no bits, but it must
+    # still get a manifest row (n_values=0, empty bitmap) — absent, it is
+    # "new" to _new_files on EVERY bloom_manifest_update and gets
+    # re-scanned per batch, breaking the O(new) maintenance contract.
+    # Pruning stays exact: an empty bitmap never has all k bits set, and
+    # an equality predicate never matches the file's NULL-only values.
+    counts = meta.groupBy("file").agg(
+        F.count("_v").alias("n_values"),
         F.min("file_size").alias("file_size"),
         F.min("file_mtime").alias("file_mtime"),
     )
     return (
-        words.groupBy("file")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("word_idx", "word")))
-            ).alias("bloom")
+        counts.join(
+            words.groupBy("file").agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+                ).alias("bloom")
+            ),
+            "file",
+            "left",
         )
-        .join(counts, "file")
-        .select("file", "file_size", "file_mtime", "n_values", "bloom")
+        .select(
+            "file",
+            "file_size",
+            "file_mtime",
+            "n_values",
+            F.coalesce(
+                F.col("bloom"), F.expr("CAST(map() AS MAP<INT, BIGINT>)")
+            ).alias("bloom"),
+        )
     )
 
 

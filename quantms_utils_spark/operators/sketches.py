@@ -328,7 +328,16 @@ def kmv_distinct_estimate(kmv: Column, k: int) -> Column:
     the sketch is unsaturated (fewer than k values seen), else
     ``(k-1) / fraction-of-hash-space-covered-by-the-kth-minimum`` —
     the classic unbiased KMV estimator, with the signed-long domain
-    shifted to [0, 1)."""
+    shifted to [0, 1).
+
+    Audited edge (r13): a k-th minimum of exactly ``-2**63`` makes
+    ``kth_frac`` 0.0 and the estimate +Infinity (IEEE double division —
+    no error even under ANSI mode). One hash value out of 2**64 triggers
+    it, i.e. it is unreachable in practice and a saturated sketch whose
+    k-th minimum is the domain minimum genuinely indicates ~2**64
+    distinct values, so Infinity is not a misleading answer. NULL values
+    hash on the seed alone (one synthetic member — same caveat as
+    :func:`hash_positions`)."""
     kth_frac = (
         F.element_at(kmv, k).cast("double") - float(-(2**63))
     ) / float(2**64)

@@ -120,3 +120,119 @@ def test_cache_scope_rejects_unpinned_frame(spark):
     with pytest.raises(ValueError, match="no pinned cache"):
         with cache_scope(df):
             pass
+
+
+# ------------------------------------------------- r13 layout-internals audit
+
+
+def test_compact_partitions_preserves_null_partition_rows(spark, tmp_path):
+    """r13 audit: rows with a NULL partition value were silently dropped —
+    the plan's groupBy kept the NULL group but the plan→data equi-join
+    never matched it. The join is now null-safe; NULL-partition rows land
+    in the writer's default partition."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import compact_partitions
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("part"),
+        F.col("id").cast("string").alias("payload"),
+    )
+    out = str(tmp_path / "compacted")
+    plan = compact_partitions(df, "part", out, target_bytes=1 << 20)
+    assert {r["part"] for r in plan.collect()} == {None, "0", "1", "2"}
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.filter(F.col("part").isNull()).count() == 25
+    assert sorted(r["payload"] for r in back.collect()) == sorted(
+        str(i) for i in range(100)
+    )
+
+
+def test_compact_partitions_rejects_reserved_columns(spark):
+    from quantms_utils_spark.operators.layout import compact_partitions
+
+    df = spark.range(3).selectExpr("id AS part", "id AS n_files")
+    with pytest.raises(ValueError, match="reserved column"):
+        compact_partitions(df, "part", "/tmp/x", target_bytes=1 << 20)
+
+
+def test_zone_map_survives_all_null_column_chunk(spark, tmp_path):
+    """r13 audit: a parquet column chunk whose statistics carry no
+    min/max (all-NULL chunk) made the footer reader raise from pyarrow's
+    .min accessor, killing the manifest build. Such chunks now simply
+    don't tighten the envelope, and a file with NO stats for the column
+    is always kept by the pruned read."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import (
+        file_zone_map,
+        zone_pruned_read,
+    )
+
+    path = str(tmp_path / "nullchunks")
+    # file A: v entirely NULL; file B: v populated
+    spark.range(0, 50).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.range(50, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    man = file_zone_map(spark, path, ["v"]).localCheckpoint()
+    rows = {r["file"]: (r["v_min"], r["v_max"]) for r in man.collect()}
+    assert len(rows) == 2
+    assert (None, None) in rows.values()  # the all-NULL file
+
+    pruned = zone_pruned_read(spark, path, man, "v", 60.0, 70.0)
+    got = sorted(
+        r["id"] for r in pruned.filter(F.col("v").between(60, 70)).collect()
+    )
+    assert got == list(range(60, 71))
+
+
+def test_bloom_manifest_covers_all_null_files_once(spark, tmp_path):
+    """r13 audit: a file whose indexed column is entirely NULL never got a
+    manifest row, so every bloom_manifest_update saw it as 'new' and
+    re-scanned it per batch. It now carries an (n_values=0, empty bitmap)
+    row: updates are true no-ops, pruning still drops it, and the exact
+    filter over the pruned read stays complete."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.layout import (
+        bloom_manifest_update,
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "nullfiles")
+    spark.range(0, 40).select(
+        F.col("id"), F.lit(None).cast("string").alias("tag")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.range(40, 80).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    man = file_bloom_manifest(spark, path, "tag", m_bits=256, k=2)
+    man = man.localCheckpoint()
+    assert man.count() == 2
+    null_row = man.filter(F.col("n_values") == 0).collect()
+    assert len(null_row) == 1 and null_row[0]["bloom"] == {}
+
+    # update with no new data is a no-op (the null file is not 'new')
+    again = bloom_manifest_update(spark, path, "tag", man, m_bits=256, k=2)
+    assert again.count() == 2
+
+    pruned = bloom_pruned_read(spark, path, man, "tag", "2", m_bits=256, k=2)
+    assert (
+        pruned.filter(F.col("tag") == "2").count()
+        == spark.read.parquet(path).filter(F.col("tag") == "2").count()
+    )
+    # the all-NULL file prunes out of every probe
+    kept_files = {
+        r[0] for r in pruned.select(F.col("_metadata.file_path")).distinct().collect()
+    }
+    null_file = null_row[0]["file"]
+    assert null_file not in kept_files
