@@ -91,6 +91,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, float, float]:
                 f"{len(body)} available"
             )
         if cid == b"fmt ":
+            if len(body) < 16:
+                # a bare struct.error here reads as a codec bug, not a
+                # corrupt input (r13 audit)
+                raise ValueError(
+                    f"truncated WAV fmt chunk: {len(body)} bytes, need 16"
+                )
             fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt_tag != 1:
@@ -235,6 +241,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            # surface truncation as such, not as downstream struct/zlib
+            # noise from a partial IHDR/IDAT (r13 audit)
+            raise ValueError(
+                f"truncated PNG chunk {tag!r}: header claims {length} "
+                f"bytes, {len(body)} available"
+            )
         if tag == b"IHDR":
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
@@ -355,7 +368,9 @@ def decode_y4m(payload: bytes):
     """
     if sniff(payload) != "y4m":
         raise ValueError("not a YUV4MPEG2 payload")
-    nl = payload.index(b"\n")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M stream header is unterminated (no newline)")
     w = h = None
     fps_num, fps_den = 30, 1
     mono = False
@@ -368,6 +383,16 @@ def decode_y4m(payload: bytes):
             fps_num, fps_den = (int(x) for x in tok[1:].split(b":"))
         elif tok[:1] == b"C":
             mono = tok[1:] == b"mono"
+            # Only Cmono and the 4:2:0 family stride correctly below; a
+            # C444/C422/C411 stream previously failed by ACCIDENT (the
+            # wrong frame_len mis-aligned the next FRAME marker) with a
+            # misleading "frame marker missing" — reject it as what it
+            # is (r13 audit).
+            if not mono and not tok[1:].startswith(b"420"):
+                raise ValueError(
+                    f"unsupported Y4M colorspace {tok[1:].decode('ascii', 'replace')!r}"
+                    " (Cmono and C420* only)"
+                )
     if w is None or h is None:
         raise ValueError("Y4M missing W/H")
     if w <= 0 or h <= 0:
@@ -381,9 +406,13 @@ def decode_y4m(payload: bytes):
     frame_len = w * h if mono else w * h + 2 * ((w // 2) * (h // 2))
     frames, pos = [], nl + 1
     while pos < len(payload):
-        fnl = payload.index(b"\n", pos)  # FRAME line (may carry params)
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("Y4M frame marker missing")
+        fnl = payload.find(b"\n", pos)  # FRAME line (may carry params)
+        if fnl < 0:
+            raise ValueError(
+                f"unterminated Y4M FRAME line at frame {len(frames)}"
+            )
         if fnl + 1 + frame_len > len(payload):
             # a short tail would silently emit a PARTIAL final Y plane
             raise ValueError(
@@ -416,6 +445,10 @@ def decode_wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
                 f"{len(body)} available"
             )
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"truncated WAV fmt chunk: {len(body)} bytes, need 16"
+                )
             fmt_tag, _n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt_tag != 1:

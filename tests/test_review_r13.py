@@ -236,3 +236,74 @@ def test_bloom_manifest_covers_all_null_files_once(spark, tmp_path):
     }
     null_file = null_row[0]["file"]
     assert null_file not in kept_files
+
+
+# ---------------------------------------------- r13 media-codec corrupt paths
+
+
+class TestCodecCorruptPaths:
+    """r13 audit of functions/media_codecs.py: corrupt/truncated payloads
+    must fail with a ValueError naming the defect, never with raw
+    struct/zlib/index noise — and never by accidental mis-stride."""
+
+    def test_y4m_unsupported_colorspace_rejected_explicitly(self):
+        import numpy as np
+
+        from quantms_utils_spark.functions.media_codecs import (
+            decode_y4m,
+            encode_y4m_mono,
+        )
+
+        frames = [np.zeros((4, 4), dtype=np.uint8)]
+        good = encode_y4m_mono(frames, 30, 1)
+        # rewrite the colorspace token to C444: previously failed only by
+        # accident ("frame marker missing" after mis-striding)
+        bad = good.replace(b"Cmono", b"C444")
+        with pytest.raises(ValueError, match="colorspace.*444"):
+            decode_y4m(bad)
+        # 4:2:0 still accepted (even dims)
+        import struct
+
+        hdr = b"YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420\n"
+        y = bytes(16)
+        uv = bytes(8)
+        stream = hdr + b"FRAME\n" + y + uv
+        w, h, fps, fr = decode_y4m(stream)
+        assert (w, h, len(fr)) == (4, 4, 1) and fr[0] == y
+
+    def test_y4m_unterminated_header_and_frame_line(self):
+        from quantms_utils_spark.functions.media_codecs import decode_y4m
+
+        with pytest.raises(ValueError, match="unterminated"):
+            decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 Cmono")
+        with pytest.raises(ValueError, match="unterminated Y4M FRAME"):
+            decode_y4m(b"YUV4MPEG2 W4 H4 F30:1 Cmono\nFRAME")
+
+    def test_png_truncated_chunk_named(self):
+        import numpy as np
+
+        from quantms_utils_spark.functions.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        good = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        with pytest.raises(ValueError, match="truncated PNG chunk"):
+            decode_png(good[:20])  # mid-IHDR
+        idat = good.index(b"IDAT")
+        with pytest.raises(ValueError, match="truncated PNG chunk b'IDAT'"):
+            decode_png(good[: idat + 10])  # mid-IDAT body
+
+    def test_wav_truncated_fmt_chunk_named(self):
+        import struct
+
+        from quantms_utils_spark.functions.media_codecs import decode_wav
+
+        # fmt chunk claiming (and carrying) only 8 bytes
+        short_fmt = struct.pack("<4sI", b"fmt ", 8) + bytes(8)
+        payload = (
+            struct.pack("<4sI4s", b"RIFF", 4 + len(short_fmt), b"WAVE")
+            + short_fmt
+        )
+        with pytest.raises(ValueError, match="truncated WAV fmt"):
+            decode_wav(payload)
