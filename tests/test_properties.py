@@ -2232,3 +2232,186 @@ def test_ann_topk_family_ties_cut_by_rounded_score_then_id(spark, clusters, k):
         for r in sorted(batch, key=lambda r: r["rank"])
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-13 properties: the last two example-tested-only streaming twins.
+# (1) continuous drift monitor == batch PSI on the concatenated stream
+# (epoch-merge associativity is the whole state design), with replay
+# idempotence; (2) the stateful CEP journey counter over a real 2-batch
+# stream (checkpoint-carried state) == the batch regex scan.
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_streaming_drift_equals_batch_psi(spark, batches, baseline):
+    """bins_batch epochs merged by standing_bins == one groupBy over the
+    concatenated stream (EXACT — counts merge by addition), drift_report
+    == population_stability_from_counts over those counts, and replaying
+    an epoch is a no-op."""
+    import shutil
+    import tempfile
+
+    from quantms_utils_spark.operators.ml import (
+        population_stability_from_counts,
+    )
+    from quantms_utils_spark.streaming.drift import (
+        bins_batch,
+        drift_report,
+        standing_bins,
+    )
+
+    state = tempfile.mkdtemp(prefix="drift_prop_")
+    try:
+        for epoch, bins in enumerate(batches):
+            bdf = spark.createDataFrame([(b,) for b in bins], "bin_idx int")
+            bins_batch(bdf, epoch, bin_col="bin_idx", state_dir=state)
+        # replay the FIRST epoch (at-least-once delivery): must not change
+        bins_batch(
+            spark.createDataFrame([(b,) for b in batches[0]], "bin_idx int"),
+            0,
+            bin_col="bin_idx",
+            state_dir=state,
+        )
+        got_bins = {
+            r["bin"]: r["n"] for r in standing_bins(spark, state).collect()
+        }
+        from collections import Counter
+
+        want_bins = Counter(b for bins in batches for b in bins)
+        assert got_bins == dict(want_bins)
+
+        base = spark.createDataFrame(
+            sorted(baseline.items()), "bin long, n long"
+        )
+        got = {
+            r["bin"]: (r["n_a"], r["n_b"], round(r["psi_term"], 12))
+            for r in drift_report(spark, state, base).collect()
+        }
+        all_counts = spark.createDataFrame(
+            [(k, v) for k, v in sorted(want_bins.items())], "bin long, n_a long"
+        )
+        want = {
+            r["bin"]: (r["n_a"], r["n_b"], round(r["psi_term"], 12))
+            for r in population_stability_from_counts(
+                all_counts, base.withColumnRenamed("n", "n_b")
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.tuples(
+            st.lists(
+                st.sampled_from(["view", "click", "purchase", "other"]),
+                min_size=1,
+                max_size=24,
+            ),
+            st.integers(min_value=0, max_value=24),  # batch split point
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_detect_journeys_stateful_matches_batch_regex(spark, user_events):
+    """The STREAMING CEP journey counter (applyInPandasWithState, state =
+    two ints) over a real two-batch stream with checkpoint-carried state
+    counts exactly the leftmost non-overlapping `v[^p]*c[^p]*p` matches
+    of each user's full ordered event string — the batch
+    `event_pattern_match` semantics. The split point lands anywhere, so
+    journeys STRADDLE the batch boundary."""
+    import json as _json
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from quantms_utils_spark.streaming.events import (
+        detect_journeys_stateful,
+        read_event_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="cep_prop_")
+    src, ckpt = base + "/src", base + "/ckpt"
+    os.makedirs(src)
+    try:
+        def iso(sec):
+            return "2024-01-01T%02d:%02d:%02d.000Z" % (
+                sec // 3600, (sec // 60) % 60, sec % 60
+            )
+
+        b0, b1, eid = [], [], 0
+        for u, (types, split) in sorted(user_events.items()):
+            for i, t in enumerate(types):
+                row = {
+                    "event_id": eid, "ts": iso(i), "user_id": u,
+                    "event_type": t, "value": 1.0, "props": "{}",
+                }
+                (b0 if i < split else b1).append(row)
+                eid += 1
+        for name, rows in (("batch_0.json", b0), ("batch_1.json", b1)):
+            with open(f"{src}/{name}", "w") as f:
+                f.write("\n".join(_json.dumps(r) for r in rows))
+            if name == "batch_0.json":
+                collected = []
+
+                def run_once():
+                    q = (
+                        detect_journeys_stateful(read_event_stream(spark, src))
+                        .writeStream.foreachBatch(
+                            lambda df, _id: collected.extend(df.collect())
+                        )
+                        .option("checkpointLocation", ckpt)
+                        .outputMode("update")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination(120)
+                    q.stop()
+
+                run_once()
+        run_once()
+
+        got = {}
+        for r in collected:  # n_journeys is cumulative: the max is final
+            got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_journeys"])
+
+        want = {}
+        for u, (types, _split) in user_events.items():
+            s = "".join(t[0] for t in types)
+            want[u] = len(re.findall(r"v[^p]*c[^p]*p", s))
+        # users emitting zero journeys still emit an update row with n=0
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
