@@ -175,6 +175,12 @@ def decode_linear(data: bytes) -> np.ndarray:
     if len(data) < 8:
         raise ValueError("numpress-linear payload shorter than its header")
     fp = struct.unpack(">d", data[:8])[0]
+    # r13 audit: a corrupt header with fp <= 0 or NaN would divide the
+    # whole array into inf/NaN silently (the reference codec returns
+    # garbage here too — raising is strictly safer and only diverges on
+    # corrupt input). Valid encoders always write fp >= 1.
+    if not (fp > 0) or math.isinf(fp):
+        raise ValueError(f"corrupt numpress-linear fixed point {fp!r}")
     if len(data) < 12:
         return np.empty(0, dtype=np.float64)
     out = [struct.unpack("<I", data[8:12])[0]]
@@ -230,5 +236,14 @@ def decode_slof(data: bytes) -> np.ndarray:
     if len(data) < 8:
         raise ValueError("numpress-slof payload shorter than its header")
     fp = struct.unpack(">d", data[:8])[0]
+    if not (fp > 0) or math.isinf(fp):
+        raise ValueError(f"corrupt numpress-slof fixed point {fp!r}")
+    if (len(data) - 8) % 2:
+        # the reference codec silently ignores a trailing odd byte; a
+        # short body here means truncation, which must be loud (r13
+        # audit — same contract as the media codecs)
+        raise ValueError(
+            f"truncated numpress-slof payload: {len(data) - 8} body bytes"
+        )
     shorts = np.frombuffer(data, dtype="<u2", offset=8)
     return np.expm1(shorts.astype(np.float64) / fp)

@@ -307,3 +307,37 @@ class TestCodecCorruptPaths:
         )
         with pytest.raises(ValueError, match="truncated WAV fmt"):
             decode_wav(payload)
+
+
+# --------------------------------------------- r13 numpress corrupt headers
+
+
+def test_numpress_corrupt_fixed_point_rejected():
+    """r13 audit: a corrupt fixed-point header (fp <= 0 / NaN / inf) made
+    decode_linear / decode_slof divide the whole array into inf/NaN
+    silently. Now loud; valid encoders always write fp >= 1."""
+    import struct
+
+    import numpy as np
+
+    from quantms_utils_spark.sources.numpress import (
+        decode_linear,
+        decode_slof,
+        encode_linear,
+        encode_slof,
+    )
+
+    good = encode_linear(np.array([100.0, 100.1, 100.2]))
+    for bad_fp in (0.0, -2.0, float("nan"), float("inf")):
+        bad = struct.pack(">d", bad_fp) + good[8:]
+        with pytest.raises(ValueError, match="fixed point"):
+            decode_linear(bad)
+    gslof = encode_slof(np.array([10.0, 1000.0]))
+    bad = struct.pack(">d", float("nan")) + gslof[8:]
+    with pytest.raises(ValueError, match="fixed point"):
+        decode_slof(bad)
+    # odd body byte = truncation, loud
+    with pytest.raises(ValueError, match="truncated numpress-slof"):
+        decode_slof(gslof[:-1])
+    # round trips still exact
+    assert np.allclose(decode_slof(gslof), [10.0, 1000.0], rtol=1e-3)
