@@ -51,6 +51,17 @@ __all__ = [
 _LOCAL_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
 
 
+def _check_out_col(df: DataFrame, name: str) -> None:
+    """An output column colliding with an input column would yield a
+    duplicate-name frame whose later resolution fails with an ambiguity
+    error far from the cause (r13 audit) — reject it here."""
+    if name in df.columns:
+        raise ValueError(
+            f"output column {name!r} already exists on the input frame; "
+            "pass a different rank_col/bucket_col or rename the input"
+        )
+
+
 def _two_phase(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -118,6 +129,7 @@ def global_row_number(
     """Global ``row_number() OVER (ORDER BY ...)`` without the global
     window. ``order_by`` must fully break ties (a total order); output is
     the input columns plus ``rank_col`` (1-based, long)."""
+    _check_out_col(df, rank_col)
     ranked, _ = _two_phase(df, order_by, num_partitions)
     return ranked.withColumnRenamed("_gr_rn", rank_col)
 
@@ -146,6 +158,7 @@ def global_rank(
     one group and the merge join is NULL-SAFE (``eqNullSafe`` per tie
     col) — a plain equi-join would silently DROP null-keyed rows that
     the window form ranks (round-6 ADVICE fix)."""
+    _check_out_col(df, rank_col)
     ranked, _ = _two_phase(df, order_by, num_partitions)
     mins = ranked.groupBy(*tie_cols).agg(F.min("_gr_rn").alias(rank_col))
     r, m = ranked.alias("_gr_r"), mins.alias("_gr_m")
@@ -172,6 +185,7 @@ def global_percent_rank(
     total order (unique ties ⇒ rank == row_number). The total row count is
     a by-product of the offset pass — no extra action. Single-row input
     gets 0.0 (SQL percent_rank convention)."""
+    _check_out_col(df, rank_col)
     ranked, total = _two_phase(df, order_by, num_partitions)
     denom = float(total - 1) if total > 1 else 1.0
     return ranked.withColumn(
@@ -194,6 +208,7 @@ def global_ntile(
     ``order_by`` must be a total order (ntile over ties is
     nondeterministic in any engine; callers here always tiebreak).
     Bucket numbers are ints to match the built-in's type."""
+    _check_out_col(df, bucket_col)
     ranked, total = _two_phase(df, order_by, num_partitions)
     size, rem = divmod(total, n_buckets) if total else (0, 0)
     rn1 = F.col("_gr_rn") - 1  # 0-based

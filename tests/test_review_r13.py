@@ -341,3 +341,30 @@ def test_numpress_corrupt_fixed_point_rejected():
         decode_slof(gslof[:-1])
     # round trips still exact
     assert np.allclose(decode_slof(gslof), [10.0, 1000.0], rtol=1e-3)
+
+
+def test_global_rank_family_rejects_colliding_output_column(spark):
+    """r13 audit (rank.py): an output rank/bucket column colliding with an
+    input column silently produced a duplicate-name frame that fails much
+    later with an ambiguity error — now rejected up front."""
+    from pyspark.sql import functions as F
+
+    from quantms_utils_spark.operators.rank import (
+        global_ntile,
+        global_percent_rank,
+        global_rank,
+        global_row_number,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.col("id").alias("rnk"))
+    with pytest.raises(ValueError, match="already exists"):
+        global_row_number(df, [F.col("id")])
+    with pytest.raises(ValueError, match="already exists"):
+        global_rank(df, [F.col("id")], ["id"])
+    with pytest.raises(ValueError, match="already exists"):
+        global_percent_rank(df, [F.col("id")], rank_col="rnk")
+    with pytest.raises(ValueError, match="already exists"):
+        global_ntile(df, [F.col("id")], 2, bucket_col="id")
+    # non-colliding names still work
+    out = global_row_number(df, [F.col("id")], rank_col="r2")
+    assert [r["r2"] for r in out.orderBy("id").collect()] == [1, 2, 3, 4, 5]
