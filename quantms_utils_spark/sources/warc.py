@@ -87,6 +87,20 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             length = int(fields.get("content-length", "0"))
         except ValueError:
             length = 0
+        if length < 0:
+            # r13 audit: a negative Content-Length previously yielded a
+            # bogus empty-body record AND moved the scan position
+            # BACKWARD (pos = body_start + length), re-scanning header
+            # bytes. Treat it like the unparseable case: empty body,
+            # forward scan resumes after the header.
+            logging.getLogger(__name__).warning(
+                "parse_warc_bytes: negative content-length %d at byte "
+                "offset %d (record_id=%s) — treating as 0",
+                length,
+                start,
+                fields.get("warc-record-id"),
+            )
+            length = 0
         body_start = hdr_end + sep_len
         if body_start + length > n:
             # truncated final record (cut-off upload/download): the slice
@@ -124,14 +138,20 @@ def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
     entity body). Non-HTTP payloads come back as (None, None, body)."""
     if not body.startswith(b"HTTP/"):
         return None, None, body
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        idx = body.find(sep)
-        if idx >= 0:
-            head = body[:idx].decode("utf-8", "replace")
-            rest = body[idx + len(sep) :]
-            break
-    else:
+    # EARLIEST terminator wins (r13 audit, same rule as parse_warc_bytes):
+    # trying \r\n\r\n first split bare-\n-header records at the first
+    # \r\n\r\n INSIDE the entity body — wrong rest, and a body
+    # "content-type:" line could override the real header's.
+    crlf = body.find(b"\r\n\r\n")
+    lf = body.find(b"\n\n")
+    if crlf < 0 and lf < 0:
         return None, None, body
+    if crlf >= 0 and (lf < 0 or crlf < lf):
+        idx, sep_len = crlf, 4
+    else:
+        idx, sep_len = lf, 2
+    head = body[:idx].decode("utf-8", "replace")
+    rest = body[idx + sep_len :]
     lines = head.splitlines()
     status = None
     ctype = None
@@ -221,11 +241,15 @@ def read_warc(spark, path_glob: str, *, on_corrupt: str = "error"):
     )
 
 
-def read_warc_stream(spark, landing_dir: str):
+def read_warc_stream(spark, landing_dir: str, *, on_corrupt: str = "error"):
     """Streaming twin of :func:`read_warc`: a ``binaryFile`` file-stream
     source over a landing directory — each newly landed crawl file becomes
     one micro-batch input (exactly-once via the stream's checkpointed file
-    log), exploded through the same parse transform."""
+    log), exploded through the same parse transform. ``on_corrupt`` as in
+    :func:`read_warc` (r13: previously unexposed here, so one corrupt
+    landed file killed the continuous ingest with no skip option)."""
+    if on_corrupt not in ("error", "skip"):
+        raise ValueError("on_corrupt must be 'error' or 'skip'")
     files = (
         spark.readStream.format("binaryFile")
         # file-stream sources require an explicit schema; binaryFile's is
@@ -237,4 +261,7 @@ def read_warc_stream(spark, landing_dir: str):
         .load(landing_dir)
         .select("path", "content")
     )
-    return files.mapInPandas(_explode_records, schema=WARC_SCHEMA)
+    return files.mapInPandas(
+        lambda it: _explode_records(it, on_corrupt=on_corrupt),
+        schema=WARC_SCHEMA,
+    )

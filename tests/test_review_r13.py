@@ -368,3 +368,51 @@ def test_global_rank_family_rejects_colliding_output_column(spark):
     # non-colliding names still work
     out = global_row_number(df, [F.col("id")], rank_col="r2")
     assert [r["r2"] for r in out.orderBy("id").collect()] == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------- r13 WARC framing
+
+
+class TestWarcFramingAudit:
+    def test_negative_content_length_scans_forward(self):
+        """r13 audit: a negative Content-Length yielded a bogus record and
+        moved the scan position BACKWARD. It now degrades to an empty body
+        and the following record still parses."""
+        from quantms_utils_spark.sources.warc import parse_warc_bytes
+
+        rec_bad = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"WARC-Record-ID: <urn:bad>\r\nContent-Length: -7\r\n\r\n"
+        )
+        body = b"hello world"
+        rec_good = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:good>\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(body)
+            + body
+        )
+        recs = list(parse_warc_bytes(rec_bad + rec_good))
+        assert [r["record_id"] for r in recs] == ["<urn:bad>", "<urn:good>"]
+        assert recs[0]["content_length"] == 0 and recs[0]["body"] == b""
+        assert recs[1]["body"] == body
+
+    def test_http_split_earliest_terminator_wins(self):
+        """r13 audit: bare-\\n HTTP headers whose HTML body contains
+        \\r\\n\\r\\n used to split inside the body (wrong rest; a body
+        'content-type:' line could override the header's)."""
+        from quantms_utils_spark.sources.warc import split_http_payload
+
+        entity = b"<html>\r\n\r\ncontent-type: text/evil\r\n</html>"
+        body = (
+            b"HTTP/1.1 200 OK\ncontent-type: text/html\n\n" + entity
+        )
+        status, ctype, rest = split_http_payload(body)
+        assert status == 200
+        assert ctype == "text/html"
+        assert rest == entity
+
+    def test_read_warc_stream_exposes_on_corrupt(self, spark):
+        from quantms_utils_spark.sources.warc import read_warc_stream
+
+        with pytest.raises(ValueError, match="on_corrupt"):
+            read_warc_stream(spark, "/tmp/nowhere", on_corrupt="bogus")
