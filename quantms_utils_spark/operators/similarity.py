@@ -142,6 +142,16 @@ def cosine_pairs_blocked(
     Replication factor ``n_buckets`` through the single shuffle is the
     tuning knob: raise it for hot blocks (smaller tiles, more tasks), lower
     it for many small blocks. Output pairs satisfy id_a < id_b.
+
+    The threshold compares the score ROUNDED to 6 decimals (round 13 —
+    the filter analog of the ANN round-before-rank discipline): engines
+    summing the dot product in different orders disagree in the last
+    ulps, so a pair whose true cosine sits exactly AT the threshold (an
+    exactly-representable value like 0.4 — constructible from quantized
+    embeddings) would be included by one engine and excluded by the
+    other under a raw comparison. Rounding first makes membership
+    engine-deterministic at every round-6-representable threshold; the
+    residual boundary moves to non-cluster points like 0.3999995.
     """
     import numpy as np
 
@@ -172,7 +182,7 @@ def cosine_pairs_blocked(
             ids = sub["id"].to_numpy()
             U = np.stack(sub["u"].to_numpy())
             G = U @ U.T
-            ia, ib = np.nonzero(np.triu(G >= threshold, k=1))
+            ia, ib = np.nonzero(np.triu(np.round(G, 6) >= threshold, k=1))
             return pd.DataFrame(
                 {"id_a": ids[ia], "id_b": ids[ib], "cos_raw": G[ia, ib]}
             )
@@ -183,7 +193,7 @@ def cosine_pairs_blocked(
         ids_a_all = a_sub["id"].to_numpy()
         ids_b_all = b_sub["id"].to_numpy()
         G = np.stack(a_sub["u"].to_numpy()) @ np.stack(b_sub["u"].to_numpy()).T
-        ia, ib = np.nonzero(G >= threshold)
+        ia, ib = np.nonzero(np.round(G, 6) >= threshold)
         return pd.DataFrame(
             {
                 "id_a": np.minimum(ids_a_all[ia], ids_b_all[ib]),

@@ -203,7 +203,7 @@ WITH e AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
 """
 
 
@@ -561,7 +561,7 @@ assign AS (
 ), p AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= {SEMANTIC_DEDUP_THRESHOLD}
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMANTIC_DEDUP_THRESHOLD}
 ), dup AS (
   SELECT vb AS vec_id, min(va) AS dup_of FROM p GROUP BY 1
 )

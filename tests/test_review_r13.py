@@ -416,3 +416,33 @@ class TestWarcFramingAudit:
 
         with pytest.raises(ValueError, match="on_corrupt"):
             read_warc_stream(spark, "/tmp/nowhere", on_corrupt="bogus")
+
+
+def test_cosine_pairs_threshold_rounds_before_compare(spark):
+    """r13: the cosine-pair threshold is the filter analog of the ANN
+    rank gamble — a pair 1e-7 BELOW the threshold (sub-quantum) must be
+    included (round-6 collapses it onto the representable boundary), one
+    a full quantum below must not."""
+    import math
+
+    from quantms_utils_spark.operators.similarity import cosine_pairs_blocked
+
+    def vec(c):
+        return [c, math.sqrt(1.0 - c * c)]
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, vec(0.4 - 1e-7)),   # rounds to 0.4 -> included
+        (2, 0, vec(0.4 - 1e-6)),   # 0.399999 -> excluded
+        (3, 0, vec(0.9)),          # well above -> included
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    pairs = cosine_pairs_blocked(
+        df, "vec_id", "embedding", "label", threshold=0.4, n_buckets=1
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+    assert (0, 3) in got
