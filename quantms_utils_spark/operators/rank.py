@@ -78,14 +78,24 @@ def _two_phase(
             f"global rank reserves column name(s) {sorted(clash)}; rename "
             "them on the input frame first"
         )
-    spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # Partition-count policy (optimization round 13, guide §2.2/§2.5):
+    # with num_partitions=None (the default) the range exchange is created
+    # WITHOUT an explicit partition count, so AQE sizes it from the actual
+    # shuffle bytes (advisoryPartitionSizeInBytes / parallelismFirst) —
+    # a dimension-sized frame coalesces to a handful of partitions (32
+    # near-empty sort tasks + 32 offset rows otherwise), a fact-derived
+    # frame still fans out to cluster parallelism. An explicit
+    # num_partitions is respected exactly as before (REPARTITION_BY_NUM
+    # shuffles are never AQE-coalesced). Rank values are invariant to
+    # where the range boundaries fall: offset[pid] + local index is the
+    # global position under ANY contiguous range partitioning.
+    parted = (
+        df.repartitionByRange(int(num_partitions), *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
     )
     body = (
-        df.repartitionByRange(n, *order_by)
-        .sortWithinPartitions(*order_by)
+        parted.sortWithinPartitions(*order_by)
         .withColumn("_gr_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
         .withColumn("_gr_pid", F.shiftrightunsigned("_gr_mid", 33))
