@@ -51,27 +51,89 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _train(spark: SparkSession, sf_dir: str) -> list[float]:
-    from quantms_utils_spark.operators.ml import logreg_train
+def _score_z(prev: list) -> F.Column:
+    """x · w with the weights given as COLUMNS (or literals) — the same
+    term order and association as operators.ml.logreg_score builds from
+    literal weights, so the two forms are expression-identical real
+    arithmetic."""
+    z = None
+    for c, wcol in zip(_FEATURES, prev):
+        term = F.col(c) * wcol
+        z = term if z is None else z + term
+    return z
 
-    return logreg_train(
-        _feature_frame(spark, sf_dir),
-        _FEATURES,
-        "y",
-        n_iter=LOGREG_ITER,
-        lr=LOGREG_LR,
-        round_decimals=LOGREG_ROUND,
-    )
+
+def _train_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained weights as a LAZY 1-row frame (w0..w2) — optimization
+    round 13 (guide §5 "the driver should do almost no data work"):
+    ``operators.ml.logreg_train`` runs one BLOCKING ``.collect()`` per GD
+    iteration during query CONSTRUCTION, i.e. ``LOGREG_ITER`` synchronous
+    full-corpus scans before the query's own action even starts — each a
+    driver sync-barrier at 100 TB. Here iteration t+1 instead
+    ``crossJoin(broadcast(...))``s the 1-row weight aggregate of iteration
+    t back onto the feature frame — exactly the oracle's unrolled ``w1..wN``
+    CTE shape — so the whole training trajectory executes inside the ONE
+    action of whichever query consumes it. Update algebra is term-for-term
+    the operator's (z = Σ x_j·w_j in feature order, update
+    ``round(w_j − lr·Σ err·x_j / n, 6)`` with the same association), so the
+    weights are bit-identical (pinned by
+    tests/test_review_r13.py::test_lazy_logreg_chain_matches_operator).
+    The broadcasts are 1-row → the BNLJ sites are the adjudicated bounded
+    class (tests/test_registry_plan_invariants.py)."""
+    d = _feature_frame(spark, sf_dir)
+    k = len(_FEATURES)
+    wf: DataFrame | None = None
+    for it in range(LOGREG_ITER):
+        if wf is None:
+            prev = [F.lit(0.0)] * k
+            src = d
+        else:
+            prev = [F.col(f"w{j}") for j in range(k)]
+            src = d.crossJoin(F.broadcast(wf))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_score_z(prev)))
+        err = p - F.col("y").cast("double")
+        # the weight reference sits outside the aggregate → wrap it
+        # (1-row source, so any_value is exact; mirrors the oracle CTE)
+        lead = [
+            F.lit(0.0) if it == 0 else F.any_value(prev[j]) for j in range(k)
+        ]
+        wf = src.agg(
+            *[
+                F.round(
+                    lead[j]
+                    - F.lit(LOGREG_LR)
+                    * F.sum(err * F.col(_FEATURES[j]))
+                    / F.count(F.lit(1)),
+                    LOGREG_ROUND,
+                ).alias(f"w{j}")
+                for j in range(k)
+            ]
+        )
+    return wf
+
+
+def _scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature frame with the trained weights attached (1-row broadcast)
+    and ``p`` = the score rounded to 4 — the shared input of the scoring /
+    eval / calibration / lift queries."""
+    wf = _train_frame(spark, sf_dir)
+    d = _feature_frame(spark, sf_dir)
+    prev = [F.col(f"w{j}") for j in range(len(_FEATURES))]
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_score_z(prev))), 4)
+    return d.crossJoin(F.broadcast(wf)).withColumn("p", p)
 
 
 def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained classifier weights as (dim, weight) rows — value-checks
-    the distributed gradient-descent loop itself (operators.ml.logreg_train:
-    one map-side-combinable aggregate per iteration, d doubles on the
-    driver) against the oracle's unrolled replay."""
-    w = _train(spark, sf_dir)
-    return spark.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(w)], "dim int, weight double"
+    the distributed gradient-descent loop itself (the lazy chain of
+    ``_train_frame``, algebra-identical to operators.ml.logreg_train)
+    against the oracle's unrolled replay."""
+    wf = _train_frame(spark, sf_dir)
+    return wf.selectExpr(
+        "inline(array("
+        "struct(0 AS dim, w0 AS weight), "
+        "struct(1 AS dim, w1 AS weight), "
+        "struct(2 AS dim, w2 AS weight)))"
     )
 
 
@@ -117,14 +179,10 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 decimals; the keep decision compares the ROUNDED score in both
     engines so a last-ulp sigmoid difference can never flip it). The scoring
     pass is map-only — at 100 TB this is the quality-filter scan."""
-    w = _train(spark, sf_dir)
-    from quantms_utils_spark.operators.ml import logreg_score
-
-    p = F.round(logreg_score(_FEATURES, w), 4)
-    return _feature_frame(spark, sf_dir).select(
+    return _scored_frame(spark, sf_dir).select(
         "doc_id",
-        p.alias("p_en"),
-        (p > F.lit(0.5)).alias("pred_en"),
+        F.col("p").alias("p_en"),
+        (F.col("p") > F.lit(0.5)).alias("pred_en"),
         F.col("y").cast("boolean").alias("is_en"),
     )
 
@@ -163,12 +221,8 @@ def quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields NULL precision, not Infinity."""
     from pyspark.sql import Window
 
-    w = _train(spark, sf_dir)
-    from quantms_utils_spark.operators.ml import logreg_score
-
-    p = F.round(logreg_score(_FEATURES, w), 4)
-    scored = _feature_frame(spark, sf_dir).select(
-        p.alias("p"), F.col("y").cast("long").alias("y")
+    scored = _scored_frame(spark, sf_dir).select(
+        "p", F.col("y").cast("long").alias("y")
     )
     buckets = scored.groupBy("p").agg(
         F.sum("y").alias("n_pos"),
@@ -324,12 +378,8 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine average is exact before the final double division. Bin
     assignment uses the rounded score (both engines bin identical doubles,
     so the edges cannot drift)."""
-    from quantms_utils_spark.operators.ml import logreg_score
-
-    w = _train(spark, sf_dir)
-    p = F.round(logreg_score(_FEATURES, w), 4)
-    scored = _feature_frame(spark, sf_dir).select(
-        p.alias("p"), F.col("y").cast("long").alias("y")
+    scored = _scored_frame(spark, sf_dir).select(
+        "p", F.col("y").cast("long").alias("y")
     )
     binned = scored.select(
         F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),

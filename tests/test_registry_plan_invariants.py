@@ -53,6 +53,14 @@ BNLJ_ALLOWED = {
     "text_bm25_topk",              # 1-row (n_docs, avgdl) broadcast
     "text_heavy_hitters_cms",      # depth x width sketch + 1-row total
     "text_more_like_this",         # 1-row n_docs + query postings
+    # r13 lazy logreg chain: each GD iteration crossJoin(broadcast)s the
+    # previous iteration's 1-ROW weight aggregate (queries/mlops.py::
+    # _train_frame) — the bounded scalar-dimension pattern; lift consumes
+    # the same chain behind the rank operator's checkpoint truncation.
+    "text_quality_calibration",    # 1-row weight aggregates (lazy GD)
+    "text_quality_logreg_eval",    # 1-row weight aggregates (lazy GD)
+    "text_quality_logreg_scores",  # 1-row weight aggregates (lazy GD)
+    "text_quality_logreg_weights", # 1-row weight aggregates (lazy GD)
     "text_temperature_mixture",    # 1-row corpus total broadcast
     "text_top_terms",              # 1-row n_docs broadcast
     "user_survival_km",            # 1-row horizon aggregate broadcast

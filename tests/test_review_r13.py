@@ -446,3 +446,34 @@ def test_cosine_pairs_threshold_rounds_before_compare(spark):
     assert (0, 1) in got
     assert (0, 2) not in got
     assert (0, 3) in got
+
+
+def test_lazy_logreg_chain_matches_operator(spark):
+    """Optimization r13: the query layer trains the quality classifier as
+    a LAZY aggregate chain (queries/mlops.py::_train_frame — iteration t+1
+    crossJoin(broadcast)s iteration t's 1-row weight aggregate) instead of
+    the operator's per-iteration blocking collect.  The update algebra is
+    term-for-term the operator's, so the trained weights must be
+    bit-identical on both test SFs."""
+    from quantms_utils_spark.operators.ml import logreg_train
+    from quantms_utils_spark.queries.mlops import (
+        LOGREG_ITER,
+        LOGREG_LR,
+        LOGREG_ROUND,
+        _FEATURES,
+        _feature_frame,
+        _train_frame,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        eager = logreg_train(
+            _feature_frame(spark, sf_dir),
+            _FEATURES,
+            "y",
+            n_iter=LOGREG_ITER,
+            lr=LOGREG_LR,
+            round_decimals=LOGREG_ROUND,
+        )
+        row = _train_frame(spark, sf_dir).collect()[0]
+        lazy = [row[f"w{j}"] for j in range(len(_FEATURES))]
+        assert lazy == pytest.approx(eager, abs=0.0), (sf_dir, lazy, eager)
