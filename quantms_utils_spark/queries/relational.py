@@ -2045,36 +2045,65 @@ QUERIES["customer_pareto_share"] = (
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over order baskets: for part pairs
     co-occurring in ≥ 2 orders, support, confidence and lift — the
-    classic market-basket family. Scale shape: the pair space comes from a
-    WITHIN-ORDER self-join (orderkey equi-join + ``part_a < part_b``), so
-    the blowup is C(items-per-order, 2) per order — bounded by basket
-    size, never |parts|²; per-part basket counts are an aggregate
-    broadcast twice onto the |pairs| frame; the ratios cast counts to
-    DOUBLE BEFORE multiplying (support·n_orders and cnt_a·cnt_b as
-    BIGINT products would silently wrap at whale scale in non-ANSI
-    Spark while DuckDB errors — the cast keeps both engines identical
-    and overflow-free) and round once. Top-20 by lift (tie-broken by
-    the pair) with min-support 2; the order count is a 1-row broadcast,
-    never a driver action. Output (part_a, part_b, support,
-    confidence, lift)."""
+    classic market-basket family. Scale shape (optimization round 13,
+    guide §2.4 "remove shuffles outright" / §3.3 "explode after the
+    join"): ONE ``groupBy(orderkey).agg(array_sort(collect_set(partkey)))``
+    fact exchange replaces the previous distinct() + within-order
+    SELF-JOIN (which paid a second orderkey exchange per join side plus
+    two sort-merge sorts); pairs explode IN-ARRAY (the
+    ``lsh_candidate_pairs`` idiom — the sorted-unique array emits each
+    a<b pair exactly once per order), and the per-part basket counts and
+    the order total derive from the SAME grouped frame (pinned, released
+    on result drop per the dedup-module cache policy — column pruning
+    defeats ReuseExchange across the three consumers otherwise). The
+    pair-space bound is unchanged: C(items-per-order, 2) per order —
+    bounded by basket size, never |parts|². NULL semantics are preserved
+    exactly: collect_set drops NULL partkeys (which could never satisfy
+    ``part_a < part_b`` or the count joins), NULL-orderkey rows still
+    feed per-part counts but never pairs or the order total (SQL
+    NULL-equality, mirrored by the isNotNull pair filter and
+    ``count(l_orderkey)``). The ratios cast counts to DOUBLE BEFORE
+    multiplying (support·n_orders and cnt_a·cnt_b as BIGINT products
+    would silently wrap at whale scale in non-ANSI Spark while DuckDB
+    errors — the cast keeps both engines identical and overflow-free)
+    and round once. Top-20 by lift (tie-broken by the pair) with
+    min-support 2; the order count is a 1-row broadcast, never a driver
+    action. Output (part_a, part_b, support, confidence, lift)."""
+    from quantms_utils_spark.operators.dedup import _release_on_drop
+
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
     )
-    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    n_orders = grouped.agg(F.count("l_orderkey").alias("n_orders"))
+    parts = F.col("parts")
+    pair = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
+        grouped.where(F.col("l_orderkey").isNotNull())
+        .select(F.explode(pair).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
-    counts = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        grouped.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     ca = counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
     cb = counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
-    return (
+    result = (
         pairs.join(broadcast(ca), "part_a")
         .join(broadcast(cb), "part_b")
         .crossJoin(broadcast(n_orders))
@@ -2095,6 +2124,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+    return _release_on_drop(result, grouped)
 
 
 MARKET_BASKET_LIFT_SQL = """
