@@ -1129,11 +1129,20 @@ def _prefix_candidates(
     # result frame per the module cache policy.
     ordered = ordered.persist()
     plen = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)).cast("int") + 1
+    # The prefix token is ONLY an equi-join key from here on (the verify
+    # stage recomputes the true intersection from the full string arrays),
+    # so hash it to 64 bits before the exploded frame shuffles twice into
+    # the self-join (optimization round 13, guide §2.3 "narrower types"):
+    # a ~25-byte shingle string becomes an 8-byte long, and the SMJ sorts/
+    # compares longs instead of strings. Equal strings keep equal hashes —
+    # no false negatives, so the exact-output guarantee is untouched; a
+    # 64-bit collision can only ADD a candidate that exact verification
+    # then drops.
     pref = ordered.select(
         "_id",
         "_n",
         F.posexplode(F.slice("_toks", F.lit(1), plen)).alias("_pos", "_ptok"),
-    )
+    ).withColumn("_ptok", F.xxhash64("_ptok"))
     # overlap floor: J(a,b) >= t  <=>  |a∩b| >= t/(1+t) * (na+nb)
     # (tiny epsilon so FP noise cannot push an exact integer over its ceil)
     alpha = F.ceil(

@@ -463,16 +463,24 @@ def tree_depths(
             f.join(nxt, "a")
             .select("n", F.col("a2").alias("a"), (F.col("s") + F.col("s2")).alias("s"))
         )
-        # no per-round action: absorbed rows are fixpoints under further
-        # joins (they meet the root self-loop and gain 0 steps). The only
-        # driver-side actions are at checkpoint boundaries, where the frame
-        # is materialized anyway (eager) — so the convergence probe there
-        # costs one scan of cached partitions and skips the remaining
-        # rounds once every chain has absorbed (depth ≤ 2^r).
-        if (r + 1) % 4 == 0:
-            f = f.localCheckpoint(eager=True)
-            if f.filter(F.col("a") != F.lit(root)).limit(1).count() == 0:
-                break
+        # Checkpoint EVERY round (optimization round 13, guide §5
+        # localCheckpoint / §2.4): the round's join references ``f``
+        # TWICE (probe and build side), and Catalyst does not share
+        # logical subplans across a self-join, so an UNCHECKPOINTED round
+        # doubles the upstream plan — by the old every-4th-round cadence
+        # the checkpoint planned 2^4 = 16 copies of everything since the
+        # previous cut (physical ReuseExchange recovers some of it, which
+        # is why the local win is modest — isolated A/B 2.47 → 2.30 s —
+        # but plan size, planning time and the reuse gamble all grow
+        # exponentially in the gap at depth). One eager cut per round
+        # keeps every round exactly ONE join over cached state; the
+        # convergence probe rides on the already-materialized partitions
+        # (limit(1), no full count) and stops as soon as every chain has
+        # absorbed (depth ≤ 2^(r+1)), which the old cadence only noticed
+        # at the next multiple of 4.
+        f = f.localCheckpoint(eager=True)
+        if f.filter(F.col("a") != F.lit(root)).limit(1).count() == 0:
+            break
     unresolved = f.filter(F.col("a") != F.lit(root)).limit(1).count()
     if unresolved:
         raise ValueError(

@@ -717,9 +717,22 @@ def semantic_dedup(
     pair meets in exactly one tile), then ONE per-duplicate min aggregate and
     a left join back to the ids. At 100 TB the block column is the k-means
     cell id written at ingest, so the self-join is partition-local.
+
+    The projected input (id, block, vec) is PINNED for the call's result
+    lifetime (optimization round 13, guide §5 caching): the frame feeds
+    both the pair tiles and the final join-back, and in the canonical
+    inline setup ``block_col`` is a k×d nearest-centroid FOLD — without
+    the pin the whole assignment expression re-executes for the join-back
+    branch (Catalyst shares no subplan across the two consumers).
+    Released when the returned frame is dropped, per the dedup-module
+    cache policy (:func:`quantms_utils_spark.operators.dedup.release_caches`
+    / ``cache_scope`` work on the result).
     """
+    from quantms_utils_spark.operators.dedup import _release_on_drop
+
+    base = df.select(id_col, block_col, vec_col).persist()
     pairs = cosine_pairs_blocked(
-        df, id_col=id_col, vec_col=vec_col, block_col=block_col,
+        base, id_col=id_col, vec_col=vec_col, block_col=block_col,
         threshold=threshold, n_buckets=n_buckets,
     )
     dup_of = (
@@ -727,15 +740,16 @@ def semantic_dedup(
         .agg(F.min("id_a").alias("dup_of"))
         .withColumnRenamed("id_b", id_col)
     )
-    return (
-        df.select(id_col, block_col)
+    return _release_on_drop(
+        base.select(id_col, block_col)
         .join(dup_of, id_col, "left")
         .select(
             id_col,
             block_col,
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_dup"),
-        )
+        ),
+        base,
     )
 
 
