@@ -860,26 +860,37 @@ def duplicate_spans(
     OTHER document, i.e. how much of it is boilerplate shared across the
     corpus. Documents under ``n`` tokens emit no row (they have no spans).
 
-    Shape: explode n-grams → one (doc, gram) reduction (map-side
-    combinable) → a window count over partitionBy(gram) for the
-    documents-per-gram cardinality → one per-doc rollup. The gram window
-    IS a third exchange (round-9 correction of this docstring: the
-    aggregate hash-partitions on (doc, gram), which does not satisfy
-    partitionBy(gram) — verified in the executed plan) — but it moves the
-    already-REDUCED (doc, gram) rows, a small fraction of the exploded
-    gram stream, and the alternative (a groupBy(gram) + join-back) would
+    Shape (optimization round 13, guide §2.4 "two operations keyed the
+    same way can often share one exchange"): explode n-grams →
+    ``repartition(gram)`` — ONE exchange of the gram stream that
+    satisfies BOTH downstream distribution requirements: the
+    (doc, gram) reduction (HashPartitioning(g) clusters every (doc, g)
+    group — partitioning on a subset of the grouping keys satisfies
+    ClusteredDistribution) and the documents-per-gram window
+    (partitionBy(g) exactly) → one per-doc rollup. Before this round the
+    aggregate hash-partitioned on (doc, gram) and the window re-exchanged
+    by gram, so the gram-weight rows crossed the network TWICE (the
+    map-side partial aggregation the old shape bought before its exchange
+    only removed within-document n-gram repeats, which are rare in
+    natural text — measured at sf0.1: 235,704 exploded grams vs 235,704
+    after the (doc, gram) reduction, exactly zero); now they cross once,
+    raw.
+    The groupBy(gram)+join-back alternative stays rejected (it would
     re-run the whole explode for the second branch since ReuseExchange
-    does not fire across column-pruned subtrees. No self-join, no collect; the gram stream never outlives its
-    two reductions. At 100 TB the (doc, gram) table is the working set —
-    bounded by corpus tokens, shrunk by the first reduction.
+    does not fire across column-pruned subtrees). No self-join, no
+    collect; the gram stream never outlives its two reductions. At
+    100 TB the (doc, gram) table is the working set — bounded by corpus
+    tokens, shrunk by the first reduction.
     """
     from pyspark.sql import Window
 
     from quantms_utils_spark.operators.dedup import _fan_out
 
     toks = normalized_tokens(F.col(text_col))
-    grams = _fan_out(df).select(
-        F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g")
+    grams = (
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(word_ngrams(toks, n)).alias("g"))
+        .repartition("g")
     )
     per_doc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("occ"))
     docs_with = F.count(F.lit(1)).over(Window.partitionBy("g"))

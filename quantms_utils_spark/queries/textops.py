@@ -626,11 +626,90 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First three BPE merge rules learned from the corpus word-frequency
     table (distributed tokenizer induction). The oracle unrolls the same
     three rounds in DuckDB, replaying the left-to-right merge fold with
-    list_reduce, so the whole iterative loop is value-checked."""
-    from quantms_utils_spark.operators.text import bpe_merges
+    list_reduce, so the whole iterative loop is value-checked.
+
+    LAZY chain (optimization round 13, guide §5 "the driver should do
+    almost no data work"): ``operators.text.bpe_merges`` runs one blocking
+    ``.collect()`` per merge round during query CONSTRUCTION — three
+    full-corpus driver sync-barriers before the query's own action even
+    starts (the captured before-plan is just `Scan ExistingRDD`: all the
+    work was invisible pre-actions). This builds the identical three
+    rounds declaratively — round k's winning pair is a 1-row
+    ``orderBy(cnt desc, l, r).limit(1)`` aggregate cross-joined
+    (broadcast) back onto the type table, exactly the oracle's unrolled
+    ``m{k}``/``w{k}`` CTE shape — so induction executes inside the
+    query's single action. Update algebra is term-for-term the
+    operator's: same `normalized_tokens` word table, same NUL-token
+    exclusion, same adjacent-pair count weighted by type frequency, same
+    lexicographic tie-break, same left-to-right non-overlapping
+    `merge_pair_fold`. Equivalence to the eager operator is pinned in
+    tests/test_review_r13.py. `operators.text.bpe_merges` (batched,
+    driver-paced — the 30k-vocab scale form whose conflict rule NEEDS the
+    picked values) remains the operator API, still tested.
+    """
+    from quantms_utils_spark.operators.dedup import _fan_out
+    from quantms_utils_spark.operators.text import (
+        merge_pair_fold,
+        normalized_tokens,
+    )
 
     d = load(spark, sf_dir, "documents")
-    return bpe_merges(d, "text", n_merges=3)
+    cur = (
+        _fan_out(d)
+        .select(F.explode(normalized_tokens(F.col("text"))).alias("w"))
+        .filter(~F.col("w").contains("\x00"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.split(F.col("w"), "").alias("syms"))
+    )
+    rounds: list[DataFrame] = []
+    for k in range(1, 4):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("syms") > 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", (i + 1).cast("int")).alias("r"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<l:string,r:string>>")
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+        )
+        rounds.append(
+            top.select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_freq"),
+            )
+        )
+        if k < 3:
+            # the 1-row winner broadcast back onto the type table: a
+            # bounded BroadcastNestedLoopJoin of the adjudicated
+            # 1-row-aggregate class (tests/test_registry_plan_invariants)
+            cur = cur.crossJoin(F.broadcast(top)).select(
+                "freq",
+                merge_pair_fold(
+                    F.col("syms"), F.col("l"), F.col("r")
+                ).alias("syms"),
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
 
 
 def _bpe_round(k: int) -> str:

@@ -51,6 +51,11 @@ BNLJ_ALLOWED = {
     "market_basket_lift",          # 1-row n_orders broadcast
     "rag_chunk_retrieve",          # 1-row corpus stats broadcast
     "text_bm25_topk",              # 1-row (n_docs, avgdl) broadcast
+    # r13 lazy BPE chain: each merge round crossJoin(broadcast)s the
+    # previous round's 1-ROW winning-pair aggregate (queries/textops.py::
+    # bpe_merge_rules) — the bounded scalar-dimension pattern, exactly
+    # the oracle's unrolled m{k} CROSS JOIN shape.
+    "text_bpe_merges",             # 1-row winning-pair aggregates (lazy BPE)
     "text_heavy_hitters_cms",      # depth x width sketch + 1-row total
     "text_more_like_this",         # 1-row n_docs + query postings
     # r13 lazy logreg chain: each GD iteration crossJoin(broadcast)s the

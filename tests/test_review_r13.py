@@ -477,3 +477,26 @@ def test_lazy_logreg_chain_matches_operator(spark):
         row = _train_frame(spark, sf_dir).collect()[0]
         lazy = [row[f"w{j}"] for j in range(len(_FEATURES))]
         assert lazy == pytest.approx(eager, abs=0.0), (sf_dir, lazy, eager)
+
+
+def test_lazy_bpe_chain_matches_operator(spark):
+    """Optimization r13: `text_bpe_merges` builds the three BPE rounds as
+    a LAZY chain (queries/textops.py::bpe_merge_rules — round k's 1-row
+    winning-pair aggregate crossJoin(broadcast)ed back onto the type
+    table) instead of the operator's per-round blocking collect. Same
+    word table, same pair counts, same lexicographic tie-break, same
+    left-to-right fold — the emitted merge rules must be identical on
+    both test SFs."""
+    from quantms_utils_spark.operators.text import bpe_merges
+    from quantms_utils_spark.queries.textops import bpe_merge_rules
+    from quantms_utils_spark.tables import load
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf_dir, "documents")
+        eager = sorted(
+            tuple(r) for r in bpe_merges(d, "text", n_merges=3).collect()
+        )
+        lazy = sorted(
+            tuple(r) for r in bpe_merge_rules(spark, sf_dir).collect()
+        )
+        assert lazy == eager, (sf_dir, lazy, eager)
