@@ -268,6 +268,18 @@ def triangle_count(
     """
     if orientation not in ("id", "degree"):
         raise ValueError(f"orientation must be 'id' or 'degree', got {orientation!r}")
+    # Shared intermediates are pinned with LAZY localCheckpoint, not
+    # persist() (optimization round 13, guide §5 "localCheckpoint is a
+    # cheaper way to cut lineage"): every consumer (degree aggregate, both
+    # join sides, closing-edge probe, edge count) reads plain row blocks
+    # instead of re-building/scanning a compressed columnar cache — the
+    # InMemoryRelation build was the census's single heaviest stage in the
+    # event-log profile (per-task columnar batch allocation + GC), and the
+    # census collects below anyway, so the checkpoint storage lives only
+    # for this call. Trade (documented precedent: tree_depths,
+    # connected_components, streaming/diff): truncated lineage is not
+    # recomputable on executor loss — the census fails and is re-run
+    # rather than silently recomputing.
     canon = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -275,7 +287,7 @@ def triangle_count(
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     deg = (
         canon.select(F.col("u").alias("x"))
@@ -285,10 +297,12 @@ def triangle_count(
     )
     if orientation == "degree":
         # Three consumers in degree mode (wedge aggregate + the two
-        # endpoint-degree attaches) — persist so the union+hash-aggregate
-        # over canon runs once, not 3x. One row per vertex; released with
-        # canon below. In id mode wedges is the sole consumer: no persist.
-        deg = deg.persist()
+        # endpoint-degree attaches) — pin so the union+hash-aggregate
+        # over canon runs once, not 3x (lazy localCheckpoint, same
+        # rationale as `canon` above). One row per vertex; storage is
+        # dropped with the collect below. In id mode wedges is the sole
+        # consumer: no pin.
+        deg = deg.localCheckpoint(eager=False)
     wedges = deg.agg(_wedge_count_expr(F.col("d")).alias("n_wedges"))
     if orientation == "id":
         ab = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -313,12 +327,12 @@ def triangle_count(
             (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
         # three consumers (two wedge sides + the closing-edge probe) —
-        # persist like `canon` so the canon⋈deg orientation runs once
+        # pin like `canon` so the canon⋈deg orientation runs once
         oriented = ed.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dhi"),
-        ).persist()
+        ).localCheckpoint(eager=False)
         e1 = oriented.select(
             F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("dhi").alias("db")
         )
@@ -353,14 +367,12 @@ def triangle_count(
             ).alias("clustering_coeff"),
         )
     )
-    # Materialize the 1-row census so the persisted frames can be released
-    # here instead of leaking storage memory across calls in a long-lived
-    # session; the rebuilt local frame keeps the lazy-DataFrame contract.
+    # Materialize the 1-row census here so the checkpoint storage lives
+    # only for this call: once the local frames (canon/deg/oriented) go
+    # out of scope the ContextCleaner reclaims their checkpoint blocks —
+    # no storage leak across calls in a long-lived session. The rebuilt
+    # local frame keeps the lazy-DataFrame contract.
     rows = census.collect()
-    canon.unpersist()
-    if orientation == "degree":
-        deg.unpersist()
-        oriented.unpersist()
     return edges.sparkSession.createDataFrame(rows, census.schema)
 
 
