@@ -56,8 +56,20 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
+    # The lineitem⋈orders edge is fact-to-fact: pin SortMergeJoin
+    # (optimization round 13, guide §3.1 "pick the strategy
+    # deliberately"). The planner's size estimate put the 2-column orders
+    # projection under the broadcast threshold at bench scale, but
+    # building and shipping a 150k-row broadcast hash relation per run
+    # was the query's dominant cost (isolated A/B: 2.35 s broadcast →
+    # 1.20 s merge) and GC-unstable in a long-lived session — and at
+    # 100 TB orders is a fact table that must never broadcast; the hint
+    # makes the local plan the same shape as the cluster plan.
     joined = (
-        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        li.join(
+            o.select("o_orderkey", "o_custkey").hint("merge"),
+            li.l_orderkey == o.o_orderkey,
+        )
         .join(broadcast(c.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(s.select("s_suppkey", "s_nationkey")),
@@ -127,8 +139,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
     rev = _revenue_col()
+    # Same fact-to-fact SortMergeJoin pin as `volume_shipping` (guide
+    # §3.1): the auto-chosen 150k-row orders broadcast was this query's
+    # dominant and GC-unstable cost (shared-JVM A/B: 10.8 s degrading →
+    # 1.48 s stable with merge), and orders never broadcasts at scale.
     joined = (
-        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        li.join(
+            o.select("o_orderkey", "o_custkey").hint("merge"),
+            li.l_orderkey == o.o_orderkey,
+        )
         .join(broadcast(cdim), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(sdim), F.col("l_suppkey") == F.col("s_suppkey"))
     )
