@@ -123,23 +123,54 @@ def weighted_quantile(
     """Per-group weighted quantile: the smallest ``value_col`` whose
     running weight (ordered by value, then ``order_tiebreak`` for
     determinism under ties) reaches ``q`` of the group's total weight —
-    the weighted median at q=0.5. percentile() has no weighted form, so
-    this is the canonical two-window formulation: one cumulative sum and
-    one total over the SAME partition key (one Exchange, one Sort), then
-    the first qualifying row per group via a min-by aggregate. Output:
-    group cols + ``(<value_col>_q, total_weight)``; per-group state is a
-    running scalar, so skew is bounded by the hottest single group.
+    the weighted median at q=0.5. Output: group cols +
+    ``(<value_col>_q, total_weight)``.
+
+    TWO-PHASE shape (optimization round 13; guide §2.5 skew — the same
+    discipline as ``operators.rank``): the old form ran the cumulative
+    and total windows ``partitionBy(group)``, so the whole frame sorted
+    inside ONE task per group — with few groups (the weighted-median
+    registry query has 3 return flags) that is a 3-task bottleneck
+    locally and an unbounded whale-group funnel at 100 TB. Now:
+
+    1. ``repartitionByRange(group, value, tiebreak)`` — one AQE-sized
+       range exchange; global order = partition order + local order.
+       ``monotonically_increasing_id`` yields the partition index
+       (checkpoint-pinned so every consumer sees one placement).
+    2. ONE tiny aggregate: per-(partition, group) weight sums (this pass
+       also runs the NULL/negative-weight probe over every row). A
+       window over that aggregate-sized frame derives per-group
+       exclusive partition offsets and totals — no driver collect.
+    3. The threshold can only cross inside the FIRST partition whose
+       inclusive prefix reaches ``q·total`` (earlier partitions are all
+       below it; later partitions hold only larger values, which cannot
+       change the min qualifying value). Only those crossing-partition
+       rows — ~1/n_partitions of one group each — flow into the local
+       cumulative window; everything else never re-shuffles.
+
+    Weight summation is therefore REASSOCIATED (partition partials +
+    local running sum) relative to the old single window: exact for
+    integer/decimal weights (the registry caller sums DECIMAL), for
+    float weights the usual distributed-sum last-ulp caveat applies.
 
     Round 11 (review): rows with a NULL value, NULL weight, or negative
     weight raise instead of silently corrupting the quantile — a NULL
     value sorts first while its weight still shifts the cumulative curve
     (every later quantile moves), a NULL weight silently contributes 0,
     and a negative weight makes the running sum non-monotone, after which
-    "first row to reach q·total" is not a quantile at all. The probe is a
-    per-row codegen branch on the weight expression — no extra scan.
+    "first row to reach q·total" is not a quantile at all. The probe now
+    runs inside the phase-2 aggregate — still every row, no extra scan.
     """
     if not 0 < q <= 1:
         raise ValueError("q must be in (0, 1]")
+    reserved = {"_wq_mid", "_wq_pid", "_wq_s", "_wq_rs", "_wq_off",
+                "_wq_tw", "_wq_cw"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_quantile reserves column name(s) {sorted(clash)}; "
+            "rename them on the input frame first"
+        )
     checked_w = F.when(
         F.col(value_col).isNull()
         | F.col(weight_col).isNull()
@@ -157,27 +188,79 @@ def weighted_quantile(
             )
         ).cast(df.schema[weight_col].dataType),
     ).otherwise(F.col(weight_col))
-    order = [F.col(value_col), *[F.col(c) for c in order_tiebreak]]
+    gcols = list(group_cols)
+    order = [
+        *[F.col(c) for c in gcols],
+        F.col(value_col),
+        *[F.col(c) for c in order_tiebreak],
+    ]
+    local_order = [F.col(value_col), *[F.col(c) for c in order_tiebreak]]
+    # Phase 1: range layout. No within-partition sort and no
+    # monotonically_increasing_id — the offset algebra only needs the
+    # PARTITION-level prefix property (partition i's keys ≤ partition
+    # j's for i < j), and the phase-3 window sorts its own partition
+    # anyway, so a local sort here would be pure waste. The lazy
+    # localCheckpoint pins the sampled range boundaries so the offset
+    # aggregate and the crossing-partition pass read the SAME physical
+    # placement (a re-sample could move boundary rows between
+    # partitions); spark_partition_id() over the pinned blocks is then
+    # deterministic.
+    body = (
+        df.repartitionByRange(*order)
+        .localCheckpoint(eager=False)
+        .withColumn("_wq_pid", F.spark_partition_id().cast("long"))
+    )
+    # Phase 2: per-(partition, group) sums — aggregate-sized (≤ one row
+    # per group per partition). `_wq_s` sums the CHECKED weight while
+    # `_wq_rs` sums the raw column for the reported total — safe only
+    # because both run in this same aggregate, so the checked branch
+    # raises on any NULL/negative row before either sum is observable.
+    # Do not drop or move _wq_s's checked_w without re-guarding _wq_rs.
+    psums = body.groupBy("_wq_pid", *gcols).agg(
+        F.sum(checked_w).alias("_wq_s"),
+        F.sum(F.col(weight_col)).alias("_wq_rs"),
+    )
+    zero = F.lit(0).cast(psums.schema["_wq_s"].dataType)
+    woff = (
+        Window.partitionBy(*gcols)
+        .orderBy("_wq_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*gcols)
+    offs = psums.select(
+        "_wq_pid",
+        *gcols,
+        F.coalesce(F.sum("_wq_s").over(woff), zero).alias("_wq_off"),
+        F.sum("_wq_rs").over(wtot).alias("_wq_tw"),
+        "_wq_s",
+    )
+    # Phase 3: the first partition (per group) whose inclusive prefix
+    # reaches the threshold holds the qualifying row with the minimal
+    # value; later partitions only contribute larger values.
+    crossing = (
+        offs.filter(
+            F.col("_wq_off") + F.col("_wq_s") >= F.lit(q) * F.col("_wq_tw")
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.min("_wq_pid").alias("_wq_pid"),
+            F.min_by("_wq_off", "_wq_pid").alias("_wq_off"),
+            F.max("_wq_tw").alias("_wq_tw"),
+        )
+    )
     wc = (
-        Window.partitionBy(*group_cols)
-        .orderBy(*order)
+        Window.partitionBy("_wq_pid", *gcols)
+        .orderBy(*local_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy(*group_cols)
-    # __cw sums the CHECKED weight while __tw sums the raw column — safe
-    # only because both run in this same select, so the checked branch
-    # raises on any NULL/negative row before either sum is observable.
-    # Do not drop or move __cw's checked_w without re-guarding __tw.
-    cum = df.select(
-        *group_cols,
-        F.col(value_col),
-        F.sum(checked_w).over(wc).alias("__cw"),
-        F.sum(weight_col).over(wt).alias("__tw"),
+    hit = (
+        body.join(F.broadcast(crossing), ["_wq_pid", *gcols])
+        .withColumn("_wq_cw", F.col("_wq_off") + F.sum(checked_w).over(wc))
+        .filter(F.col("_wq_cw") >= F.lit(q) * F.col("_wq_tw"))
     )
-    hit = cum.filter(F.col("__cw") >= F.lit(q) * F.col("__tw"))
-    return hit.groupBy(*group_cols).agg(
+    return hit.groupBy(*gcols).agg(
         F.min(value_col).alias(f"{value_col}_q"),
-        F.max("__tw").alias("total_weight"),
+        F.max("_wq_tw").alias("total_weight"),
     )
 
 
