@@ -279,7 +279,13 @@ def triangle_count(
     # for this call. Trade (documented precedent: tree_depths,
     # connected_components, streaming/diff): truncated lineage is not
     # recomputable on executor loss — the census fails and is re-run
-    # rather than silently recomputing.
+    # rather than silently recomputing. LAZY deliberately: an A/B
+    # (9 runs per variant, one JVM each) put eager materialization at a
+    # 2.7 s median degrading to 7 s within the JVM vs a stable 1.8 s
+    # lazy — the extra eager jobs accumulate block-manager state the
+    # census never needs. The wedge/triangle broadcast subtrees CAN race
+    # on the un-materialized frame (worst case: one duplicated
+    # subtree computation), which the collect below tolerates.
     canon = (
         edges.filter(F.col(src) != F.col(dst))
         .select(

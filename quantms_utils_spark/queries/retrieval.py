@@ -314,19 +314,37 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     round to 4 before the top-k cut (doc_id tiebreak) so rank selection is
     engine-deterministic. Production corpora would cap df (stopword band)
     to bound the join fan-out; the synthetic vocabulary is all
-    high-frequency, so the band stays open here."""
+    high-frequency, so the band stays open here.
+
+    The weighted posting list is PINNED (lazy localCheckpoint,
+    optimization round 13, guide §5): it feeds FOUR consumers (document
+    norms, the query vector, the query norm, the dot products) and
+    Catalyst shares no subplan across them, so the un-pinned plan re-ran
+    the tokenize → explode → tf → df pipeline once per consumer — the
+    executed plan held EIGHT document scans and 15 exchanges; pinned it
+    holds one posting build. `norms` (doc-count-sized) is pinned for the
+    same reason (consumed by the candidate join AND the query-norm
+    lookup). Checkpoint storage is the posting list — the inverted
+    index's working set, bounded by corpus tokens and reclaimed when the
+    call's frames go out of scope."""
     from quantms_utils_spark.operators.retrieval import inverted_postings
 
     d = load(spark, sf_dir, "documents")
     post = inverted_postings(d, id_col="doc_id", text_col="text", min_df=1)
     n_dim = d.agg(F.count(F.lit(1)).alias("__n"))
-    wpost = post.crossJoin(F.broadcast(n_dim)).select(
-        "term",
-        "doc_id",
-        (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+    wpost = (
+        post.crossJoin(F.broadcast(n_dim))
+        .select(
+            "term",
+            "doc_id",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint()
     )
-    norms = wpost.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    norms = (
+        wpost.groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+        .localCheckpoint()
     )
     q = wpost.filter(F.col("doc_id") == 0).select(
         "term", F.col("w").alias("wq")
