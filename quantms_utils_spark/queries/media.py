@@ -238,7 +238,18 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole banding (operators.dedup.simhash_pairs) at Hamming ≤ 3 —
     each group's one-bit-flip variants must pair up (distance ≤ 2 by
     construction), random cross-group patterns must not (~32 bits apart).
-    The oracle rebuilds fingerprints AND replays the banding join."""
+    The oracle rebuilds fingerprints AND replays the banding join.
+
+    Optimization round 13, examined and left UNPINNED: the executed plan
+    runs the BMP encode → decode → pool Python pipeline once per
+    fingerprint consumer (4 MapInPandas + 4 ArrowEvalPython nodes — band
+    side a, band side b, and the two Hamming verify joins), but the
+    fingerprinted set is 240 rows, so an eager localCheckpoint pin was
+    MEASURED SLOWER (isolated A/B: 1.96 s unpinned vs 2.1–2.2 s pinned —
+    the materialization barrier costs more than three 240-row Python
+    passes save). At real image-corpus scale the pin (one codec pass,
+    checkpoint stores only id+hash — the guide §8 'decide with small
+    rows' shape) is the right call; revisit if _PH_DOCS ever grows."""
     from quantms_utils_spark.operators.dedup import simhash_pairs
 
     fps = _phash_fingerprints(spark, sf_dir)
