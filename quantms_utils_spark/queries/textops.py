@@ -1017,12 +1017,17 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same three sequential rounds over the DuckDB word
     table and unnests the final symbol sequences weighted by word
     frequency."""
-    from quantms_utils_spark.operators.text import bpe_merges, bpe_vocabulary
+    from quantms_utils_spark.operators.text import bpe_vocabulary
 
     d = load(spark, sf_dir, "documents")
+    # Rules come off the lazy 3-round chain in ONE collect (optimization
+    # round 13, guide §5) instead of the eager operator's per-round
+    # blocking collects; rule equivalence is test-pinned.
     merges = [
         (r["left"], r["right"])
-        for r in bpe_merges(d, "text", n_merges=3).collect()
+        for r in sorted(
+            _bpe_lazy_rounds(d).collect(), key=lambda r: r["round"]
+        )
     ]
     return bpe_vocabulary(d, "text", merges)
 
@@ -1052,12 +1057,17 @@ def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles), and report per-document symbol counts. n_chars_total is
     invariant under merging (a sanity column the oracle recomputes from raw
     text); n_bpe_symbols shrinks where learned pairs fire."""
-    from quantms_utils_spark.operators.text import bpe_apply, bpe_merges
+    from quantms_utils_spark.operators.text import bpe_apply
 
     d = load(spark, sf_dir, "documents")
+    # Rules come off the lazy 3-round chain in ONE collect (optimization
+    # round 13, guide §5) instead of the eager operator's per-round
+    # blocking collects; rule equivalence is test-pinned.
     merges = [
         (r["left"], r["right"])
-        for r in bpe_merges(d, "text", n_merges=3).collect()
+        for r in sorted(
+            _bpe_lazy_rounds(d).collect(), key=lambda r: r["round"]
+        )
     ]
     enc = bpe_apply(F.col("text"), merges)
     n_syms = F.aggregate(enc, F.lit(0), lambda acc, w: acc + F.size(w))
