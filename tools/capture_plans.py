@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for headline bench queries into plans/r13/.
+"""Capture .explain('formatted') for headline bench queries into
+plans/$PLANS_ROUND/ (default r14).
 
 Usage:
     python tools/capture_plans.py before [key ...]
     python tools/capture_plans.py after  [key ...]
 
 With no keys, captures every headline key. Output files:
-    plans/r13/<key>_<tag>.txt
+    plans/$PLANS_ROUND/<key>_<tag>.txt
 
 Plans are captured with the same session shape as bench.py (local[$CPUS],
 shuffle partitions = $CPUS) so the judge can line plan claims up with the
@@ -47,7 +48,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = Path(REPO_ROOT) / "plans" / "r13"
+    out_dir = Path(REPO_ROOT) / "plans" / os.environ.get("PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     for key, name in bench.HEADLINE:
